@@ -1,0 +1,72 @@
+"""WordCount — the reference's first built-in application.
+
+Reference dataflow (SURVEY.md §3.1): chunk the corpus, run
+``WordCountMapper`` emitting ``(word, 1)`` per token
+(Worker/Worker.py:20-26), hash-shuffle on the master
+(Master/Master.py:130-163), then ``WordCountReducer`` counting pairs per
+key (Worker/Worker.py:45-49).
+
+Spark dataflow: one declarative plan — scan -> tokenize/explode ->
+groupBy(word).count — compiled by Catalyst into two stages with a single
+Exchange. Map-side partial aggregation (HashAggregate partial -> final)
+gives the combiner the reference never had, so shuffle volume is
+O(distinct words per partition), not O(tokens): the property that makes
+this survive 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducegcp_spark.functions.text import TOKEN_ORACLE_EXPR, words_of
+from mapreducegcp_spark.registry import register
+from mapreducegcp_spark.sources.catalog import load_table
+
+
+def word_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) — semantics of Worker/Worker.py:45-49."""
+    return (
+        docs.select(words_of(text_col).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_WORDCOUNT_ORACLE = f"""
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest({TOKEN_ORACLE_EXPR.format(col='text')}) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+"""
+
+
+@register("wordcount", oracle=_WORDCOUNT_ORACLE, tags=("reference-parity",))
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return word_count(load_table(spark, sf_dir, "documents"))
+
+
+_DOC_WORDCOUNT_ORACLE = f"""
+SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_distinct
+FROM (
+  SELECT doc_id, unnest({TOKEN_ORACLE_EXPR.format(col='text')}) AS word
+  FROM documents
+)
+WHERE word <> ''
+GROUP BY doc_id
+"""
+
+
+@register("wordcount_per_doc", oracle=_DOC_WORDCOUNT_ORACLE, tags=("reference-parity",))
+def q_wordcount_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token totals per document — the per-chunk view the reference's
+    mapper output files held (Worker/Worker.py:92-93), as a table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", words_of("text").alias("word"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("word").alias("n_distinct"),
+        )
+    )

@@ -1,0 +1,87 @@
+"""Query registry — the engine's pluggable-application surface.
+
+The reference exposes applications by string name through ``functionMap``
+(Worker/Worker.py:68-78): a dict from mapper/reducer names to Python
+functions, dispatched by ``worker()``. This registry is the Spark-native
+generalization: a named catalog of query builders, each a callable
+``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) a DuckDB
+oracle SQL string used by the correctness harness.
+
+Operator modules self-register at import; ``all_queries()`` imports them
+all so the catalog is complete after one call.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Modules that register queries (imported lazily by _load_all).
+_OPERATOR_MODULES = [
+    "mapreducegcp_spark.operators.wordcount",
+    "mapreducegcp_spark.operators.inverted_index",
+    "mapreducegcp_spark.operators.relational",
+    "mapreducegcp_spark.operators.dedup",
+    "mapreducegcp_spark.operators.similarity",
+    "mapreducegcp_spark.operators.textstats",
+    "mapreducegcp_spark.operators.multimodal",
+    "mapreducegcp_spark.streaming.events",
+]
+
+
+@dataclass
+class RegisteredQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, RegisteredQuery] = {}
+_LOADED = False
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: add a ``(spark, sf_dir) -> DataFrame`` builder to the catalog."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
+        _REGISTRY[name] = RegisteredQuery(name=name, fn=fn, oracle=oracle, tags=tuple(tags))
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    for mod in _OPERATOR_MODULES:
+        importlib.import_module(mod)
+    _LOADED = True
+
+
+def all_queries() -> dict[str, RegisteredQuery]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def get_query(name: str) -> RegisteredQuery:
+    _load_all()
+    return _REGISTRY[name]
+
+
+def query_fns() -> dict[str, QueryFn]:
+    _load_all()
+    return {name: rq.fn for name, rq in _REGISTRY.items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    _load_all()
+    return {name: rq.oracle for name, rq in _REGISTRY.items() if rq.oracle is not None}

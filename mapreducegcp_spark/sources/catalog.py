@@ -1,0 +1,76 @@
+"""Sources — table catalog and corpus ingestion.
+
+Replaces the reference's three ingestion modes in ``inputDataProcessing``
+(Master/Master.py:188-255): directory-of-files, single file with
+word-granular chunking, and a literal string. In Spark the chunk/assign
+machinery (Master/Master.py:205-213,241-255) disappears — the FileScan
+computes splits and the scheduler assigns them with locality, so each
+source is just a DataFrame with the corpus schema ``(filename, text)``.
+
+Scale posture: parquet is the primary substrate (columnar, predicate
+pushdown, column pruning); ``wholetext`` text reads are only for the
+reference-parity document corpus, where one file = one logical document.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the driver's parquet tables from a scale-factor dir."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def docs_from_dir(spark: SparkSession, path: str) -> DataFrame:
+    """One document per file in a directory.
+
+    Reference: the dir branch of ``inputDataProcessing``
+    (Master/Master.py:195-213) stores ``{filename: text}`` chunks.
+    Spark reads each file as a single row (``wholetext``) and tags it
+    with ``input_file_name()``; splitting/scheduling is automatic.
+    """
+    return (
+        spark.read.text(path, wholetext=True)
+        .select(
+            F.input_file_name().alias("filename"),
+            F.col("value").alias("text"),
+        )
+    )
+
+
+def docs_from_file(spark: SparkSession, path: str) -> DataFrame:
+    """A single file as a one-document corpus.
+
+    Reference: the file branch (Master/Master.py:216-238) whitespace-splits
+    into ceil(words/n_mappers) chunks. Spark splits text files by byte
+    ranges at scan time — equivalent for token-level jobs — so no manual
+    chunking is needed; we keep one logical row per file.
+    """
+    return docs_from_dir(spark, path)
+
+
+def docs_from_string(spark: SparkSession, data: str) -> DataFrame:
+    """A literal string as the corpus, filename ``InputString``.
+
+    Reference: the else branch (Master/Master.py:222-224).
+    """
+    return spark.createDataFrame([("InputString", data)], "filename string, text string")
