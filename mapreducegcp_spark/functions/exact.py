@@ -1,0 +1,81 @@
+"""Exact (order-independent, cross-engine-stable) numeric aggregation.
+
+Floating-point SUM/AVG are order-dependent, and Spark's partial
+aggregation visits rows in a different order than any oracle engine —
+so ``sum(double)`` can never be value-hash-compared. The engine's
+convention, validated empirically against DuckDB at sf0.1:
+
+1. Cast raw measure columns to ``DECIMAL(12,2)`` *first*. The driver's
+   measures are clean 2-decimal values, so the double sits within
+   ~1e-11 of the decimal and every engine's double->decimal cast lands
+   on the same number (no boundary cases).
+2. Do arithmetic in the decimal domain. Decimal +,*,- are exact and
+   associative in both Spark and DuckDB (scales add on multiply:
+   (12,2)x(13,2) -> scale 4, x(13,2) -> scale 6; precision stays
+   under 38 so no engine-specific rounding rule ever fires).
+3. Aggregate, then make ONE cast to DOUBLE at the sum's natural scale.
+   With the scaled integer under 2^53 (true through sf0.1 and far
+   beyond), the cast is a single correctly-rounded operation in both
+   engines -> bit-identical doubles.
+
+Never rescale decimals downward (e.g. DECIMAL(38,6) -> (38,2)): Spark
+rounds ties HALF_UP while DuckDB truncates them, so exact .xx50 ties
+diverge.
+
+Associativity also means results are identical across any partitioning:
+local[32] and a 1000-executor cluster hash the same.
+
+Averages: ``CAST(SUM(dec) AS DOUBLE) / COUNT(*)`` — one IEEE division
+of identical operands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC2 = "decimal(12,2)"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dec2(col: Column | str) -> Column:
+    """A clean 2-decimal measure column, lifted into the decimal domain."""
+    return _c(col).cast(DEC2)
+
+
+def dsum(expr: Column | str) -> Column:
+    """Order-independent sum of a decimal-domain expression, as DOUBLE.
+
+    Pass raw column names/Columns for plain measures (lifted via
+    ``dec2``) or an already-decimal arithmetic expression (e.g.
+    ``dec2("l_extendedprice") * (1 - dec2("l_discount"))``).
+    """
+    e = _c(expr)
+    if isinstance(expr, str):
+        e = dec2(e)
+    return F.sum(e).cast("double")
+
+
+def davg(expr: Column | str) -> Column:
+    """Order-independent average: exact decimal sum / count, in double."""
+    e = dec2(expr) if isinstance(expr, str) else _c(expr)
+    return F.sum(e).cast("double") / F.count(F.lit(1))
+
+
+# ------------------------------------------------ DuckDB oracle fragments
+
+def o_dec2(expr: str) -> str:
+    return f"CAST({expr} AS DECIMAL(12,2))"
+
+
+def o_dsum(expr: str) -> str:
+    """Oracle twin of ``dsum``; pass a decimal-domain SQL expression
+    (wrap raw columns with ``o_dec2``)."""
+    return f"CAST(SUM({expr}) AS DOUBLE)"
+
+
+def o_davg(expr: str) -> str:
+    return f"CAST(SUM({expr}) AS DOUBLE) / COUNT(*)"

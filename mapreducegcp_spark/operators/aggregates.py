@@ -1,0 +1,236 @@
+"""Aggregation operators: multi-key aggregates, distinct counts,
+rollup/cube/grouping sets, conditional (pivot-style) aggregation,
+exact variance.
+
+The reference's entire aggregation surface is count-per-key
+(Worker/Worker.py:45-49) and nested group-count (Worker/Worker.py:30-41);
+everything here is north-star breadth (SURVEY.md §2.2) on the TPC-H-ish
+tables.
+
+All double sums go through the decimal domain (functions/exact.py) so results
+are order-independent — identical across any partitioning, which is both
+what makes the DuckDB hash-compare possible and what makes results
+reproducible between local[32] and a 1000-executor cluster.
+
+Scale: every query here is scan -> partial agg -> exchange on the group
+keys -> final agg. Map-side partial aggregation bounds shuffle volume by
+(partitions x groups), not rows; low-cardinality keys like returnflag
+make the exchange a few KB even at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducegcp_spark.functions.exact import davg, dec2, dsum, o_davg, o_dec2, o_dsum
+from mapreducegcp_spark.registry import register
+from mapreducegcp_spark.sources.catalog import load_table
+
+_DISC_PRICE = f"{o_dec2('l_extendedprice')} * (1 - {o_dec2('l_discount')})"
+_CHARGE = _DISC_PRICE + f" * (1 + {o_dec2('l_tax')})"
+
+_PRICING_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {o_dsum(o_dec2('l_quantity'))} AS sum_qty,
+       {o_dsum(o_dec2('l_extendedprice'))} AS sum_base_price,
+       {o_dsum(_DISC_PRICE)} AS sum_disc_price,
+       {o_dsum(_CHARGE)} AS sum_charge,
+       {o_davg(o_dec2('l_quantity'))} AS avg_qty,
+       {o_davg(o_dec2('l_extendedprice'))} AS avg_price,
+       {o_davg(o_dec2('l_discount'))} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_pricing_summary", oracle=_PRICING_ORACLE, tags=("relational",))
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the canonical wide-aggregate scan. One pass,
+    8 aggregates, 4-group output; shuffle is negligible at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    charge = disc_price * (1 + dec2("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_distinct", oracle=_DISTINCT_ORACLE, tags=("relational",))
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates — Spark expands to a two-level
+    aggregate (Expand + partial dedup before the exchange), so distinct
+    shuffle volume is bounded by distinct pairs, not rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@register("agg_approx_distinct", tags=("relational", "rows-only"))
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate. Rows-only check: DuckDB's
+    approx_count_distinct uses a different sketch, so values can't
+    hash-match; the scale story (constant memory per group vs exact
+    distinct's shuffle of every key) is the point of the operator."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")
+    )
+
+
+_ROLLUP_ORACLE = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {o_dsum(o_dec2('l_quantity'))} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_rollup", oracle=_ROLLUP_ORACLE, tags=("relational",))
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag, flag+status, grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+_CUBE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_cube", oracle=_CUBE_ORACLE, tags=("relational",))
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+_GSETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+@register("agg_grouping_sets", oracle=_GSETS_ORACLE, tags=("relational",))
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via SQL (the DataFrame API exposes only
+    rollup/cube; groupingSets arrives via spark.sql)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+_PIVOT_ORACLE = f"""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       {o_dsum(f"CASE WHEN event_type = 'purchase' THEN {o_dec2('value')} ELSE 0 END")} AS purchase_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("agg_pivot_events", oracle=_PIVOT_ORACLE, tags=("relational",))
+def q_agg_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation — wide per-entity feature
+    rows from a tall event log, the standard featurization shape. Done
+    with when()/filter-aggregates (single pass, codegen) rather than
+    .pivot() so the column set is static and plannable."""
+    ev = load_table(spark, sf_dir, "events")
+    is_t = lambda t: (F.col("event_type") == t).cast("long")  # noqa: E731
+    return ev.groupBy("user_id").agg(
+        F.sum(is_t("click")).alias("n_click"),
+        F.sum(is_t("view")).alias("n_view"),
+        F.sum(is_t("purchase")).alias("n_purchase"),
+        dsum(
+            F.when(F.col("event_type") == "purchase", dec2("value")).otherwise(F.lit(0))
+        ).alias("purchase_value"),
+    )
+
+
+_MINMAX_ORACLE = """
+SELECT o_orderstatus,
+       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+       MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("agg_minmax", oracle=_MINMAX_ORACLE, tags=("relational",))
+def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX over doubles and timestamps — exact regardless of order."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n"),
+    )
+
+
+_BAL = o_dec2("c_acctbal")
+_VARIANCE_ORACLE = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       {o_davg(_BAL)} AS mean_bal,
+       ({o_dsum(f"{_BAL} * {_BAL}")}
+        - {o_dsum(_BAL)} * {o_dsum(_BAL)} / COUNT(*))
+       / (COUNT(*) - 1) AS var_bal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("agg_variance", oracle=_VARIANCE_ORACLE, tags=("relational",))
+def q_agg_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance from exact decimal moments (sum, sum-of-squares),
+    finished with a fixed sequence of IEEE double ops — bit-stable where
+    the built-in var_samp (streaming double accumulation) is not."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal = dec2("c_acctbal")
+    s = dsum(bal)
+    s2 = dsum(bal * bal)
+    n = F.count("*")
+    return cust.groupBy("c_mktsegment").agg(
+        n.alias("n"),
+        davg("c_acctbal").alias("mean_bal"),
+        ((s2 - s * s / n) / (n - 1)).alias("var_bal"),
+    )

@@ -1,1 +1,263 @@
-"""Placeholder — populated in a later milestone."""
+"""Relational operators: filter/project, joins of every flavor, set ops,
+top-k — the capability gap SURVEY.md §2.2 identifies (the reference has
+none of these; its only dataflow is map -> shuffle -> reduce,
+Master/Master.py:61-94).
+
+Everything here is declarative DataFrame composition — Catalyst supplies
+predicate pushdown, column pruning, and join planning. Scale notes sit on
+each operator: which side broadcasts, where the shuffle lands, why the
+plan survives a 1000-executor 100 TB run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducegcp_spark.functions.exact import dec2, dsum, o_dec2, o_dsum
+from mapreducegcp_spark.registry import register
+from mapreducegcp_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------- filter/project
+
+_FILTER_ORACLE = """
+SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.08
+  AND l_quantity < 30
+"""
+
+
+@register("filter_project", oracle=_FILTER_ORACLE, tags=("relational",))
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection + projection. At scale this is the pushdown showcase:
+    all three predicates reach the parquet scan (PushedFilters) and
+    ReadSchema carries only the 7 referenced columns of 11."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.02, 0.08)
+        & (F.col("l_quantity") < 30)
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+
+
+# ---------------------------------------------------------------- joins
+
+_REVENUE = f"{o_dec2('l_extendedprice')} * (1 - {o_dec2('l_discount')})"
+
+_NATION_REVENUE_ORACLE = f"""
+SELECT n.n_name AS nation, r.r_name AS region,
+       {o_dsum(_REVENUE)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+"""
+
+
+@register("join_nation_revenue", oracle=_NATION_REVENUE_ORACLE, tags=("relational",))
+def q_join_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-way join, TPC-H Q5 shape. Scale plan: lineitem⋈orders is the
+    one real shuffle (both huge, co-partitioned on orderkey); customer
+    joins on custkey (second shuffle, unavoidable without bucketing);
+    nation (25 rows) and region (5) are explicit broadcasts so the big
+    stream is never repartitioned for them."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            dsum(revenue).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_PRIORITY_ORACLE = f"""
+SELECT o.o_orderpriority AS priority,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders,
+       {o_dsum(_REVENUE)} AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("join_priority_revenue", oracle=_PRIORITY_ORACLE, tags=("relational",))
+def q_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large⋈large shuffle join (orders⋈lineitem on orderkey) + low-
+    cardinality re-aggregation. AQE picks shuffle-hash vs sort-merge at
+    runtime; at 100 TB bucketing both tables on orderkey removes the
+    exchange entirely."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            dsum(revenue).alias("revenue"),
+        )
+    )
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+"""
+
+
+@register("join_semi", oracle=_SEMI_ORACLE, tags=("relational",))
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — EXISTS without duplicating or widening rows.
+    Only the orders key column crosses the shuffle; at scale the filter
+    on the probe side shrinks it before the exchange."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "leftsemi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+"""
+
+
+@register("join_anti", oracle=_ANTI_ORACLE, tags=("relational",))
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — NOT EXISTS (customers with no large order).
+    Same shuffle shape as semi; the probe-side filter shrinks the
+    build input before the exchange."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "leftanti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT b.band, COUNT(*) AS n_parts, MIN(p.p_retailprice) AS min_price,
+       MAX(p.p_retailprice) AS max_price
+FROM part p
+JOIN (VALUES ('budget', 0.0, 930.0), ('mid', 930.0, 970.0),
+             ('premium', 970.0, 100000.0)) AS b(band, lo, hi)
+  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.band
+"""
+
+
+@register("join_range_band", oracle=_RANGE_JOIN_ORACLE, tags=("relational",))
+def q_join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/range) join against a tiny inline dimension.
+    MUST broadcast: a non-equi join with no equi keys would otherwise
+    be BroadcastNestedLoop against a shuffled big side or worse; with
+    the 3-row band table broadcast it is a single scan of part."""
+    part = load_table(spark, sf_dir, "part")
+    bands = F.broadcast(
+        spark.createDataFrame(
+            [("budget", 0.0, 930.0), ("mid", 930.0, 970.0), ("premium", 970.0, 100000.0)],
+            "band string, lo double, hi double",
+        )
+    )
+    return (
+        part.join(
+            bands,
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- set ops
+
+_UNION_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+@register("set_union", oracle=_UNION_ORACLE, tags=("relational",))
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return a.union(b).distinct()
+
+
+_INTERSECT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+@register("set_intersect", oracle=_INTERSECT_ORACLE, tags=("relational",))
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return a.intersect(b)
+
+
+_EXCEPT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+@register("set_except", oracle=_EXCEPT_ORACLE, tags=("relational",))
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return a.exceptAll(b).distinct()
+
+
+# ---------------------------------------------------------------- top-k
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("top_k_orders", oracle=_TOPK_ORACLE, tags=("relational",))
+def q_top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k. Spark plans orderBy+limit as TakeOrderedAndProject:
+    per-partition top-10 then a single-driver merge of k*partitions
+    rows — no global sort, safe at any scale. Tie-break on o_orderkey
+    makes the result set deterministic for the hash compare."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )

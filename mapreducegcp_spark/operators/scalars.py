@@ -1,0 +1,169 @@
+"""Scalar-function coverage: string, date/time, math/conditional,
+array/struct, and JSON extraction.
+
+The reference's entire expression language is a 2-line tokenizer
+(Worker/Worker.py:11-12); this module is the SURVEY.md §2.2 gap filled
+with built-in ``pyspark.sql.functions`` so every expression stays inside
+whole-stage codegen — zero Python in the row path.
+
+Oracle parity notes: only functions with identical cross-engine
+semantics are used (e.g. no round() on binary-tie values, no
+dayofweek whose base differs, no libm-dependent transcendentals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducegcp_spark.registry import register
+from mapreducegcp_spark.sources.catalog import load_table
+
+_STRING_ORACLE = """
+SELECT p_partkey,
+       upper(p_name)                         AS name_upper,
+       length(p_name)                        AS name_len,
+       substr(p_type, 1, 5)                  AS type_prefix,
+       p_brand || '#' || p_type              AS brand_type,
+       replace(p_name, ' ', '_')             AS name_snake,
+       ltrim(rtrim(p_name))                  AS name_trim,
+       CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a,
+       position('e' IN p_name)               AS first_e,
+       reverse(p_name)                       AS name_rev,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+FROM part
+"""
+
+
+@register("scalar_string", oracle=_STRING_ORACLE, tags=("relational",))
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.when(F.col("p_name").like("%a%"), 1).otherwise(0).alias("has_a"),
+        F.instr(F.col("p_name"), "e").alias("first_e"),
+        F.reverse(F.col("p_name")).alias("name_rev"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+_DATE_ORACLE = """
+SELECT o_orderkey,
+       year(o_orderdate)                        AS order_year,
+       month(o_orderdate)                       AS order_month,
+       day(o_orderdate)                         AS order_day,
+       quarter(o_orderdate)                     AS order_quarter,
+       date_trunc('month', o_orderdate)         AS month_start,
+       datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+       o_orderdate + INTERVAL 30 DAY            AS due_date
+FROM orders
+"""
+
+
+@register("scalar_datetime", oracle=_DATE_ORACLE, tags=("relational",))
+def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).cast("bigint").alias("days_since_epoch_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+    )
+
+
+_MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05)                       AS disc_dev,
+       CAST(floor(l_extendedprice) AS BIGINT)       AS price_floor,
+       CAST(ceil(l_quantity) AS BIGINT)             AS qty_ceil,
+       greatest(l_quantity, 25.0)                   AS qty_at_least,
+       least(l_tax, 0.04)                           AS tax_capped,
+       l_partkey % 10                               AS part_bucket,
+       CAST(sign(l_discount - 0.05) AS DOUBLE)      AS disc_sign,
+       CASE WHEN l_quantity < 10 THEN 'low'
+            WHEN l_quantity < 40 THEN 'mid'
+            ELSE 'high' END                         AS qty_band
+FROM lineitem
+"""
+
+
+@register("scalar_math", oracle=_MATH_ORACLE, tags=("relational",))
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_at_least"),
+        F.least(F.col("l_tax"), F.lit(0.04)).alias("tax_capped"),
+        (F.col("l_partkey") % 10).alias("part_bucket"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 40, "mid")
+        .otherwise("high")
+        .alias("qty_band"),
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+       event_type
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+"""
+
+
+@register("scalar_json", oracle=_JSON_ORACLE, tags=("relational",))
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + predicate on the extracted value —
+    semi-structured props on the event stream (events.props is a JSON
+    string column)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select("event_id", k.alias("prop_k"), "event_type").filter(
+        k > 50
+    )
+
+
+# Arrays: only order-stable scalars derived from arrays are exposed to
+# the hash compare (split order is deterministic in both engines; being
+# conservative about cross-engine array normalization anyway).
+_ARRAY_SAFE_ORACLE = """
+SELECT doc_id,
+       len(string_split(text, ' '))                       AS n_ws_tokens,
+       len(list_distinct(string_split(text, ' ')))        AS n_distinct_tokens,
+       list_contains(string_split(text, ' '), 'spark')    AS mentions_spark,
+       string_split(text, ' ')[1]                         AS first_token
+FROM documents
+"""
+
+
+@register("scalar_array", oracle=_ARRAY_SAFE_ORACLE, tags=("relational",))
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over a split column: size, distinct-size,
+    membership, element access — all codegen'd, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.array_contains(toks, "spark").alias("mentions_spark"),
+        F.element_at(toks, 1).alias("first_token"),
+    )

@@ -26,6 +26,9 @@ _OPERATOR_MODULES = [
     "mapreducegcp_spark.operators.wordcount",
     "mapreducegcp_spark.operators.inverted_index",
     "mapreducegcp_spark.operators.relational",
+    "mapreducegcp_spark.operators.aggregates",
+    "mapreducegcp_spark.operators.windows",
+    "mapreducegcp_spark.operators.scalars",
     "mapreducegcp_spark.operators.dedup",
     "mapreducegcp_spark.operators.similarity",
     "mapreducegcp_spark.operators.textstats",

@@ -34,10 +34,24 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one of the driver's parquet tables from a scale-factor dir."""
+    """Load one of the driver's parquet tables from a scale-factor dir.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright; it is read as a raw long (legacy
+    ``nanosAsLong``) and truncated to microseconds with integer
+    arithmetic — the same truncation DuckDB applies, so timestamps stay
+    oracle-comparable.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer div (not double /): a double round-trip can round a
+        # ...999 nanos tail up and disagree with true floor division.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def docs_from_dir(spark: SparkSession, path: str) -> DataFrame:

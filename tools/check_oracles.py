@@ -115,8 +115,10 @@ def main() -> int:
         elif len(srows) != len(drows):
             print(f"FAIL {name}: rowcount spark={len(srows)} duckdb={len(drows)}")
             ok = False
-        elif srows != drows:
-            diffs = [(a, b) for a, b in zip(srows, drows) if a != b]
+        elif list(map(repr, srows)) != list(map(repr, drows)):
+            # repr-compare: type-strict (int64 52561 != float64 52561.0),
+            # matching the worst-case strictness of the driver's value-hash
+            diffs = [(a, b) for a, b in zip(srows, drows) if repr(a) != repr(b)]
             print(f"FAIL {name}: {len(diffs)} differing rows; first: {diffs[0]}")
             ok = False
         if ok:
