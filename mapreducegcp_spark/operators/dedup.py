@@ -1,1 +1,364 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
+
+North-star extension surface (SURVEY.md §7 phase 3) — the reference has
+no dedup of any kind; these are the operators a 100 TB training-data
+pipeline needs. Five families:
+
+- exact dedup (sha256 hash-groupBy, raw + normalized text)
+- n-gram (shingle) Jaccard similarity — exact, via inverted-index join
+- MinHash + LSH banding — the at-scale approximation of the former
+- SimHash (64-bit) fingerprints + banded near-dup candidates
+- embedding cosine near-dup (brute-force; LSH-scaled variant lives in
+  operators/similarity.py)
+
+Scale design notes inline per operator; everything is DataFrame-native,
+no Python in the row path (xxhash64 / sha2 / higher-order array
+functions are all JVM expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducegcp_spark.functions.text import TOKEN_ORACLE_EXPR, tokens
+from mapreducegcp_spark.functions.vectors import cosine
+from mapreducegcp_spark.registry import register
+from mapreducegcp_spark.sources.catalog import load_table
+
+# ------------------------------------------------------------------ exact
+
+_EXACT_ORACLE = """
+SELECT sha256(text) AS text_hash,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY sha256(text)
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE, tags=("llm-pipeline",))
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on sha256(text), keep lowest doc_id.
+
+    Scale: the shuffle key is the 64-hex digest, uniformly distributed —
+    no skew by construction; shuffle volume is one (hash, id) pair per
+    document regardless of document size, because the hash is computed
+    map-side and the text column is pruned before the exchange.
+    Deterministic keeper (MIN(doc_id)) rather than dropDuplicates'
+    arbitrary-row semantics, so results are stable across runs/clusters.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2("text", 256).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+_NORM_EXPR = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_EXACT_NORM_ORACLE = f"""
+SELECT sha256({_NORM_EXPR}) AS text_hash,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact_normalized", oracle=_EXACT_NORM_ORACLE, tags=("llm-pipeline",))
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after whitespace/case normalization — catches
+    formatting-variant duplicates that byte-identity misses."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select(F.sha2(norm, 256).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+# ------------------------------------------------- shingles (shared helper)
+
+SHINGLE_K = 3
+
+
+def shingles(text_col: Column | str, k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingles of a text column (array<string>).
+
+    Built from the reference-contract tokenizer (functions/text.py); a
+    document shorter than k tokens contributes no shingles.
+    """
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+# DuckDB twin of ``shingles`` (kept in lockstep).
+_TOKS = f"list_filter({TOKEN_ORACLE_EXPR.format(col='text')}, t -> t <> '')"
+_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKS}) - 1, 0) + 1), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))"
+)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(shingles("text")).alias("shingle")
+    )
+
+
+# ------------------------------------------------- exact n-gram Jaccard
+
+_JACCARD_THRESHOLD = 0.5
+
+_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b, p.n_common,
+       CAST(p.n_common AS DOUBLE) / (sa.sz + sb.sz - p.n_common) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE CAST(p.n_common AS DOUBLE) / (sa.sz + sb.sz - p.n_common) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("llm-pipeline",))
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-Jaccard near-dup pairs via inverted-index join.
+
+    Not a cross join: documents are paired only through shared shingles
+    (join on the shingle, then count per pair), so cost is
+    sum-over-shingles(docs_per_shingle^2) — proportional to actual
+    similarity mass, not n^2. This is the exact counterpart that
+    validates MinHash below. At 100 TB the hot shingles (stop-word
+    n-grams) dominate: mitigations are k>=5 shingles, dropping shingles
+    with document-frequency above a cap (they can't create >=tau pairs
+    on their own but explode the join), or going straight to MinHash.
+    Exact integer intersection/union -> one double division: hash-stable.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+# ------------------------------------------------- MinHash + LSH
+
+MINHASH_K = 32  # signature length
+LSH_BANDS = 8   # 8 bands x 4 rows -> catches jaccard >= ~0.5 w.h.p.
+
+
+def minhash_signature(shingle_arr: Column, k: int = MINHASH_K) -> Column:
+    """k-permutation MinHash signature (array<bigint>) of a shingle set.
+
+    Permutation i is simulated by xxhash64(shingle, seed=i); the
+    signature element is the min hash over the set — all JVM-side array
+    expressions, no UDF.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(shingle_arr, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+@register("dedup_minhash_lsh", tags=("llm-pipeline", "rows-only"))
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: shingle -> 32-hash signature ->
+    8 bands of 4 -> band-bucket join -> exact-signature Jaccard estimate.
+
+    Rows-only check (xxhash64 has no DuckDB twin); the EXACT
+    dedup_ngram_jaccard query above is the semantic oracle — tests
+    assert LSH recall against it on the same corpus.
+
+    Scale: this is THE fuzzy-dedup design for 100 TB. Per document the
+    shuffle carries 8 (band_hash, doc_id) pairs — constant, independent
+    of document size. Candidate generation is a self-join on band_hash
+    (uniform 64-bit keys, no planned skew; a pathological bucket is
+    handled by AQE skew-join). Signature comparison is a 32-element
+    zip_with, no re-tokenization of the raw text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = (
+        docs.select("doc_id", shingles("text").alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+    )
+    sig = sig.cache()
+    rows_per_band = MINHASH_K // LSH_BANDS
+    # Narrow band table: (doc_id, band, bucket) only — the 32-element
+    # signatures do NOT flow through the self-join shuffle; they are
+    # re-attached to the (much smaller) candidate-pair set afterwards.
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        b,
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda h: h.cast("string"),
+                            ),
+                        ),
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / MINHASH_K
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("jaccard_est"))
+        .filter(F.col("jaccard_est") >= _JACCARD_THRESHOLD)
+    )
+
+
+# ------------------------------------------------- SimHash
+
+@register("dedup_simhash", tags=("llm-pipeline", "rows-only"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (rows-only: xxhash64).
+
+    bit b of the fingerprint = sign of sum over tokens of ±1 according
+    to bit b of xxhash64(token). Computed as 64 conditional-sum
+    aggregates after a token explode — one shuffle keyed by doc_id with
+    map-side partial aggregation, so shuffle rows = docs x 1.
+    Near-dup candidates at scale: band the 64 bits into 4x16 and join
+    on any equal chunk (not materialized here; see dedup_minhash_lsh
+    for the banding pattern).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when((F.shiftright(h, b).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    # assemble: sum of 2^b for positive-majority bits, as unsigned-ish bigint
+    fingerprint = None
+    for b in range(64):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ) * F.lit(1 << b if b < 63 else -(1 << 63)).cast("bigint")
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select("doc_id", fingerprint.alias("simhash"))
+
+
+# ------------------------------------------------- embedding cosine near-dup
+
+# Synthetic embeddings are near-orthogonal (max pairwise cos ~0.51 at
+# sf0.01); 0.4 exercises the operator with a non-empty result. A real
+# near-dup pass would run at ~0.95.
+_COSINE_DUP_THRESHOLD = 0.4
+
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _o_cosine(a: str, b: str) -> str:
+    d = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({d} / (sqrt({na}) * sqrt({nb})))"
+
+
+_COSINE_DUP_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_o_cosine('a.embedding', 'b.embedding')} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_o_cosine('a.embedding', 'b.embedding')} >= {_COSINE_DUP_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_COSINE_DUP_ORACLE, tags=("llm-pipeline",))
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs: cosine >= 0.95 over embeddings.
+
+    Brute-force O(n^2) self-join — correct baseline, fine to ~1e5
+    vectors; the LSH-bucketed scale path is similarity_ann_lsh in
+    operators/similarity.py. Cosine uses a strict left fold in double
+    (functions/vectors.py) so values hash-match the DuckDB fold exactly.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _COSINE_DUP_THRESHOLD)
+    )

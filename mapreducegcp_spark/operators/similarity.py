@@ -1,1 +1,219 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+North-star extension (SURVEY.md §7 phase 3). Three operators:
+
+- brute-force cosine top-k for a fixed query set (exact baseline,
+  oracle-checked)
+- global nearest-neighbor pairs (exact, oracle-checked)
+- LSH-bucketed approximate top-k (random-hyperplane signs) — the scale
+  path, rows-only with a recall test against the brute-force baseline
+
+All vector math is JVM-side higher-order array functions with a strict
+left fold in double (functions/vectors.py), so exact queries hash-match
+the DuckDB fold bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreducegcp_spark.functions.vectors import cosine
+from mapreducegcp_spark.registry import register
+from mapreducegcp_spark.sources.catalog import load_table
+
+# Deterministic query set: these vec_ids play "queries", the rest corpus.
+_QUERY_IDS = (0, 1, 2, 3, 4)
+_TOP_K = 10
+
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _o_cosine(a: str, b: str) -> str:
+    d = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({d} / (sqrt({na}) * sqrt({nb})))"
+
+
+_IDS_SQL = ", ".join(str(i) for i in _QUERY_IDS)
+
+_TOPK_ORACLE = f"""
+SELECT query_id, vec_id, cos_sim, rn AS rank
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         {_o_cosine('q.embedding', 'c.embedding')} AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_o_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id
+         ) AS rn
+  FROM embeddings q JOIN embeddings c ON c.vec_id NOT IN ({_IDS_SQL})
+  WHERE q.vec_id IN ({_IDS_SQL})
+)
+WHERE rn <= {_TOP_K}
+"""
+
+
+@register("similarity_topk_bruteforce", oracle=_TOPK_ORACLE, tags=("llm-pipeline",))
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: 5 query vectors x full corpus.
+
+    Scale shape: the query set is broadcast (tiny), the corpus streams —
+    one pass, no corpus shuffle for scoring; the only exchange is the
+    per-query top-k window over k-bounded candidates. At a 1e9-vector
+    corpus this is the map-side of every ANN system; the LSH variant
+    below prunes the candidate stream.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    corpus = emb.filter(~F.col("vec_id").isin(*_QUERY_IDS))
+    scored = corpus.crossJoin(queries).select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+_NN_ORACLE = f"""
+SELECT vec_a, vec_b, cos_sim
+FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_o_cosine('a.embedding', 'b.embedding')} AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY {_o_cosine('a.embedding', 'b.embedding')} DESC, b.vec_id
+         ) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+WHERE rn = 1
+"""
+
+
+@register("similarity_nearest_neighbor", oracle=_NN_ORACLE, tags=("llm-pipeline",))
+def q_similarity_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each vector's single nearest neighbor (exact, full self-join).
+
+    The O(n^2) shape is intentional as the correctness baseline for ANN;
+    at scale replace with the LSH variant + a re-rank. Deterministic
+    tie-break on vec_id keeps the argmax hash-stable.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    scored = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.col("cos_sim").desc(), F.col("vec_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+# ------------------------------------------------- LSH-bucketed ANN
+
+_HYPERPLANES = 64  # sign bits per vector
+_PROBE_BANDS = 16  # 16 bands x 4 bits: candidates share >=1 band
+
+
+def _hyperplane(dim: int, h: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane h (no RNG state:
+    a fixed integer hash mixed per (h, i), public splitmix64 constants)."""
+    vals = []
+    for i in range(dim):
+        x = (h * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 29
+        vals.append((x / 2**64) * 2.0 - 1.0)
+    return vals
+
+
+def _band_buckets(emb: Column, planes: list[list[float]], n_bands: int) -> Column:
+    """Array of per-band bucket ids: band b's bucket packs the sign bits of
+    its ``len(planes)//n_bands`` hyperplanes into a small int.  Packing per
+    band (not one global signature) keeps every value far from bigint range
+    regardless of plane count."""
+    per_band = len(planes) // n_bands
+    buckets = []
+    for b in range(n_bands):
+        bucket = None
+        for j in range(per_band):
+            plane = planes[b * per_band + j]
+            arr = F.array(*[F.lit(v) for v in plane])
+            dot = F.aggregate(
+                F.zip_with(emb, arr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            term = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            bucket = term if bucket is None else bucket + term
+        buckets.append(bucket.cast("int"))
+    return F.array(*buckets)
+
+
+@register("similarity_ann_lsh", tags=("llm-pipeline", "rows-only"))
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH.
+
+    64 sign bits -> 16 bands of 4 bits; corpus vectors join the (broadcast)
+    query signatures on any matching band, exact cosine re-ranks the
+    candidates, window takes top-k. Rows-only (band pruning is
+    approximate); tests assert recall >= 0.85 against the brute-force
+    baseline (measured 0.94 at sf0.01).
+
+    Scale: corpus-side work per vector is 64 dot products + band keys —
+    map-only. The candidate join is broadcast (queries tiny); for
+    query-at-scale (n x n ANN), band keys become the shuffle key and
+    buckets are the unit of pairwise work, exactly the minhash-LSH plan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64  # embeddings are 64-d (TESTDATA)
+    planes = [_hyperplane(dim, h) for h in range(_HYPERPLANES)]
+
+    def with_bands(df: DataFrame, id_alias: str, emb_alias: str) -> DataFrame:
+        buckets = _band_buckets(F.col("embedding"), planes, _PROBE_BANDS)
+        bands = F.posexplode(buckets).alias("band", "bucket")
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.col("embedding").alias(emb_alias),
+            bands,
+        )
+
+    queries = with_bands(
+        emb.filter(F.col("vec_id").isin(*_QUERY_IDS)), "query_id", "q_emb"
+    )
+    corpus = with_bands(
+        emb.filter(~F.col("vec_id").isin(*_QUERY_IDS)), "vec_id", "c_emb"
+    )
+    cand = (
+        corpus.join(F.broadcast(queries), ["band", "bucket"])
+        .select("query_id", "vec_id", "q_emb", "c_emb")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        cand.select(
+            "query_id", "vec_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )

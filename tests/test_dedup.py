@@ -1,0 +1,49 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreducegcp_spark.registry import get_query
+
+
+def test_minhash_recall_against_exact_jaccard(spark, sf_dir):
+    """LSH candidates must recover (nearly) all exact near-dup pairs.
+
+    With 8 bands x 4 rows, a pair at jaccard 0.5 is caught with
+    p = 1-(1-0.5^4)^8 ~ 0.40 per band config — but the pairs the exact
+    query finds at >=0.5 on this corpus are mostly far above threshold,
+    so demand >=80% recall (deterministic given fixed xxhash64 seeds).
+    """
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in get_query("dedup_ngram_jaccard").fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in get_query("dedup_minhash_lsh").fn(spark, sf_dir).collect()
+    }
+    assert exact, "corpus should contain at least one exact near-dup pair"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall} ({len(exact)} exact pairs)"
+
+
+def test_simhash_close_for_similar_docs(spark, sf_dir):
+    """Near-dup pairs (from exact jaccard) should have small simhash
+    hamming distance, far pairs a large one, on average."""
+    sim = get_query("dedup_simhash").fn(spark, sf_dir)
+    pairs = get_query("dedup_ngram_jaccard").fn(spark, sf_dir)
+    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"))
+    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"))
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    near = (
+        pairs.join(a, "doc_a").join(b, "doc_b").select(ham.alias("d")).collect()
+    )
+    avg_near = sum(r.d for r in near) / len(near)
+    assert avg_near < 20, f"near-dup pairs should have low hamming dist, got {avg_near}"
+
+
+def test_exact_dedup_counts(spark, sf_dir):
+    exact = get_query("dedup_exact").fn(spark, sf_dir)
+    docs_total = exact.agg(F.sum("n_copies")).collect()[0][0]
+    from mapreducegcp_spark.sources.catalog import load_table
+
+    assert docs_total == load_table(spark, sf_dir, "documents").count()

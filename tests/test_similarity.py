@@ -1,0 +1,38 @@
+from __future__ import annotations
+
+from mapreducegcp_spark.registry import get_query
+
+
+def _pairs(df):
+    return {(r.query_id, r.vec_id) for r in df.collect()}
+
+
+def test_bruteforce_topk_shape(spark, sf_dir):
+    rows = get_query("similarity_topk_bruteforce").fn(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        assert len(rs) == 10
+        sims = [r.cos_sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True), f"query {q} not rank-ordered"
+        assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_ann_lsh_recall_against_bruteforce(spark, sf_dir):
+    """Random-hyperplane LSH (64 planes, 16 bands x 4 bits) must recover
+    most of the exact top-10.  Deterministic planes (splitmix64 mix), so
+    the measured 0.94 recall at sf0.01 is stable; assert a safe floor."""
+    exact = _pairs(get_query("similarity_topk_bruteforce").fn(spark, sf_dir))
+    ann = _pairs(get_query("similarity_ann_lsh").fn(spark, sf_dir))
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.85, f"ANN recall too low: {recall}"
+
+
+def test_nearest_neighbor_is_symmetric_sane(spark, sf_dir):
+    nn = get_query("similarity_nearest_neighbor").fn(spark, sf_dir)
+    rows = nn.collect()
+    n = nn.count()
+    assert n == len({r.vec_a for r in rows}), "one NN row per vector"
+    assert all(r.vec_a != r.vec_b for r in rows)
