@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness — wall-clock per headline query at one scale factor.
+
+Runs a curated subset of the registry (one representative per operator
+family) against ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query executes end-to-end through the ``noop`` sink so the full
+physical plan runs (scan -> shuffle -> agg) without driver-side collect
+overhead distorting the numbers. A warmup query amortizes JVM/codegen
+startup out of the per-query timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from mapreducegcp_spark.registry import all_queries
+from mapreducegcp_spark.session import get_spark, sf_dir_from_env
+
+# One representative per operator family (SURVEY.md §2 / §7 phases).
+HEADLINE = [
+    "wordcount",            # reference parity: scan->explode->agg
+    "inverted_index",       # reference parity: (word, doc) matrix
+    "agg_pricing_summary",  # TPC-H Q1-style wide aggregation
+    "join_nation_revenue",  # multi-way broadcast + shuffle join
+    "window_topn_per_customer",  # window rank + filter
+    "top_k_orders",         # global top-k
+    "dedup_exact",          # hash-based exact dedup
+    "dedup_minhash_lsh",    # MinHash+LSH near-dup self-join
+    "similarity_topk_bruteforce",  # cosine top-k over embeddings
+    "text_quality_scores",  # text-analysis pipeline pass
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = sf_dir_from_env()
+    spark = get_spark("mapreducegcp-bench")
+    catalog = all_queries()
+
+    # Warmup: run the cheapest query once to pay JVM + codegen startup.
+    catalog["wordcount"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        rq = catalog.get(name)
+        if rq is None:
+            continue
+        t0 = time.perf_counter()
+        rq.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,258 @@
-"""Placeholder — populated in a later milestone."""
+"""Text analysis — language-ID, quality scoring, token counting,
+document fingerprinting.
+
+The reference's only text capability is the two-line tokenizer
+(Worker/Worker.py:11-12,21-22); everything here is north-star extension
+(SURVEY.md §7 Phase 3): the per-document statistics a training-data
+pipeline computes before filtering/dedup at 100 TB.
+
+Scale posture: every query is a single scan -> per-row scalar
+expressions (whole-stage codegen, no Python) with at most one narrow
+aggregation. No shuffles except the corpus-level n-gram rollup, which
+does map-side partial aggregation. Per-row work is O(len(text)) —
+embarrassingly parallel, no skew risk (documents are row-split evenly
+by the FileScan).
+
+Oracle parity notes: every float is produced by one left-to-right IEEE
+double expression evaluated identically by Spark and DuckDB; hashes use
+md5 (identical hex output in both engines); DuckDB ``regexp_replace``
+needs the explicit ``'g'`` flag to match Spark's replace-all default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducegcp_spark.functions.text import TOKEN_ORACLE_EXPR, tokens
+from mapreducegcp_spark.registry import register
+from mapreducegcp_spark.sources.catalog import load_table
+
+# Stopword profiles for the language-ID heuristic (classic stopword-hit
+# scoring; ASCII-only so the reference tokenizer contract applies).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"),
+    "es": ("el", "los", "las", "y", "una", "es", "en", "por", "que", "como"),
+    "fr": ("le", "les", "des", "et", "une", "est", "dans", "pour", "qui", "sur"),
+}
+
+# Deterministic argmax priority (ties resolve to the earlier language).
+_LANG_ORDER = ("en", "de", "es", "fr")
+
+# Tokens as a DuckDB list with empties removed (TOKEN_ORACLE_EXPR keeps
+# the empty strings the regex split produces; queries here need clean
+# lists, not exploded rows).
+_TOKS_SQL = (
+    f"list_filter({TOKEN_ORACLE_EXPR.format(col='text')}, x -> x <> '')"
+)
+
+
+def _hits(toks: Column, profile: tuple[str, ...]) -> Column:
+    """Occurrences of profile words in the token stream (duplicates count)."""
+    prof = F.array(*[F.lit(w) for w in profile])
+    return F.size(F.filter(toks, lambda t: F.array_contains(prof, t)))
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         {', '.join(
+             f"len(list_filter(toks, x -> list_contains("
+             f"[{', '.join(repr(w) for w in LANG_PROFILES[lg])}], x))) AS s_{lg}"
+             for lg in _LANG_ORDER)}
+  FROM t
+)
+SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+       CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+            WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM s
+""",
+    tags=("text-analysis",),
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language-ID: score each doc against per-language
+    stopword sets, predict the argmax (deterministic tie-break by
+    profile order). One scan, zero shuffles, all codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokens("text").alias("toks"))
+    for lg in _LANG_ORDER:
+        t = t.withColumn(f"s_{lg}", _hits(F.col("toks"), LANG_PROFILES[lg]))
+    pred = (
+        F.when(F.col("s_en") >= F.greatest("s_de", "s_es", "s_fr"), "en")
+        .when(F.col("s_de") >= F.greatest("s_es", "s_fr"), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    return t.select("doc_id", "lang", "s_en", "s_de", "s_es", "s_fr", pred.alias("pred_lang"))
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+""",
+    tags=("text-analysis",),
+)
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    pre-tokenization (letter runs | digit runs | single punctuation) —
+    the cheap proxy pipelines use to budget LLM token costs."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    bpe = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+# English stopword set for the quality ratio (reuses the lang-ID profile).
+_QUALITY_STOPS = LANG_PROFILES["en"]
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars, {_TOKS_SQL} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS tok_chars,
+         CAST(len(list_filter(toks, x -> list_contains(
+             [{', '.join(repr(w) for w in _QUALITY_STOPS)}], x))) AS DOUBLE) AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_tokens, n_distinct,
+       tok_chars / n_tokens AS avg_token_len,
+       stop_hits / n_tokens AS stopword_ratio,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+       least(n_tokens / 64.0, 1.0) * 0.5
+         + least(stop_hits / n_tokens / 0.4, 1.0) * 0.25
+         + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.25 AS quality_score
+FROM m
+WHERE n_tokens > 0
+""",
+    tags=("text-analysis",),
+)
+def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality scoring: length saturation, stopword
+    density, lexical diversity — the filter-stage features of C4-style
+    corpus cleaning, as pure column arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.length("text").alias("n_chars"), tokens("text").alias("toks"))
+    prof = F.array(*[F.lit(w) for w in _QUALITY_STOPS])
+    m = t.select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.aggregate("toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        .cast("double")
+        .alias("tok_chars"),
+        F.size(F.filter("toks", lambda t_: F.array_contains(prof, t_)))
+        .cast("double")
+        .alias("stop_hits"),
+    )
+    n_tok = F.col("n_tokens")
+    return m.where(n_tok > 0).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (F.col("tok_chars") / n_tok).alias("avg_token_len"),
+        (F.col("stop_hits") / n_tok).alias("stopword_ratio"),
+        (F.col("n_distinct").cast("double") / n_tok).alias("distinct_ratio"),
+        (
+            F.least(n_tok / 64.0, F.lit(1.0)) * 0.5
+            + F.least(F.col("stop_hits") / n_tok / 0.4, F.lit(1.0)) * 0.25
+            + (F.col("n_distinct").cast("double") / n_tok) * 0.25
+        ).alias("quality_score"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       md5(array_to_string(toks, ' ')) AS exact_fp,
+       CASE WHEN len(toks) < 5 THEN md5(array_to_string(toks, ' '))
+            ELSE list_min(list_transform(
+                   generate_series(1, len(toks) - 4),
+                   i -> md5(array_to_string(toks[i:i+4], ' '))))
+       END AS winnow_fp
+FROM t
+""",
+    tags=("text-analysis",),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the normalized token stream
+    (exact-dup key) plus a winnowing-style rolling fingerprint — the
+    minimum hash over all 5-token shingles — robust to small edits.
+    One scan, no shuffle; the fingerprint column is what downstream
+    dedup joins on."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("toks"))
+    toks = F.col("toks")
+    joined = F.array_join(toks, " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 4),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, 5), " ")),
+    )
+    winnow = F.when(F.size(toks) < 5, F.md5(joined)).otherwise(F.array_min(shingles))
+    return t.select(
+        "doc_id",
+        F.md5(joined).alias("exact_fp"),
+        winnow.alias("winnow_fp"),
+    )
+
+
+@register(
+    "text_bigram_topk",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+b AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT bigram, count(*) AS cnt
+FROM b
+GROUP BY bigram
+ORDER BY cnt DESC, bigram ASC
+LIMIT 50
+""",
+    tags=("text-analysis",),
+)
+def q_text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics: top-50 token bigrams. The explode
+    fans out O(tokens) rows but the groupBy does map-side partial
+    aggregation, so shuffle volume is O(distinct bigrams) — the same
+    property that makes wordcount scale (operators/wordcount.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(tokens("text").alias("toks")).where(F.size("toks") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)),
+    )
+    return (
+        t.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(50)
+    )
