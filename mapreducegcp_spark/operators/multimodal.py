@@ -1,1 +1,211 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal columns — binary payloads with typed metadata.
+
+North-star extension (SURVEY.md §7 Phase 3): a 100 TB training-data
+pipeline carries images/audio/video as opaque ``binary`` columns next
+to a typed metadata struct, and runs decode / feature-extract /
+frame-sample as Arrow-batched Python over ``mapInPandas``. The
+reference has no binary support at all (its KV store caps values at
+250 chars of JSON — KeyValueStore/KeyValueStore.py:25-26).
+
+The container has no image/audio codecs, so the *real* decoder is a
+clearly-marked stub (``decode_media`` raises NotImplementedError) and
+the registered queries use deterministic byte arithmetic instead —
+which keeps every piece of Spark-side plumbing (binary schema, struct
+metadata, Arrow batch shapes, mapInPandas signature, frame slicing)
+real and oracle-checkable. The testdata has no binary column either,
+so payloads are derived deterministically as ``encode(text, 'UTF-8')``
+— ASCII corpus, so DuckDB can reproduce every byte from the string.
+
+Scale posture: payload bytes never leave the executor except through
+aggregated features; mapInPandas streams Arrow batches (no
+collect, no driver transit); all non-Python queries are single-scan
+codegen. Binary columns make parquet row groups large — a real
+deployment sets spark.sql.files.maxPartitionBytes low enough that one
+task's batch of payloads fits executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducegcp_spark.registry import register
+from mapreducegcp_spark.sources.catalog import load_table
+
+FORMATS = ("png", "jpeg", "wav")
+
+FRAME_BYTES = 16  # frame-sample granularity
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def decode_media(payload: bytes, fmt: str):
+    """Decode a binary payload into pixels/samples.
+
+    Real codecs (PIL / soundfile / ffmpeg) are not available in this
+    environment; a deployment wires them in here. The Spark-side
+    contract — bytes in, ndarray out, called from Arrow batches — is
+    what the rest of the module exercises.
+    """
+    raise NotImplementedError(
+        f"no codec for {fmt!r} in this environment; install PIL/soundfile and "
+        "replace this stub"
+    )
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary column + typed metadata struct.
+
+    The struct mirrors what an image/audio ingest writes: format tag,
+    nominal dimensions, payload size. Format and dims derive from
+    doc_id so they are deterministic and oracle-reproducible.
+    """
+    fmt = F.element_at(F.array(*[F.lit(f) for f in FORMATS]), (F.col("doc_id") % 3 + 1).cast("int"))
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            fmt.alias("fmt"),
+            (F.col("doc_id") % 64 + 16).cast("int").alias("width"),
+            (F.col("doc_id") % 48 + 12).cast("int").alias("height"),
+            F.octet_length("text").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "multimodal_metadata_stats",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         ['png', 'jpeg', 'wav'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+         CAST(doc_id % 64 + 16 AS INT) AS width,
+         CAST(doc_id % 48 + 12 AS INT) AS height,
+         strlen(text) AS n_bytes
+  FROM documents
+)
+SELECT fmt, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       min(width) AS min_w, max(width) AS max_w,
+       min(height) AS min_h, max(height) AS max_h
+FROM m
+GROUP BY fmt
+""",
+    tags=("multimodal",),
+)
+def q_multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-style rollup over the metadata struct — the query a
+    pipeline runs to size a decode stage before launching it. Struct
+    field access prunes to metadata only; payload bytes are never
+    touched (column pruning keeps them out of the scan)."""
+    m = with_payload(load_table(spark, sf_dir, "documents"))
+    return (
+        m.groupBy(F.col("meta.fmt").alias("fmt"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("meta.n_bytes").alias("total_bytes"),
+            F.min("meta.width").alias("min_w"),
+            F.max("meta.width").alias("max_w"),
+            F.min("meta.height").alias("min_h"),
+            F.max("meta.height").alias("max_h"),
+        )
+    )
+
+
+_FEATURE_SCHEMA = "doc_id long, fmt string, n_bytes long, byte_sum long, first_byte int"
+
+
+def make_feature_extractor():
+    """Arrow-batched feature extraction — the stand-in for a decode +
+    embed stage. Deterministic byte arithmetic keeps it oracle-checkable;
+    a real pipeline calls decode_media here and emits model features.
+
+    Returned as a closure (not a module-level function) so cloudpickle
+    ships it by value: executor Python workers don't need this package
+    on their import path.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": pdf["fmt"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "byte_sum": payloads.map(lambda b: sum(b)).astype("int64"),
+                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                }
+            )
+
+    return extract
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+SELECT doc_id,
+       ['png', 'jpeg', 'wav'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+       strlen(text) AS n_bytes,
+       CAST(list_sum(list_transform(generate_series(1, length(text)),
+                                    i -> unicode(text[i]))) AS BIGINT) AS byte_sum,
+       CAST(unicode(text[1]) AS INT) AS first_byte
+FROM documents
+""",
+    tags=("multimodal",),
+)
+def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload feature extraction through mapInPandas: binary
+    column in, typed feature row out, one Arrow batch at a time. This
+    is the exact plumbing a decode/embed stage uses — swap the byte
+    arithmetic for decode_media + a model and the plan is unchanged."""
+    m = with_payload(load_table(spark, sf_dir, "documents"))
+    flat = m.select("doc_id", F.col("meta.fmt").alias("fmt"), "payload")
+    return flat.mapInPandas(make_feature_extractor(), schema=_FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, strlen(text) AS n_bytes,
+         (strlen(text) + {FRAME_BYTES - 1}) // {FRAME_BYTES} AS n_frames,
+         list_transform(
+           list_filter(generate_series(0, (strlen(text) + {FRAME_BYTES - 1}) // {FRAME_BYTES} - 1),
+                       i -> i % {FRAME_STRIDE} = 0),
+           i -> md5(substr(text, CAST(i * {FRAME_BYTES} + 1 AS BIGINT), {FRAME_BYTES}))) AS frame_md5s
+  FROM documents
+)
+SELECT doc_id, n_bytes, n_frames,
+       len(frame_md5s) AS n_sampled,
+       md5(array_to_string(frame_md5s, '')) AS sample_md5
+FROM f
+""",
+    tags=("multimodal",),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the binary payload: split into fixed-size
+    frames, keep every FRAME_STRIDE-th, fingerprint the sample — the
+    video-keyframe / audio-chunk pattern. Pure binary substring +
+    array ops, no Python; payloads stay inside the executor."""
+    m = with_payload(load_table(spark, sf_dir, "documents"))
+    n_bytes = F.col("meta.n_bytes")
+    # integer div (not /): Spark's / on longs yields double
+    n_frames = F.expr(f"(meta.n_bytes + {FRAME_BYTES - 1}) div {FRAME_BYTES}")
+    kept = F.filter(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: i % FRAME_STRIDE == 0,
+    )
+    frame_md5s = F.transform(
+        kept,
+        lambda i: F.md5(F.col("payload").substr((i * FRAME_BYTES + 1).cast("int"), F.lit(FRAME_BYTES))),
+    )
+    return m.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        n_frames.alias("n_frames"),
+        F.size(frame_md5s).alias("n_sampled"),
+        F.md5(F.array_join(frame_md5s, "")).alias("sample_md5"),
+    )

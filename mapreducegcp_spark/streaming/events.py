@@ -1,1 +1,222 @@
-"""Placeholder — populated in a later milestone."""
+"""Structured Streaming over the events table.
+
+North-star extension (SURVEY.md §7 Phase 4). The reference is strictly
+batch — one `run_mapred` per corpus (Master/Master.py:61-94) — so this
+entire layer is new surface: tumbling/sliding windows, session windows,
+watermark-gated append output, and stateful streaming dedup.
+
+Harness shape: each query replays the parquet events table through a
+real `readStream` file source into a memory sink, runs the stream to
+completion (`processAllAvailable`), and returns the sink table. That
+makes results deterministic, so every window query still gets a DuckDB
+oracle — including the watermark query, whose late-data cutoff is
+itself deterministic on a replayed stream (windows closed at final
+watermark = max(ts) - delay).
+
+Scale posture: windowed aggregations keep state per (window, key) —
+bounded by watermarks in append mode; `complete` mode here is only for
+the finite-replay harness, a production sink uses append/update.
+Session windows merge per key; streaming dedup state is bounded by
+`dropDuplicatesWithinWatermark`. File-source replay shards across
+executors exactly like the batch scan, so the same plan serves Kafka at
+cluster scale (swap the source, keep the DAG).
+"""
+
+from __future__ import annotations
+
+import os
+from uuid import uuid4
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducegcp_spark.functions.exact import dsum, o_dec2, o_dsum
+from mapreducegcp_spark.registry import register
+from mapreducegcp_spark.sources.catalog import load_table
+
+WATERMARK_DELAY = "10 minutes"
+SESSION_GAP = "5 minutes"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a streaming DataFrame (file-source replay).
+
+    Same nanos-timestamp handling as the batch path
+    (sources/catalog.py): the file source needs an explicit schema, so
+    reuse the batch reader's (ts as raw long under the legacy nanos
+    conf), then truncate to micros with integer arithmetic.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    # The file source wants a directory; scope it to the events file
+    # with a glob filter so sibling tables stay out of the stream.
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink.
+
+    Replays the finite source, blocks until all data is processed
+    (including the trailing no-data micro-batch that advances the
+    watermark and flushes closed append-mode windows), stops the query,
+    and returns the sink as a batch DataFrame.
+    """
+    name = f"mem_{uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle=f"""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+       count(*) AS n, {o_dsum(o_dec2('value'))} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming",),
+)
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows: count + exact sum per event_type.
+    Complete-mode replay of the canonical streaming rollup."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    return run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_sliding_value",
+    oracle=f"""
+WITH cand AS (
+  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS window_start,
+         event_type, value, ts
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS n,
+       {o_dsum(o_dec2('value'))} AS total_value
+FROM cand
+WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+GROUP BY 1, 2
+""",
+    tags=("streaming",),
+)
+def q_stream_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour long, 30-minute slide): every event lands
+    in two overlapping windows. The oracle reproduces Spark's window
+    assignment by expanding each row to its two candidate buckets."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    return run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_session_windows",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL {SESSION_GAP} THEN 0 ELSE 1 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP} AS session_end,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+""",
+    tags=("streaming",),
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows: events within a 5-minute gap merge into one
+    session per user; session end = last event + gap. The oracle is the
+    classic lag/cumsum sessionization — identical semantics batch-side."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming",),
+)
+def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: first occurrence of each
+    (user_id, event_type) passes, later ones are dropped by keyed state.
+    Projecting just the key makes the result order-insensitive and
+    exactly the batch DISTINCT."""
+    sdf = events_stream(spark, sf_dir)
+    deduped = sdf.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    return run_to_memory(deduped, "append")
+
+
+@register(
+    "stream_watermark_append",
+    oracle=f"""
+WITH agg AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, count(*) AS n
+  FROM events
+  GROUP BY 1
+)
+SELECT window_start, n
+FROM agg
+WHERE window_start + INTERVAL 1 HOUR
+      <= (SELECT max(ts) - INTERVAL {WATERMARK_DELAY} FROM events)
+""",
+    tags=("streaming",),
+)
+def q_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked append-mode aggregation: windows emit only once the
+    watermark (max event time - 10 min) passes their end; the still-open
+    tail window is withheld. On a finite replay the final watermark is
+    deterministic, so the oracle states the exact cutoff — this checks
+    the late-data semantics themselves, not just the arithmetic."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    return run_to_memory(agg, "append")

@@ -1,0 +1,47 @@
+"""Multimodal column plumbing: binary schema, metadata struct, decode stub."""
+
+import pytest
+
+from pyspark.sql.types import BinaryType, IntegerType, LongType, StringType, StructType
+
+from mapreducegcp_spark.operators.multimodal import (
+    decode_media,
+    q_multimodal_feature_extract,
+    with_payload,
+)
+from mapreducegcp_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_payload_schema_is_binary_plus_typed_struct(spark):
+    df = with_payload(load_table(spark, SF_DIR, "documents"))
+    schema = dict(df.dtypes)
+    assert isinstance(df.schema["payload"].dataType, BinaryType)
+    meta = df.schema["meta"].dataType
+    assert isinstance(meta, StructType)
+    assert isinstance(meta["fmt"].dataType, StringType)
+    assert isinstance(meta["width"].dataType, IntegerType)
+    assert isinstance(meta["n_bytes"].dataType, LongType)
+
+
+def test_payload_bytes_round_trip(spark):
+    row = (
+        with_payload(load_table(spark, SF_DIR, "documents"))
+        .select("payload", "meta.n_bytes")
+        .first()
+    )
+    assert isinstance(row.payload, bytearray | bytes)
+    assert len(row.payload) == row.n_bytes
+
+
+def test_feature_extract_runs_through_map_in_pandas(spark):
+    out = q_multimodal_feature_extract(spark, SF_DIR)
+    rows = out.limit(5).collect()
+    assert rows and all(r.n_bytes > 0 and r.byte_sum > 0 for r in rows)
+    assert dict(out.dtypes)["byte_sum"] == "bigint"
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "png")
