@@ -256,3 +256,65 @@ def q_text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("bigram"))
         .limit(50)
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS word FROM tk),
+tf AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT word, count(*) AS dfq FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.cnt,
+         tf.cnt * sqrt(CAST(n.n_docs AS DOUBLE) / dfq) AS score
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, cnt, score, rn AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, word) AS rn
+      FROM scored)
+WHERE rn <= 5
+""",
+    tags=("text-analysis",),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (sqrt-idf variant): top-5 characteristic terms per doc.
+
+    idf is sqrt(N/df), not ln(N/df): sqrt and division are correctly
+    rounded under IEEE 754 so both engines compute bit-identical
+    scores, whereas ln is a libm transcendental that differs by 1 ulp
+    between the JVM and DuckDB (measured: 3.5% of rows) — which would
+    break both the value hash and, at mathematical ties, the rank
+    order. Same sublinear-idf monotonicity, stable everywhere.
+
+    Term frequency and document frequency are two shuffles with
+    map-side partial aggregation; the document count joins in as a
+    broadcast scalar. Scale: df for stop-word-ish terms is large but
+    the (word, df) table is tiny — the broadcast join avoids
+    re-shuffling tf.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("dfq"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            "cnt",
+            (F.col("cnt") * F.sqrt(F.col("n_docs").cast("double") / F.col("dfq"))).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "word", "cnt", "score", "rank")
+    )
