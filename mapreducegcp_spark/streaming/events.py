@@ -220,3 +220,68 @@ def q_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n")
     )
     return run_to_memory(agg, "append")
+
+
+STATE_SCHEMA = "n long, cents long"
+_USER_STATS_SCHEMA = "user_id long, n_events long, total_cents long"
+
+
+def make_user_stats_fn():
+    """Custom stateful operator body for ``applyInPandasWithState``:
+    per-user running (event count, exact value total in cents).
+
+    Money stays integer (cents) inside the state so accumulation is
+    exact and order-independent — the streaming analogue of the
+    decimal-sum convention (functions/exact.py). Built as a closure so
+    cloudpickle ships it by value (no package import on executors).
+    """
+
+    def update(key, pdf_iter, state):
+        import pandas as pd  # noqa: PLC0415 (executor-side import)
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(round(float(pdf["value"].sum()) * 100))
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    return update
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY user_id
+""",
+    tags=("streaming",),
+)
+def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming via applyInPandasWithState: per-user
+    running totals held in explicit keyed state, one emission per
+    micro-batch in update mode. On the finite single-batch replay the
+    last (only) emission per user equals the batch aggregate, so the
+    query gets an exact oracle; multi-batch state carry-over is
+    asserted separately in tests/test_streaming.py with a two-file
+    replay. State size is O(users) x 16 bytes — at cluster scale this
+    is RocksDB-backed and sharded by the groupBy key."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sdf = events_stream(spark, sf_dir)
+    stats = (
+        sdf.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_user_stats_fn(),
+            outputStructType=_USER_STATS_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(stats, "update")

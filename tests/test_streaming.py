@@ -48,3 +48,44 @@ def test_watermark_withholds_open_tail_window(spark):
 
     cutoff = max_ts - datetime.timedelta(minutes=10)
     assert all(ws + datetime.timedelta(hours=1) <= cutoff for ws in ends)
+
+
+def test_stateful_carries_across_batches(spark, tmp_path):
+    """Split events into two files; maxFilesPerTrigger=1 forces two
+    micro-batches, so the second emission per user must include the
+    first batch's counts from keyed state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapreducegcp_spark.streaming.events import (
+        STATE_SCHEMA,
+        _USER_STATS_SCHEMA,
+        make_user_stats_fn,
+        run_to_memory,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    half = ev.count() // 2
+    d = tmp_path / "ev_split"
+    ev.where(F.col("event_id") < half).coalesce(1).write.parquet(str(d / "a"))
+    ev.where(F.col("event_id") >= half).coalesce(1).write.parquet(str(d / "b"))
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    stats = sdf.groupBy("user_id").applyInPandasWithState(
+        make_user_stats_fn(),
+        outputStructType=_USER_STATS_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(stats, "update").toPandas()
+    # >1 emission for at least some users, and the max emission equals
+    # the batch-side total (state accumulated, not reset)
+    assert out.groupby("user_id").size().max() > 1
+    want = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    got = out.groupby("user_id")["n_events"].max().to_dict()
+    assert got == want
