@@ -40,6 +40,10 @@ HEADLINE = [
     "dedup_minhash_lsh",    # MinHash+LSH near-dup self-join
     "similarity_topk_bruteforce",  # cosine top-k over embeddings
     "text_quality_scores",  # text-analysis pipeline pass
+    "tfidf_top_terms",      # tf-idf scoring + per-doc top-k
+    "subquery_scalar_correlated",  # decorrelated scalar subquery
+    "tpch_q10_returned_items",     # multi-join + agg + top-k
+    "stream_tumbling_counts",      # streaming windowed rollup (replay)
 ]
 
 

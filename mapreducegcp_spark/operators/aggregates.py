@@ -234,3 +234,32 @@ def q_agg_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("c_acctbal").alias("mean_bal"),
         ((s2 - s * s / n) / (n - 1)).alias("var_bal"),
     )
+
+
+_QUANTILES_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.5)  AS p50,
+       quantile_cont(l_extendedprice, 0.9)  AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_quantiles", oracle=_QUANTILES_ORACLE, tags=("relational",))
+def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. Spark's percentile and
+    DuckDB's quantile_cont share the lower+frac*(upper-lower) definition
+    and match bit-for-bit (probed at sf0.01) — unlike transcendentals,
+    the interpolation uses only correctly-rounded ops. Exact percentile
+    sorts each group's values in one pass (OK for bounded groups); the
+    unbounded-cardinality scale path is approx_percentile, checked
+    rows-only as agg_approx_distinct is."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("p25"),
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+    )

@@ -379,3 +379,81 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= _COSINE_DUP_THRESHOLD)
     )
+
+
+# ------------------------------------------- duplicate-cluster resolution
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+p AS (SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE.strip()}) jq),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      UNION ALL
+      SELECT doc_b, doc_a FROM p),
+nodes AS (SELECT DISTINCT a AS n FROM e),
+reach(src, dst) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+)
+SELECT src AS doc_id, min(dst) AS cluster_id
+FROM reach
+GROUP BY src
+"""
+
+
+@register("dedup_connected_components", oracle=_CLUSTERS_ORACLE, tags=("llm-pipeline",))
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the exact
+    near-dup pair graph (dedup_ngram_jaccard), cluster id = min doc_id
+    in the component — the step that turns pairwise similarity into
+    keep-one-per-group dedup decisions.
+
+    Iterative min-label propagation as a driver-controlled loop of
+    joins: each round every node adopts the minimum label among itself
+    and its neighbors; converges in <= diameter rounds (duplicate
+    clusters are tiny cliques, 2-3 rounds in practice). The only
+    driver-side value per round is the converged? count — data never
+    leaves executors; localCheckpoint truncates lineage so plans don't
+    grow exponentially. At 1e9+ edges the same loop runs with the
+    alternating large-star/small-star optimization (O(log n) rounds);
+    the DuckDB oracle is a recursive-CTE transitive closure.
+    """
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("a", "b")
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(50):  # hard bound; converges in <= graph diameter
+        neigh = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new = (
+            labels.join(neigh, labels["doc_id"] == neigh["a"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    labels["cluster_id"],
+                    F.coalesce(neigh["nmin"], labels["cluster_id"]),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
