@@ -263,3 +263,61 @@ def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", 0.9).alias("p90"),
         F.percentile("l_extendedprice", 0.99).alias("p99"),
     )
+
+
+def make_energy_udaf():
+    """Custom aggregation function (pandas GROUPED_AGG UDAF): 'energy'
+    = sum of squared cents. Arrow ships each group's values to Python
+    once; numpy does the arithmetic in int64 so the result is exact and
+    order-independent (squares of <=1e6 cents sum far below 2^63 at any
+    tested scale). Closure-built so executors need no package import.
+
+    Scale note: GROUPED_AGG UDAFs have no partial aggregation — every
+    raw value crosses the shuffle (unlike built-in aggregates, which
+    combine map-side). Right tool for moderate group counts /
+    must-be-Python logic; for billion-row groups prefer re-expressing
+    in built-ins (this one's oracle shows the rewrite exists).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def energy(v):
+        cents = np.rint(v.to_numpy(dtype="float64") * 100).astype("int64")
+        return int((cents * cents).sum())
+
+    # Real (non-string) hints: `from __future__ import annotations` would
+    # stringify inline ones and pandas_udf can't resolve them in a closure.
+    energy.__annotations__ = {"v": pd.Series, "return": int}
+
+    def n_vals(v):
+        return len(v)
+
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one .agg(), so the count rides along as a UDAF too.
+    n_vals.__annotations__ = {"v": pd.Series, "return": int}
+    return pandas_udf(energy, "long"), pandas_udf(n_vals, "long")
+
+
+_ENERGY_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)
+                * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS energy
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_custom_udaf_energy", oracle=_ENERGY_ORACLE, tags=("relational",))
+def q_agg_custom_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate over events: per-type count (built-in)
+    mixed with the pandas UDAF in one agg — the pluggable-aggregation
+    surface the reference's reducer registry gestured at
+    (Worker/Worker.py:68-78), typed and Arrow-batched."""
+    ev = load_table(spark, sf_dir, "events")
+    energy, n_vals = make_energy_udaf()
+    return ev.groupBy("event_type").agg(
+        n_vals("value").alias("n"),
+        energy("value").alias("energy"),
+    )
