@@ -1,0 +1,336 @@
+"""TPC-H query shapes adapted to the driver's star schema.
+
+The reference has no relational queries at all (SURVEY.md §2.2 — its
+entire query surface is run_mapred, Master/Master.py:61-94); these
+classic shapes demonstrate the relational breadth the PySpark engine
+adds on top. Q1/Q3/Q10 live in aggregates.py / relational.py; this
+module adds Q4, Q6, Q7, Q12, Q14, Q18, Q19 — each adapted where the
+driver schema lacks a TPC-H column (no partsupp, no
+l_commitdate/l_receiptdate/l_shipmode; adaptations noted per query).
+
+Numeric convention: all money aggregates go through the decimal-exact
+helpers (functions/exact.py) so Spark and the DuckDB oracle produce
+bit-identical doubles regardless of partitioning/order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducegcp_spark.functions.exact import dec2, dsum, o_dec2, o_dsum
+from mapreducegcp_spark.registry import register
+from mapreducegcp_spark.sources.catalog import load_table
+
+_REVENUE = f"{o_dec2('l_extendedprice')} * (1 - {o_dec2('l_discount')})"
+
+
+# ------------------------------------------------------------------ Q4
+
+_Q4_ORACLE = """
+SELECT o.o_orderpriority AS priority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("tpch_q4_order_priority", oracle=_Q4_ORACLE, tags=("relational",))
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a quarter with at least one
+    late-shipping line, counted per priority. Adapted predicate: the
+    driver schema has no l_commitdate/l_receiptdate, so "late" =
+    shipped >60 days after order date.
+
+    Plan: the quarter filter pushes into the orders scan; the EXISTS
+    becomes one left-semi shuffle join on orderkey (lineitem never
+    widens the rows); the final agg is 5 groups — map-side partials
+    make the second exchange negligible at any scale."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "leftsemi",
+    )
+    return late.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("order_count")
+    )
+
+
+# ------------------------------------------------------------------ Q6
+
+_Q6_ORACLE = f"""
+SELECT {o_dsum(f"{o_dec2('l_extendedprice')} * {o_dec2('l_discount')}")} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("tpch_q6_forecast_revenue", oracle=_Q6_ORACLE, tags=("relational",))
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecasting revenue change — pure scan-filter-agg,
+    the predicate-pushdown showcase. All three predicates reach the
+    parquet scan as PushedFilters and ReadSchema is 4 of 11 columns;
+    the single-row global agg is one partial per partition + a 1-row
+    final — zero meaningful shuffle at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(dec2("l_extendedprice") * dec2("l_discount")).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ Q7
+
+_Q7_ORACLE = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+       {o_dsum(_REVENUE)} AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+WHERE ns.n_name IN ('NATION_3', 'NATION_7')
+  AND nc.n_name IN ('NATION_3', 'NATION_7')
+  AND ns.n_name <> nc.n_name
+GROUP BY ns.n_name, nc.n_name, l_year
+"""
+
+
+@register("tpch_q7_nation_volume", oracle=_Q7_ORACLE, tags=("relational",))
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year
+    (nation names adapted to the driver's synthetic NATION_i values).
+
+    Plan: supplier (tiny) and both nation copies broadcast, so the
+    supp-nation filter applies before the big orders join; customer
+    joins shuffle on custkey; the nation-pair inequality lands as a
+    post-join filter on two broadcast columns. The only heavy
+    exchanges are lineitem⋈orders (orderkey) and ⋈customer (custkey)
+    — the same two any engine needs without bucketing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    ns = F.broadcast(nation.select(F.col("n_nationkey").alias("ns_key"),
+                                   F.col("n_name").alias("supp_nation")))
+    nc = F.broadcast(nation.select(F.col("n_nationkey").alias("nc_key"),
+                                   F.col("n_name").alias("cust_nation")))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(ns, F.col("s_nationkey") == F.col("ns_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(nc, F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(dec2("l_extendedprice") * (1 - dec2("l_discount"))).alias("revenue"))
+    )
+
+
+# ------------------------------------------------------------------ Q12
+
+_Q12_ORACLE = """
+SELECT l.l_linestatus AS linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY l.l_linestatus
+"""
+
+
+@register("tpch_q12_priority_lines", oracle=_Q12_ORACLE, tags=("relational",))
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority mix of returned lines per line status.
+    Adapted: the driver schema has no l_shipmode/receiptdate, so the
+    grouping is l_linestatus and the window predicate rides l_shipdate
+    with a returnflag filter.
+
+    The conditional counts are map-side-combinable SUM(CASE...) — one
+    orderkey shuffle join plus a 2-group agg."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_returnflag") == "R")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ Q14
+
+_Q14_ORACLE = f"""
+SELECT CAST(100.00 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN {_REVENUE} ELSE 0 END) AS DOUBLE)
+       / CAST(SUM({_REVENUE}) AS DOUBLE) AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+"""
+
+
+@register("tpch_q14_promo_effect", oracle=_Q14_ORACLE, tags=("relational",))
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotion revenue share in a month. part joins
+    broadcast (dimension); the month filter pushes into the lineitem
+    scan. Both sums are exact decimals; the percentage is one IEEE
+    division of bit-identical operands, so the double hash-matches the
+    oracle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    zero = F.lit(0).cast("decimal(26,4)")
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(zero)
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
+        (
+            (F.lit(100.0) * F.sum(promo).cast("double"))
+            / F.sum(revenue).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# ------------------------------------------------------------------ Q18
+
+_Q18_ORACLE = f"""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST({o_dec2('o.o_totalprice')} AS DOUBLE) AS o_totalprice, t.sum_qty
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN (SELECT l_orderkey, CAST(SUM({o_dec2('l_quantity')}) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM({o_dec2('l_quantity')}) > 140) t
+  ON o.o_orderkey = t.l_orderkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20
+"""
+
+
+@register("tpch_q18_large_volume", oracle=_Q18_ORACLE, tags=("relational",))
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume customers — orders whose total line
+    quantity exceeds a threshold, top-20 by price.
+
+    Plan: the HAVING aggregate shrinks lineitem to a tiny keyset
+    *before* joining orders (aggregate-then-join, not join-then-
+    aggregate — at 100 TB this is the difference between shuffling
+    the fact table once for a 6B-row join vs joining against a few
+    thousand qualifying keys, which AQE then broadcasts). Top-20 is
+    TakeOrderedAndProject — no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec2("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > 140)
+        .select("l_orderkey", F.col("_qty").cast("double").alias("sum_qty"))
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            dec2("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+# ------------------------------------------------------------------ Q19
+
+_Q19_ORACLE = f"""
+SELECT {o_dsum(_REVENUE)} AS revenue, COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("tpch_q19_disjunctive", oracle=_Q19_ORACLE, tags=("relational",))
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: discounted revenue under an OR-of-ANDs predicate
+    spanning both join sides. Catalyst extracts the common
+    single-side conjuncts (brand/size on part, quantity bands on
+    lineitem) as pushable pre-join filters and keeps the cross-side
+    disjunction as the join's residual condition — part broadcasts,
+    so the whole thing is one scan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    cond = (
+        (
+            (p.p_brand == "Brand#12")
+            & p.p_size.between(1, 15)
+            & li.l_quantity.between(1, 11)
+        )
+        | (
+            (p.p_brand == "Brand#23")
+            & p.p_size.between(1, 25)
+            & li.l_quantity.between(10, 20)
+        )
+        | (
+            (p.p_brand == "Brand#34")
+            & p.p_size.between(1, 35)
+            & li.l_quantity.between(20, 30)
+        )
+    )
+    return li.join(p, (li.l_partkey == p.p_partkey) & cond).agg(
+        dsum(revenue).alias("revenue"), F.count("*").alias("n_lines")
+    )

@@ -26,6 +26,7 @@ _OPERATOR_MODULES = [
     "mapreducegcp_spark.operators.wordcount",
     "mapreducegcp_spark.operators.inverted_index",
     "mapreducegcp_spark.operators.relational",
+    "mapreducegcp_spark.operators.tpch",
     "mapreducegcp_spark.operators.aggregates",
     "mapreducegcp_spark.operators.windows",
     "mapreducegcp_spark.operators.scalars",
