@@ -295,25 +295,40 @@ def train_ivf_centroids(
     """Distributed Lloyd iterations for the IVF coarse quantizer.
 
     Deterministic init (splitmix64 hyperplanes — no RNG state), then per
-    iteration: vectorized assignment (Arrow matmul), per-cluster mean via
-    posexplode -> groupBy(cluster, pos).avg — map-side partial
-    aggregation makes the shuffle O(partitions * k * dim), and only the
+    iteration one ``mapInPandas`` pass: each Arrow batch normalizes its
+    vectors, argmax-assigns them against the broadcast (k, dim) centroid
+    matrix (one matmul), and emits (cluster, pos, val) triples of the
+    unit vectors; ``groupBy(cluster, pos).avg`` does map-side partial
+    aggregation, so the shuffle is O(partitions * k * dim) and only the
     (k, dim) centroid matrix ever reaches the driver (model-parameter
-    sync, same as ml.clustering.KMeans). Centroids are re-unit-normalized
-    each round so assignment stays cosine."""
+    sync, same as ml.clustering.KMeans). All vector math stays in numpy
+    — JVM-side per-element folds would be O(dim^2) per row. Centroids
+    are re-unit-normalized each round so assignment stays cosine."""
     import numpy as np
 
     dim = 64  # embeddings are 64-d (TESTDATA)
     C = np.array([_hyperplane(dim, 5000 + h) for h in range(k)], dtype=np.float64)
     C /= np.linalg.norm(C, axis=1, keepdims=True)
     for _ in range(iters):
-        assigned = df.select(
-            _assign_udf(C)(F.col("embedding")).alias("cluster"),
-            # normalize before averaging so the mean is of unit vectors
-            F.col("unit").alias("unit"),
-        )
+        def gen(batches, C=C):
+            for pdf in batches:
+                E = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+                nrm = np.linalg.norm(E, axis=1, keepdims=True)
+                nrm[nrm == 0] = 1.0
+                En = E / nrm
+                a = (En @ C.T).argmax(1)
+                n = len(En)
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.repeat(a.astype("int32"), dim),
+                        "pos": np.tile(np.arange(dim, dtype="int32"), n),
+                        "val": En.ravel(),
+                    }
+                )
+
         means = (
-            assigned.select("cluster", F.posexplode("unit").alias("pos", "val"))
+            df.select("embedding")
+            .mapInPandas(gen, "cluster int, pos int, val double")
             .groupBy("cluster", "pos")
             .agg(F.avg("val").alias("m"))
             .collect()
@@ -350,26 +365,22 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the full scan. The LSH variant above trades deterministic probe
     counts for this one's data-adaptive buckets."""
     emb = load_table(spark, sf_dir, "embeddings")
-    unit = F.transform(
-        "embedding",
-        lambda x: F.when(l2_norm("embedding") > 0, x / l2_norm("embedding")).otherwise(
-            F.lit(0.0)
-        ),
-    )
-    corpus_all = emb.select("vec_id", "embedding", unit.alias("unit"))
-    C = train_ivf_centroids(corpus_all.filter(~F.col("vec_id").isin(*_QUERY_IDS)))
+    C = train_ivf_centroids(emb.filter(~F.col("vec_id").isin(*_QUERY_IDS)))
 
-    corpus = corpus_all.filter(~F.col("vec_id").isin(*_QUERY_IDS)).select(
+    # Assignment and probe ranking are invariant to per-row positive
+    # scaling, so raw embeddings feed both UDFs (they normalize in numpy
+    # where it is one vectorized op, not a JVM per-element fold).
+    corpus = emb.filter(~F.col("vec_id").isin(*_QUERY_IDS)).select(
         "vec_id",
         F.col("embedding").alias("c_emb"),
         _assign_udf(C)(F.col("embedding")).alias("cluster"),
     )
     queries = (
-        corpus_all.filter(F.col("vec_id").isin(*_QUERY_IDS))
+        emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            F.explode(_probe_udf(C, _IVF_NPROBE)(F.col("unit"))).alias("cluster"),
+            F.explode(_probe_udf(C, _IVF_NPROBE)(F.col("embedding"))).alias("cluster"),
         )
     )
     cand = corpus.join(F.broadcast(queries), "cluster").select(
