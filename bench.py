@@ -61,14 +61,21 @@ def main() -> None:
     # Warmup: run the cheapest query once to pay JVM + codegen startup.
     catalog["wordcount"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Best-of-2 per query: the first run can pay lazy codegen/broadcast
+    # warmup that belongs to the JVM, not the plan — min is the stable
+    # engine-side number (run-to-run noise at sf0.1 measured up to 6x
+    # on short queries with a single pass).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         rq = catalog.get(name)
         if rq is None:
             continue
-        t0 = time.perf_counter()
-        rq.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rq.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(

@@ -321,3 +321,56 @@ def q_agg_custom_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_vals("value").alias("n"),
         energy("value").alias("energy"),
     )
+
+
+_TIME_ROLLUP_ORACLE = f"""
+SELECT CASE WHEN GROUPING(hour_bucket) = 0 THEN 'hour' ELSE 'day' END AS grain,
+       coalesce(hour_bucket, day_bucket) AS bucket,
+       CASE WHEN GROUPING(event_type) = 0 THEN event_type ELSE '<all>' END
+         AS event_type,
+       count(*) AS n,
+       {o_dsum(o_dec2('value'))} AS total_value
+FROM (SELECT date_trunc('hour', ts) AS hour_bucket,
+             date_trunc('day', ts) AS day_bucket,
+             event_type, value
+      FROM events)
+GROUP BY GROUPING SETS ((hour_bucket, day_bucket, event_type),
+                        (day_bucket, event_type),
+                        (day_bucket))
+"""
+
+
+@register("agg_time_rollup", oracle=_TIME_ROLLUP_ORACLE, tags=("relational",))
+def q_agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one pass over
+    events produces hour x type, day x type, and day-total grains via
+    GROUPING SETS — the multi-granularity materialization a time-series
+    store precomputes.
+
+    Scale: a single shuffle keyed on the finest grain; coarser grains
+    re-aggregate the expanded rows map-side (Spark plans grouping sets
+    as Expand + one hash aggregate), so cost is ~3x rows in, not 3
+    scans. At 100 TB you'd partition the sink by day_bucket so rollup
+    reads prune to the affected partitions."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour_bucket"),
+        F.date_trunc("day", "ts").alias("day_bucket"),
+        "event_type",
+        "value",
+    )
+    ev.createOrReplaceTempView("_events_buckets")
+    return spark.sql(
+        f"""
+        SELECT CASE WHEN GROUPING(hour_bucket) = 0 THEN 'hour' ELSE 'day' END
+                 AS grain,
+               coalesce(hour_bucket, day_bucket) AS bucket,
+               CASE WHEN GROUPING(event_type) = 0 THEN event_type
+                    ELSE '<all>' END AS event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM _events_buckets
+        GROUP BY GROUPING SETS ((hour_bucket, day_bucket, event_type),
+                                (day_bucket, event_type),
+                                (day_bucket))
+        """
+    )

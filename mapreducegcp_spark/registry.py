@@ -31,6 +31,7 @@ _OPERATOR_MODULES = [
     "mapreducegcp_spark.operators.windows",
     "mapreducegcp_spark.operators.scalars",
     "mapreducegcp_spark.operators.subqueries",
+    "mapreducegcp_spark.operators.udtf_ops",
     "mapreducegcp_spark.operators.dedup",
     "mapreducegcp_spark.operators.similarity",
     "mapreducegcp_spark.operators.textstats",
