@@ -374,3 +374,34 @@ def q_agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (day_bucket))
         """
     )
+
+
+_SALTED_ORACLE = f"""
+SELECT event_type, count(*) AS n, {o_dsum(o_dec2('value'))} AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_salted_twophase", oracle=_SALTED_ORACLE, tags=("relational",))
+def q_agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigating salted aggregation: phase 1 groups by
+    (key, salt16) so a hot key's rows spread over 16 reducers, phase 2
+    combines the 16 partials per key. event_type has ~5 values — at
+    100 TB a plain groupBy would funnel ~20 TB through 5 reducer
+    partitions; salting bounds any partition at 1/16 of a key.
+
+    The decimal-exact sums are associative, so the two-phase result is
+    bit-identical to the direct GROUP BY (the oracle) — correctness
+    does not depend on how the salt splits rows. Count re-aggregates
+    with sum; the salt derives from the row's unique id (deterministic,
+    uniform), not rand(), so replays/retries are stable."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = (
+        ev.groupBy("event_type", F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("_salt"))
+        .agg(F.count("*").alias("n"), F.sum(dec2("value")).alias("v"))
+    )
+    return salted.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("v").cast("double").alias("total_value"),
+    )

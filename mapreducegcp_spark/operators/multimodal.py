@@ -209,3 +209,87 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(frame_md5s).alias("n_sampled"),
         F.md5(F.array_join(frame_md5s, "")).alias("sample_md5"),
     )
+
+
+RESIZE_TARGET = 8  # nearest-neighbor resize to an 8x8 grid
+
+
+def make_resizer():
+    """Arrow-batched nearest-neighbor resize: each payload is read as a
+    ``meta.width x meta.height`` byte grid (row-major, zero-padded past
+    the payload end) and sampled down to RESIZE_TARGET^2 bytes — the
+    image-thumbnail stage with the codec swapped for byte arithmetic
+    (see decode_media). numpy does the index math per batch; only the
+    64-byte thumbnails and their stats leave the executor."""
+    import hashlib
+
+    import numpy as np
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = RESIZE_TARGET
+        for pdf in batches:
+            out_sum, out_md5 = [], []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                sy = (np.arange(t) * h) // t
+                sx = (np.arange(t) * w) // t
+                idx = (sy[:, None] * w + sx[None, :]).ravel()
+                px = np.where(idx < len(buf), buf[np.minimum(idx, len(buf) - 1)], 0)
+                out_sum.append(int(px.sum()))
+                out_md5.append(hashlib.md5(",".join(map(str, px)).encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "thumb_sum": pd.Series(out_sum, dtype="int64"),
+                    "thumb_md5": out_md5,
+                }
+            )
+
+    return resize
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         CAST(doc_id % 64 + 16 AS INT) AS width,
+         CAST(doc_id % 48 + 12 AS INT) AS height,
+         text, strlen(text) AS n
+  FROM documents
+),
+px AS (
+  SELECT doc_id, width, height,
+         list_transform(generate_series(0, {RESIZE_TARGET * RESIZE_TARGET - 1}),
+           p -> CASE WHEN ((p // {RESIZE_TARGET}) * height // {RESIZE_TARGET}) * width
+                          + ((p % {RESIZE_TARGET}) * width // {RESIZE_TARGET}) < n
+                     THEN unicode(text[CAST(((p // {RESIZE_TARGET}) * height // {RESIZE_TARGET}) * width
+                          + ((p % {RESIZE_TARGET}) * width // {RESIZE_TARGET}) AS BIGINT) + 1])
+                     ELSE 0 END) AS pxs
+  FROM g
+)
+SELECT doc_id, width, height,
+       CAST(list_sum(pxs) AS BIGINT) AS thumb_sum,
+       md5(array_to_string(pxs, ',')) AS thumb_md5
+FROM px
+""",
+    tags=("multimodal",),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize of every payload's byte grid to 8x8 via
+    mapInPandas — decode/resize plumbing with real schemas and Arrow
+    batch shapes (the codec itself is the documented stub). The oracle
+    recomputes the same index math over the source text bytes."""
+    m = with_payload(load_table(spark, sf_dir, "documents"))
+    flat = m.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        "payload",
+    )
+    return flat.mapInPandas(
+        make_resizer(),
+        schema="doc_id long, width int, height int, thumb_sum long, thumb_md5 string",
+    )
