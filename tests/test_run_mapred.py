@@ -100,3 +100,39 @@ def test_output_path_and_json_sink(engine, corpus_dir, tmp_path, spark):
     json_sink(word_count(docs_from_dir(spark, corpus_dir)), str(sink_dir))
     rows = [json.loads(line) for f in sink_dir.glob("part-*.json") for line in f.read_text().splitlines()]
     assert {r["word"]: r["cnt"] for r in rows}["words"] == 3
+
+
+# ---------------------------------------------------------- property test
+
+from collections import Counter
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _reference_wordcount(text: str) -> dict[str, int]:
+    """The reference's tokenize+count semantics in pure Python:
+    lowercase, every non-[a-z] char is a separator (SURVEY.md §2.3,
+    Worker/Worker.py:21-26,45-49)."""
+    return dict(Counter(re.sub("[^a-z]+", " ", text.lower()).split()))
+
+
+@settings(
+    max_examples=8,  # each example runs real Spark jobs
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=300
+    )
+)
+def test_wordcount_property_matches_reference_semantics(engine, text):
+    """Property: for ANY printable-ASCII input string, WordCount through
+    the run_mapred facade (literal-string ingestion mode) equals the
+    reference's tokenizer+count semantics computed in pure Python."""
+    uid = engine.init_cluster(2, 2)
+    got = json.loads(engine.run_mapred(uid, text, "WordCountMapper", "WordCountReducer"))
+    assert got == _reference_wordcount(text)
