@@ -165,3 +165,44 @@ def q_window_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         (F.col("l_extendedprice") / total).alias("price_share"),
     )
+
+
+_DISTRIBUTION_ORACLE = """
+SELECT o_orderpriority, o_orderkey,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cdist,
+       first_value(o_orderkey) OVER w AS cheapest_key,
+       last_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+         ORDER BY o_totalprice, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+         ORDER BY o_totalprice, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("window_distribution", oracle=_DISTRIBUTION_ORACLE, tags=("relational",))
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / first-last-nth_value over one shared
+    partitioning. The distribution functions are exact integer ratios
+    ((rank-1)/(n-1), rank/n) — one IEEE division of identical operands
+    per row, so doubles hash-match the oracle. last/nth need the
+    explicit unbounded frame (the default frame stops at CURRENT ROW).
+    Scale: a single hash-partitioned sort per priority group; all five
+    functions share it."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w_full).alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
+    )
