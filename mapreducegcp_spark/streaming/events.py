@@ -339,3 +339,46 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
     return run_to_memory(j, "append")
+
+
+@register(
+    "stream_foreach_batch_sink",
+    oracle=f"""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+       count(*) AS n, {o_dsum(o_dec2('value'))} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming",),
+)
+def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production sink pattern: ``foreachBatch`` hands each
+    micro-batch to arbitrary batch-writer code — here an idempotent
+    parquet overwrite of the complete-mode aggregate, i.e. a
+    continuously-refreshed materialized view. Same rollup as
+    stream_tumbling_counts, so the final parquet equals the batch
+    aggregate exactly (the oracle).
+
+    Scale: foreachBatch is where streaming meets the batch writers —
+    MERGE into a lakehouse table, bucketed/partitioned layouts
+    (sources/formats.py), or transactional sinks; the epoch id is the
+    idempotence key for exactly-once on retries."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="mapreducegcp_feb_")
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+    def write_batch(bdf: DataFrame, epoch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(out)
+
+    q = agg.writeStream.foreachBatch(write_batch).outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out)
