@@ -47,3 +47,67 @@ NORM_ORACLE_EXPR = (
     "sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
     "(acc, x) -> acc + x))"
 )
+
+
+def blas_pair_candidates(
+    emb_df,
+    threshold: float | None = None,
+    margin: float = 1e-6,
+) -> "DataFrame":
+    """Distributed BLAS prefilter for exact all-pairs cosine operators.
+
+    The exact O(n^2) fold evaluation is the correctness contract (it
+    hash-matches DuckDB), but evaluating a 64-element interpreted fold
+    per pair is ~100x the work of one matmul. This narrows the pair
+    space first: broadcast the (n, dim) unit matrix (model-parameter
+    sized — 0.5 GB at 1e6 vectors; beyond that the LSH/IVF operators
+    are the path), then each Arrow batch computes approximate cosines
+    for its rows against everything in one BLAS call and emits only
+
+    - ``threshold`` mode: pairs (a < b) with approx >= threshold-margin
+    - argmax mode (threshold=None): for each row, every partner within
+      ``margin`` of that row's max — a superset of the exact argmax.
+
+    numpy's pairwise-summed dot differs from the strict left fold by
+    <1e-12 relative at dim 64, so with margin 1e-6 no qualifying pair
+    can be lost; the caller re-scores candidates with the exact fold,
+    which alone decides the output (values and ties).
+    """
+    import numpy as np
+
+    spark = emb_df.sparkSession
+    pdf = emb_df.select("vec_id", "embedding").toPandas()
+    ids_all = pdf["vec_id"].to_numpy().astype("int64")
+    M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    bc = spark.sparkContext.broadcast((ids_all, M / nrm))
+
+    def gen(batches):
+        import pandas as pd
+
+        ids_b, Mn = bc.value
+        order = np.argsort(ids_b)
+        for pdf_ in batches:
+            ids = pdf_["vec_id"].to_numpy().astype("int64")
+            E = np.vstack(pdf_["embedding"].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(E, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            sims = (E / n) @ Mn.T  # (batch, n_all)
+            rows_a, rows_b = [], []
+            if threshold is not None:
+                hit_r, hit_c = np.nonzero(
+                    (sims >= threshold - margin) & (ids[:, None] < ids_b[None, :])
+                )
+                rows_a, rows_b = ids[hit_r], ids_b[hit_c]
+            else:
+                self_col = order[np.searchsorted(ids_b, ids, sorter=order)]
+                sims[np.arange(len(ids)), self_col] = -np.inf
+                mx = sims.max(axis=1, keepdims=True)
+                hit_r, hit_c = np.nonzero(sims >= mx - margin)
+                rows_a, rows_b = ids[hit_r], ids_b[hit_c]
+            yield pd.DataFrame({"vec_a": rows_a, "vec_b": rows_b})
+
+    return emb_df.select("vec_id", "embedding").mapInPandas(
+        gen, "vec_a long, vec_b long"
+    )
