@@ -257,11 +257,21 @@ def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded-cardinality scale path is approx_percentile, checked
     rows-only as agg_approx_distinct is."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.25).alias("p25"),
-        F.percentile("l_extendedprice", 0.5).alias("p50"),
-        F.percentile("l_extendedprice", 0.9).alias("p90"),
-        F.percentile("l_extendedprice", 0.99).alias("p99"),
+    # One percentile aggregate with an array argument: a single buffer +
+    # sort per group serves all four cut points (4 scalar percentile
+    # calls each buffer and sort the group independently — measured 2x
+    # slower at sf0.1).
+    qs = F.percentile("l_extendedprice", F.array(*[F.lit(p) for p in (0.25, 0.5, 0.9, 0.99)]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(qs.alias("_qs"))
+        .select(
+            "l_returnflag",
+            F.col("_qs")[0].alias("p25"),
+            F.col("_qs")[1].alias("p50"),
+            F.col("_qs")[2].alias("p90"),
+            F.col("_qs")[3].alias("p99"),
+        )
     )
 
 
