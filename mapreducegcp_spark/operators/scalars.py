@@ -167,3 +167,48 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(toks, "spark").alias("mentions_spark"),
         F.element_at(toks, 1).alias("first_token"),
     )
+
+
+_NULL_ORACLE = """
+WITH t AS (
+  SELECT nullif(l_returnflag, 'R') AS flag,
+         CASE WHEN l_quantity < 10 THEN NULL ELSE l_quantity END AS qty
+  FROM lineitem
+)
+SELECT count(*) AS n_rows,
+       count(flag) AS n_flag_nonnull,
+       count(qty) AS n_qty_nonnull,
+       CAST(sum(CAST(qty AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty_skipnull,
+       CAST(sum(CASE WHEN flag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_null,
+       CAST(sum(CASE WHEN flag IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nullsafe_eq_null,
+       coalesce(min(flag), '<none>') AS min_flag,
+       max(qty) AS max_qty
+FROM t
+"""
+
+
+@register("scalar_null_semantics", oracle=_NULL_ORACLE, tags=("relational",))
+def q_scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics corner-cases on a derived nullable column (the
+    driver tables are null-free, so nullif/CASE manufacture them):
+    count(*) vs count(col), null-skipping SUM/MIN/MAX, null-safe
+    equality (<=>), coalesce defaulting. Both engines implement ANSI
+    three-valued logic identically for every expression used here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.nullif(F.col("l_returnflag"), F.lit("R")).alias("flag"),
+        F.when(F.col("l_quantity") < 10, None).otherwise(F.col("l_quantity")).alias("qty"),
+    )
+    return t.agg(
+        F.count("*").alias("n_rows"),
+        F.count("flag").alias("n_flag_nonnull"),
+        F.count("qty").alias("n_qty_nonnull"),
+        F.sum(F.col("qty").cast("decimal(12,2)")).cast("double").alias("sum_qty_skipnull"),
+        F.sum(F.when(F.col("flag").isNull(), 1).otherwise(0)).alias("n_flag_null"),
+        F.sum(F.when(F.col("flag").eqNullSafe(F.lit(None)), 1).otherwise(0)).alias(
+            "n_nullsafe_eq_null"
+        ),
+        F.coalesce(F.min("flag"), F.lit("<none>")).alias("min_flag"),
+        F.max("qty").alias("max_qty"),
+    )
