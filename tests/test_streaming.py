@@ -89,3 +89,56 @@ def test_stateful_carries_across_batches(spark, tmp_path):
     want = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
     got = out.groupby("user_id")["n_events"].max().to_dict()
     assert got == want
+
+
+def test_checkpoint_restart_recovers_state(spark, tmp_path):
+    """Stop a checkpointed aggregation, add data, restart from the same
+    checkpoint: the restarted query must restore its state store and
+    read only the new file — the final counts equal the batch aggregate
+    with nothing double- or re-counted (exactly-once recovery)."""
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "event_type")
+    half = ev.count() // 2
+    src_dir = tmp_path / "ev_ckpt_src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ev.where(F.col("event_id") < half).coalesce(1).write.parquet(str(src_dir / "a"))
+
+    def start():
+        sdf = (
+            spark.readStream.schema(ev.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src_dir))
+        )
+        agg = sdf.groupBy("event_type").count()
+
+        def wb(bdf, epoch_id):
+            bdf.write.mode("overwrite").parquet(sink)
+
+        return (
+            agg.writeStream.foreachBatch(wb)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = {r.event_type: r["count"] for r in spark.read.parquet(sink).collect()}
+    want_first = {
+        r.event_type: r["count"]
+        for r in ev.where(F.col("event_id") < half).groupBy("event_type").count().collect()
+    }
+    assert first == want_first
+
+    ev.where(F.col("event_id") >= half).coalesce(1).write.parquet(str(src_dir / "b"))
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    final = {r.event_type: r["count"] for r in spark.read.parquet(sink).collect()}
+    want = {r.event_type: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    assert final == want
