@@ -77,6 +77,8 @@ def blas_pair_candidates(
 
     spark = emb_df.sparkSession
     pdf = emb_df.select("vec_id", "embedding").toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], "vec_a long, vec_b long")
     ids_all = pdf["vec_id"].to_numpy().astype("int64")
     M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
     nrm = np.linalg.norm(M, axis=1, keepdims=True)
@@ -89,6 +91,8 @@ def blas_pair_candidates(
         ids_b, Mn = bc.value
         order = np.argsort(ids_b)
         for pdf_ in batches:
+            if len(pdf_) == 0:
+                continue
             ids = pdf_["vec_id"].to_numpy().astype("int64")
             E = np.vstack(pdf_["embedding"].to_numpy()).astype(np.float64)
             n = np.linalg.norm(E, axis=1, keepdims=True)

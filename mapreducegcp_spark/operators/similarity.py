@@ -201,6 +201,8 @@ def _band_bucket_udf(planes: list[list[float]], n_bands: int):
 
     @pandas_udf("array<int>")
     def buckets(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
         E = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dim)
         signs = (E @ P.T) > 0  # (n, H)
         packed = signs.reshape(len(E), n_bands, per_band) @ weights  # (n, n_bands)
@@ -277,6 +279,8 @@ def _assign_udf(C):
 
     @pandas_udf("int")
     def assign(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
         E = np.vstack(emb.to_numpy()).astype(np.float64)
         nrm = np.linalg.norm(E, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
@@ -294,6 +298,8 @@ def _probe_udf(C, nprobe: int):
 
     @pandas_udf("array<int>")
     def probes(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
         E = np.vstack(emb.to_numpy()).astype(np.float64)
         sims = E @ Cn.T
         top = np.argsort(-sims, axis=1)[:, :nprobe]
@@ -325,6 +331,8 @@ def train_ivf_centroids(
     for _ in range(iters):
         def gen(batches, C=C):
             for pdf in batches:
+                if len(pdf) == 0:
+                    continue
                 E = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
                 nrm = np.linalg.norm(E, axis=1, keepdims=True)
                 nrm[nrm == 0] = 1.0

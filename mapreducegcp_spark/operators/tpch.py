@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreducegcp_spark.functions.exact import dec2, dsum, o_dec2, o_dsum
+from mapreducegcp_spark.functions.exact import dec2, dsum, o_davg, o_dec2, o_dsum
 from mapreducegcp_spark.registry import register
 from mapreducegcp_spark.sources.catalog import load_table
 
@@ -333,4 +333,151 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.join(p, (li.l_partkey == p.p_partkey) & cond).agg(
         dsum(revenue).alias("revenue"), F.count("*").alias("n_lines")
+    )
+
+
+# ------------------------------------------------------------------ Q15
+
+_Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no, {o_dsum(_REVENUE)} AS total_revenue
+  FROM lineitem l
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+@register("tpch_q15_top_supplier", oracle=_Q15_ORACLE, tags=("relational",))
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the quarter's top supplier(s) by revenue — an
+    aggregate "view" filtered by its own max (an uncorrelated scalar
+    subquery). The decimal-exact revenue makes the max comparison an
+    equality on bit-identical doubles, so ties resolve identically in
+    both engines.
+
+    Plan: one shuffle to the per-supplier rollup (map-side combined);
+    the max is a broadcast 1-row aggregate over that tiny table;
+    supplier joins broadcast. lineitem is scanned once."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(dec2("l_extendedprice") * (1 - dec2("l_discount"))).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ------------------------------------------------------------------ Q21
+
+_Q21_ORACLE = """
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+  FROM lo GROUP BY l_orderkey
+)
+SELECT s.s_name, count(*) AS numwait
+FROM lo
+JOIN per_order p ON lo.l_orderkey = p.l_orderkey
+JOIN supplier s  ON lo.l_suppkey = s.s_suppkey
+WHERE lo.late AND p.n_supp > 1 AND p.n_late_supp = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+"""
+
+
+@register("tpch_q21_suppliers_kept_waiting", oracle=_Q21_ORACLE, tags=("relational",))
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    finished multi-supplier order. Adapted: "late" = shipped >60 days
+    after order date (no commit/receipt dates in the driver schema).
+
+    The classic formulation is EXISTS + correlated NOT EXISTS; this is
+    the decorrelated equivalent — one per-order aggregate (distinct
+    suppliers, distinct late suppliers) joined back to the late lines.
+    Same trick as Q18: aggregate-then-join keeps the second pass keyed
+    on the already-shuffled orderkey, and at 100 TB AQE broadcasts the
+    shrunken per-order table. The oracle mirrors this derivation, so
+    semantics are pinned line-for-line."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        lo.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+# ------------------------------------------------------------------ Q22
+
+_Q22_ORACLE = f"""
+SELECT c.c_mktsegment, count(*) AS numcust,
+       {o_dsum(o_dec2('c.c_acctbal'))} AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+  SELECT {o_davg(o_dec2('c2.c_acctbal'))} FROM customer c2 WHERE c2.c_acctbal > 0.0
+)
+AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("tpch_q22_global_sales_opportunity", oracle=_Q22_ORACLE, tags=("relational",))
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich customers with no recent order, per
+    market segment (segment stands in for the phone country code and
+    "recent" scopes the anti join — the driver's synthetic customers
+    all have lifetime orders). Uncorrelated scalar average (decimal-exact, so the
+    cut line is bit-identical) + anti join on custkey + rollup."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec2("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("cut")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        c.join(F.broadcast(avg_pos), F.col("c_acctbal") > F.col("cut"))
+        .join(o, c.c_custkey == o.o_custkey, "leftanti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
     )
