@@ -212,3 +212,36 @@ def q_scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.min("flag"), F.lit("<none>")).alias("min_flag"),
         F.max("qty").alias("max_qty"),
     )
+
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("scalar_variant", oracle=_VARIANT_ORACLE, tags=("relational",))
+def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse the JSON props
+    column into a variant once, extract typed fields with
+    variant_get — the open-schema ingestion pattern (vs scalar_json's
+    per-path string extraction). The binary variant encoding is parsed
+    once per row; every extraction after that is a cheap typed probe,
+    which is the at-scale argument for variant over repeated
+    get_json_object calls."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

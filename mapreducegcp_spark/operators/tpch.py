@@ -481,3 +481,84 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# ------------------------------------------------------------------ Q8
+
+_Q8_ORACLE = f"""
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN ns.n_name = 'NATION_3' THEN {_REVENUE} ELSE
+                CAST(0 AS DECIMAL(26,4)) END) AS DOUBLE)
+         / CAST(SUM({_REVENUE}) AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+GROUP BY o_year
+"""
+
+
+@register("tpch_q8_market_share", oracle=_Q8_ORACLE, tags=("relational",))
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of supplier revenue per order
+    year (adapted to the driver's synthetic NATION_i names and flat
+    dimension chain). The share is a ratio of two decimal-exact sums —
+    one IEEE division of bit-identical operands per group."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    o = load_table(spark, sf_dir, "orders")
+    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    zero = F.lit(0).cast("decimal(26,4)")
+    nat_rev = F.when(F.col("n_name") == "NATION_3", revenue).otherwise(zero)
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(nat_rev).cast("double") / F.sum(revenue).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+# ------------------------------------------------------------------ Q13
+
+_Q13_ORACLE = """
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+"""
+
+
+@register("tpch_q13_customer_distribution", oracle=_Q13_ORACLE, tags=("relational",))
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts, with the
+    LEFT OUTER join keeping zero-order customers (count(o_orderkey)
+    skips the null-extended rows, so they land in the c_count=0 bucket
+    — the null-semantics contract the outer join exists to test).
+
+    Plan: one custkey shuffle join + two cheap aggregates; the second
+    groupBy is on c_count (tiny domain), all map-side combined."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    c_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count("*").alias("custdist"))
