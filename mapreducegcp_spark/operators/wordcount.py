@@ -70,3 +70,30 @@ def q_wordcount_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("word").alias("n_distinct"),
         )
     )
+
+
+@register("wordcount_pandas_api", oracle=_WORDCOUNT_ORACLE, tags=("reference-parity",))
+def q_wordcount_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount through the pandas API on Spark — the third API
+    surface (DataFrame, SQL, pandas-on-Spark) computing the identical
+    result, hash-checked against the same oracle. A pandas user can
+    drive this engine with .str/.groupby idioms; everything still
+    compiles to the same distributed plans (regex + explode + hash
+    aggregate), nothing runs on the driver.
+
+    The regex differs in spelling from functions/text.py (pandas
+    .str.replace semantics) but matches the reference tokenizer
+    contract exactly: lowercase, [^a-z]+ -> space, drop empties
+    (SURVEY.md §2.3)."""
+    import os
+
+    import pyspark.pandas as ps
+
+    psdf = ps.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = (
+        psdf["text"].str.lower().str.replace(r"[^a-z]+", " ", regex=True).str.split()
+    )
+    ex = toks.explode().to_frame("word")
+    ex = ex[ex["word"].notna() & (ex["word"] != "")]
+    counts = ex.groupby("word").size().to_frame("cnt").reset_index()
+    return counts.to_spark().select("word", F.col("cnt").cast("long").alias("cnt"))

@@ -66,3 +66,12 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    # ORC carries its schema; no inference scan needed (unlike CSV/JSON)
+    return spark.read.orc(path)

@@ -67,3 +67,14 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from mapreducegcp_spark.sources.formats import read_orc, write_orc
+
+    src = load_table(spark, SF_DIR, "supplier")
+    p = str(tmp_path / "supplier_orc")
+    write_orc(src, p)
+    back = read_orc(spark, p)
+    assert back.schema == src.schema
+    assert sorted(back.collect()) == sorted(src.collect())
