@@ -36,6 +36,7 @@ _OPERATOR_MODULES = [
     "mapreducegcp_spark.operators.similarity",
     "mapreducegcp_spark.operators.textstats",
     "mapreducegcp_spark.operators.multimodal",
+    "mapreducegcp_spark.operators.pipeline",
     "mapreducegcp_spark.streaming.events",
 ]
 
