@@ -4,9 +4,11 @@ The reference has no relational queries at all (SURVEY.md §2.2 — its
 entire query surface is run_mapred, Master/Master.py:61-94); these
 classic shapes demonstrate the relational breadth the PySpark engine
 adds on top. Q1/Q3/Q10 live in aggregates.py / relational.py; this
-module adds Q4, Q6, Q7, Q12, Q14, Q18, Q19 — each adapted where the
-driver schema lacks a TPC-H column (no partsupp, no
-l_commitdate/l_receiptdate/l_shipmode; adaptations noted per query).
+module adds the remaining 19 shapes (Q2, Q4-Q9, Q11-Q22) — the full
+TPC-H inventory — each adapted where the driver schema lacks a TPC-H
+column (no partsupp, no l_commitdate/l_receiptdate/l_shipmode; the
+partsupp-dependent queries Q2/Q9/Q11/Q16/Q20 derive the part–supplier
+relation from lineitem history; adaptations noted per query).
 
 Numeric convention: all money aggregates go through the decimal-exact
 helpers (functions/exact.py) so Spark and the DuckDB oracle produce
@@ -562,3 +564,400 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return c_orders.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ------------------------------------------------------------------ Q5
+
+_Q5_ORACLE = f"""
+SELECT n.n_name AS nation, {o_dsum(_REVENUE)} AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+"""
+
+
+@register("tpch_q5_local_supplier_volume", oracle=_Q5_ORACLE, tags=("relational",))
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue per nation where customer and supplier share
+    the nation, scoped to one region and one order year.
+
+    Plan: region⋈nation⋈supplier collapse into one broadcast chain, so
+    lineitem picks up s_nationkey/n_name map-side; the year filter
+    pushes into the orders scan. The only wide exchanges are
+    lineitem⋈orders (orderkey) and ⋈customer (custkey); the
+    same-nation predicate rides the customer join as a residual —
+    never a separate shuffle. 25 output groups, all map-side combined."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            c,
+            (o.o_custkey == c.c_custkey)
+            & (c.c_nationkey == F.col("s_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(dec2("l_extendedprice") * (1 - dec2("l_discount"))).alias("revenue"))
+    )
+
+
+# ------------------------------------------------------------------ Q2
+
+_Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT ps.*, s.s_name, s.s_acctbal, n.n_name
+  FROM ps
+  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT eu.s_acctbal, eu.s_name, eu.n_name, p.p_partkey, p.p_name, eu.supply_cost
+FROM eu JOIN part p ON eu.l_partkey = p.p_partkey
+WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+  AND eu.supply_cost = (SELECT min(e2.supply_cost) FROM eu e2
+                        WHERE e2.l_partkey = eu.l_partkey)
+ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+@register("tpch_q2_min_cost_supplier", oracle=_Q2_ORACLE, tags=("relational",))
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier
+    offering it at the minimum cost. Adapted: the driver schema has no
+    partsupp, so the part–supplier catalog is derived from lineitem
+    history and supply_cost = min observed unit price
+    (l_extendedprice/l_quantity — deterministic IEEE division, exact
+    min, so the double equality joins identically in both engines).
+
+    Plan: the correlated min subquery decorrelates into a per-part
+    aggregate joined back on (partkey, cost) — both sides of that join
+    come from the same already-shuffled partkey partitioning, so no
+    extra exchange. supplier/nation/region broadcast; the part filter
+    broadcasts too. Top-100 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    eu = ps.join(F.broadcast(s), ps.l_suppkey == F.col("s_suppkey"))
+    mn = eu.groupBy(F.col("l_partkey").alias("mn_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+        )
+    )
+    return (
+        eu.join(
+            mn,
+            (eu.l_partkey == F.col("mn_partkey"))
+            & (eu.supply_cost == F.col("min_cost")),
+        )
+        .join(p, eu.l_partkey == p.p_partkey)
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+    )
+
+
+# ------------------------------------------------------------------ Q9
+
+_Q9_COST = f"{o_dec2('p.p_retailprice')} * {o_dec2('l.l_quantity')}"
+
+_Q9_ORACLE = f"""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+       {o_dsum(f"{_REVENUE} - {_Q9_COST}")} AS sum_profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY n.n_name, o_year
+"""
+
+
+@register("tpch_q9_product_profit", oracle=_Q9_ORACLE, tags=("relational",))
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product line by supplier nation and
+    order year. Adapted: no partsupp, so cost = p_retailprice *
+    l_quantity (decimal-exact, same scale-4 domain as the revenue term
+    — the subtraction never rounds in either engine).
+
+    Plan: the p_name filter prunes part before its broadcast join, so
+    lineitem shrinks map-side before the one orderkey shuffle;
+    supplier/nation broadcast. ~125 output groups (25 nations × 5
+    years), all partial-aggregated."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    o = load_table(spark, sf_dir, "orders")
+    amount = dec2("l_extendedprice") * (1 - dec2("l_discount")) - dec2(
+        "p_retailprice"
+    ) * dec2("l_quantity")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+# ------------------------------------------------------------------ Q11
+
+_Q11_ORACLE = f"""
+WITH v AS (
+  SELECT l.l_partkey, SUM({o_dec2('l.l_extendedprice')}) AS value_dec
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey AS ps_partkey, CAST(value_dec AS DOUBLE) AS value
+FROM v
+WHERE CAST(value_dec AS DOUBLE) >
+      0.001 * (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM v)
+"""
+
+
+@register("tpch_q11_important_stock", oracle=_Q11_ORACLE, tags=("relational",))
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value through one region's
+    suppliers exceeds a fraction of that region's total. Adapted: no
+    partsupp, so value = shipped l_extendedprice through EUROPE
+    suppliers rather than availqty*supplycost.
+
+    The grand total is the decimal sum of the per-part decimal
+    subtotals — decimal addition is associative, so re-aggregating
+    subtotals is exact in any partition order and the single
+    final cast lands on the same double as the oracle's HUGEINT sum.
+
+    Plan: region⋈nation⋈supplier broadcast onto lineitem; one partkey
+    shuffle for the rollup; the total is a 1-row re-aggregate of that
+    rollup (no second lineitem scan) broadcast back as the threshold."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(dec2("l_extendedprice")).alias("value_dec"))
+    )
+    total = v.agg(F.sum("value_dec").cast("double").alias("total"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > 0.001 * F.col("total"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("value_dec").cast("double").alias("value"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ Q16
+
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("tpch_q16_supplier_part_types", oracle=_Q16_ORACLE, tags=("relational",))
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can provide parts
+    of each brand/type/size combo, excluding blacklisted suppliers.
+    Adapted: the part–supplier catalog is the distinct (partkey,
+    suppkey) pairs in lineitem history; the complaint blacklist is
+    suppliers with negative balance (NOT IN, null-free keys ⇒ plain
+    anti join).
+
+    Plan: the distinct-pair dedup and the count-distinct reuse the
+    same partkey-ish shuffle; part's brand/type/size filters broadcast
+    onto the pairs, and the blacklist is a broadcast anti join —
+    lineitem is the only large input and is touched once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "leftanti")
+        .join(p, ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ------------------------------------------------------------------ Q17
+
+_Q17_ORACLE = f"""
+WITH pf AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+a AS (
+  SELECT l.l_partkey AS pk,
+         {o_davg(o_dec2('l.l_quantity'))} AS avg_qty
+  FROM lineitem l JOIN pf ON l.l_partkey = pf.p_partkey
+  GROUP BY l.l_partkey
+)
+SELECT {o_dsum(o_dec2('l.l_extendedprice'))} / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN a ON a.pk = l.l_partkey
+WHERE l.l_quantity < 0.2 * a.avg_qty
+"""
+
+
+@register("tpch_q17_small_quantity_revenue", oracle=_Q17_ORACLE, tags=("relational",))
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders of one brand —
+    lines below 20% of their part's average order quantity (the
+    correlated AVG subquery, decorrelated). Adapted: brand filter only
+    (no p_container in the driver schema).
+
+    Plan: the brand filter semi-joins lineitem down *before* the
+    per-part average — per-part AVG is unchanged by dropping other
+    parts, so the avg aggregate runs on the pruned fraction of
+    lineitem instead of all of it. One partkey shuffle feeds both the
+    average and the join-back (same partitioning, no extra exchange);
+    the average is exact decimal-sum / count in both engines."""
+    pf = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        pf, F.col("l_partkey") == F.col("p_partkey"), "leftsemi"
+    )
+    a = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(a, li.l_partkey == a.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec2("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ Q20
+
+_Q20_ORACLE = f"""
+WITH excess AS (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'small%'
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING SUM({o_dec2('l.l_quantity')}) > 40
+)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND s.s_suppkey IN (SELECT l_suppkey FROM excess)
+"""
+
+
+@register("tpch_q20_part_promotion", oracle=_Q20_ORACLE, tags=("relational",))
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: EUROPE suppliers who shipped a surplus (>40
+    units in 1997) of any 'small*' part — candidates for a promotion.
+    Adapted: surplus is measured from shipment history instead of
+    partsupp availqty.
+
+    Plan: the part-name filter broadcasts onto the date-pruned
+    lineitem scan; one (suppkey, partkey) shuffle for the surplus
+    aggregate (decimal-exact HAVING, identical cut in both engines);
+    the supplier side is a broadcast of the 20 EUROPE suppliers
+    semi-joined against the surplus keys — at any scale the wide side
+    is scanned once and only qualifying pairs survive the exchange."""
+    sp = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    excess = (
+        li.join(sp, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec2("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > 40)
+        .select("l_suppkey")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return s.join(
+        excess, s.s_suppkey == excess.l_suppkey, "leftsemi"
+    ).select("s_name", "s_acctbal")
