@@ -1,0 +1,148 @@
+"""Time-series operators Spark lacks as built-ins: as-of join and
+gap-based sessionization.
+
+The reference has no temporal operators at all (SURVEY.md §2.2 — its
+only dataflow is run_mapred, Master/Master.py:61-94); these are
+engine-side additions in the hypertable/TimescaleDB tradition, built
+as compositions of existing DataFrame ops (SURVEY.md §7 custom-operator
+policy: composition first, applyInPandas only if semantics demand it).
+
+Both operators shuffle ONCE on user_id and then run ordered window
+functions inside each partition — the scalable shape for 100 TB event
+data, where a naive range join (events × events within gap) explodes
+quadratically on hot keys. The DuckDB oracles use native ASOF JOIN /
+window SQL, pinning semantics against an independent implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreducegcp_spark.registry import register
+from mapreducegcp_spark.sources.catalog import load_table
+
+# ------------------------------------------------------------- as-of join
+
+_ASOF_ORACLE = """
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       epoch_us(c.ts) AS last_click_us,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register("asof_join_last_click", oracle=_ASOF_ORACLE, tags=("timeseries",))
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the most recent click at or
+    before it by the same user (NULL if none) — the canonical
+    trade-vs-quote temporal join.
+
+    Implementation: tag clicks 0 / purchases 1, union, and take
+    ``last(click_ts, ignorenulls)`` over a (user_id) window ordered by
+    (ts, tag, event_id) — clicks sort before purchases at equal ts,
+    giving the ASOF's inclusive ``>=`` bound. One user_id shuffle, one
+    in-partition sort, zero joins: at 100 TB this is the merge-scan
+    plan an ASOF-native engine would pick, with no risk of the
+    quadratic blowup a range self-join has on hot users. Timestamps
+    compare as exact microsecond longs in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(0).alias("tag"),
+        F.unix_micros("ts").alias("click_us"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("click_us"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click_us", F.last("click_us", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        "last_click_us",
+        (F.unix_micros("ts") - F.col("last_click_us")).alias("gap_us"),
+    )
+
+
+# --------------------------------------------------------- sessionization
+
+_GAP_MIN = 60
+
+_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) AS end_us,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@register("sessionize_events", oracle=_SESSION_ORACLE, tags=("timeseries",))
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is
+    idle for more than {gap} minutes; emit per-session event count,
+    bounds, and duration — the batch twin of the streaming
+    session_window operator (streaming/events.py).
+
+    Implementation: lag + running-sum-of-boundaries over one (user_id)
+    window — the standard decomposition. The follow-up per-session
+    rollup groups on (user_id, session_id), a superset of the window's
+    partition key, so Catalyst reuses the same user_id exchange:
+    one shuffle total, no matter the data size. Session numbering is
+    deterministic under ties via the (ts, event_id) total order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = _GAP_MIN * 60 * 1_000_000
+    lag_us = F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        lag_us.isNull() | (F.unix_micros("ts") - lag_us > gap_us), 1
+    ).otherwise(0)
+    numbered = ev.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+    )
