@@ -349,3 +349,52 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "c_name", F.col("n_name").alias("nation"), "revenue", "n_lines"
         )
     )
+
+
+_SKEW_SALT_ORACLE = f"""
+SELECT o.o_orderpriority AS priority, {o_dsum(_REVENUE)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY o.o_orderpriority
+"""
+
+_N_SALT = 8
+
+
+@register("join_skew_salted", oracle=_SKEW_SALT_ORACLE, tags=("relational",))
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually skew-salted large⋈large join: lineitem rows scatter
+    across N_SALT sub-keys of their orderkey; the orders side
+    replicates each row N_SALT times (explode) so every sub-key still
+    finds its match. A hot orderkey that would pin one reducer now
+    spreads over 8, at the cost of an 8× blowup of the (smaller)
+    replicated side. Result is provably identical to the plain join —
+    the oracle IS the unsalted join.
+
+    When to use at 100 TB: AQE's skew-join split
+    (spark.sql.adaptive.skewJoin) handles skew discovered at runtime
+    and should be the first tool; explicit salting is for the cases
+    AQE can't fix — skew inside a single key (AQE can only split
+    *partitions*, and one key's rows all hash to one partition until
+    salted) — and for deterministic layouts in bucketed pipelines.
+    The salt is a hash of the line number, not rand(): retried tasks
+    must land rows on the same sub-key or results double-count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    salted_li = li.withColumn(
+        "salt", F.pmod(F.hash("l_linenumber"), F.lit(_N_SALT))
+    )
+    replicated_o = o.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_N_SALT)]))
+    )
+    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    return (
+        salted_li.join(
+            replicated_o,
+            (salted_li.l_orderkey == replicated_o.o_orderkey)
+            & (salted_li.salt == replicated_o.salt),
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n_lines"))
+    )

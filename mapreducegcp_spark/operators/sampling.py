@@ -1,0 +1,154 @@
+"""Deterministic sampling, dataset splitting, and profiling — the
+bookkeeping operators of a training-data pipeline.
+
+All sampling here is *universe* (hash-based) sampling: membership is a
+pure function of the row key via md5, so it is reproducible across
+engines, runs, partitionings, and cluster sizes — unlike rand()-based
+Bernoulli sampling, which can never be oracle-checked and silently
+reshuffles membership on every retry of a failed task. The reference
+has no sampling at all (SURVEY.md §2.2).
+
+Cross-engine contract: Spark ``conv(substr(md5(k),1,8),16,10)`` and
+DuckDB ``CAST('0x'||substr(md5(k),1,8) AS BIGINT)`` parse the same 8
+hex chars to the same integer; both mod it into buckets. md5 of the
+same bytes is identical everywhere, so split assignment is portable —
+the property a 100 TB pipeline needs when train/eval membership must
+survive re-runs and engine migrations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducegcp_spark.registry import register
+from mapreducegcp_spark.sources.catalog import load_table
+
+
+def md5_bucket(key: F.Column, n_buckets: int) -> F.Column:
+    """Deterministic [0, n_buckets) bucket from a string key column."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long"), n_buckets
+    )
+
+
+def _o_bucket(key_sql: str, n_buckets: int) -> str:
+    return f"(CAST(('0x' || substr(md5({key_sql}),1,8)) AS BIGINT) % {n_buckets})"
+
+
+# ------------------------------------------------------- train/val/test
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       {_o_bucket("CAST(doc_id AS VARCHAR)", 100)} AS bucket,
+       CASE WHEN {_o_bucket("CAST(doc_id AS VARCHAR)", 100)} < 80 THEN 'train'
+            WHEN {_o_bucket("CAST(doc_id AS VARCHAR)", 100)} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register("split_train_val_test", oracle=_SPLIT_ORACLE, tags=("llm-pipeline",))
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by hashing doc_id into 100
+    buckets. Stateless and embarrassingly parallel — a map-only
+    projection with no shuffle; new documents land in a stable split
+    without reassigning old ones (the property random splits lack)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_bucket(F.col("doc_id").cast("string"), 100)
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ----------------------------------------------------- stratified sample
+
+_RATES = {"purchase": 100, "click": 25, "view": 5, "signup": 100, "error": 50}
+
+_RATE_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _RATES.items()
+)
+
+_STRAT_ORACLE = f"""
+SELECT event_id, user_id, ts, event_type, value
+FROM events
+WHERE {_o_bucket("CAST(event_id AS VARCHAR)", 100)} <
+      CASE event_type {_RATE_CASE} ELSE 0 END
+"""
+
+
+@register("sample_stratified", oracle=_STRAT_ORACLE, tags=("llm-pipeline",))
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class universe sampling: keep 100% of rare classes
+    (purchase/signup) and downsample frequent ones (view to 5%) — the
+    class-rebalancing pass before training. Membership is a pure
+    function of event_id, so the sample is identical on every run and
+    every engine. Map-only: the predicate evaluates in the scan stage,
+    no shuffle, and at 100 TB the filter cuts the data before anything
+    wide happens downstream."""
+    ev = load_table(spark, sf_dir, "events")
+    rate = F.col("event_type")
+    rate_expr = F.lit(0)
+    for k, v in _RATES.items():
+        rate_expr = F.when(rate == k, v).otherwise(rate_expr)
+    return ev.filter(
+        md5_bucket(F.col("event_id").cast("string"), 100) < rate_expr
+    ).select("event_id", "user_id", "ts", "event_type", "value")
+
+
+# ------------------------------------------------------------- profiling
+
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS col_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_str,
+       MAX(CAST({c} AS VARCHAR)) AS max_str
+FROM documents"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_documents", oracle=_PROFILE_ORACLE, tags=("llm-pipeline",))
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the documents table — row count, null count,
+    exact distinct count, lexicographic min/max — one output row per
+    column; the data-quality gate run before any expensive pipeline
+    stage.
+
+    Implementation: all five columns' metrics aggregate in a single
+    scan (one global agg row, then an in-memory unpivot of 5×6 scalar
+    cells via stack) — versus the naive per-column pass that reads the
+    table N_cols times. COUNT(DISTINCT) over multiple columns in one
+    agg triggers Spark's expand-based rewrite: the scan multiplies 5×
+    in the map stage but the table is still read once. min/max compare
+    as strings in both engines (binary collation either side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.min(s).alias(f"{c}__min"),
+            F.max(s).alias(f"{c}__max"),
+        ]
+    row = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__null, {c}__dist, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return row.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_rows, n_null, n_distinct, min_str, max_str)"
+    )
