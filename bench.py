@@ -44,6 +44,9 @@ HEADLINE = [
     "tfidf_top_terms",      # tf-idf scoring + per-doc top-k
     "subquery_scalar_correlated",  # decorrelated scalar subquery
     "tpch_q10_returned_items",     # multi-join + agg + top-k
+    "asof_join_last_click",        # single-shuffle temporal as-of join
+    "sessionize_events",           # gap sessionization (one exchange)
+    "pipeline_corpus_clean",       # fused filter->dedup->rollup pipeline
     "stream_tumbling_counts",      # streaming windowed rollup (replay)
 ]
 
