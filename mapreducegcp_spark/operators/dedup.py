@@ -193,56 +193,103 @@ MINHASH_K = 32  # signature length
 LSH_BANDS = 8   # 8 bands x 4 rows -> catches jaccard >= ~0.5 w.h.p.
 
 
+# Kirsch–Mitzenmacher double hashing: permutation i over shingles is
+# g_i(s) = (h1(s) + i*h2(s)) mod 2^32, with h1/h2 = two 32-bit halves of
+# one md5 — ONE string hash per shingle feeds all K permutations, and
+# both engines compute the identical value (md5 is md5 everywhere).
+_MOD = 4_294_967_296  # 2^32
+
+
 def minhash_signatures(doc_shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """Wide k-column MinHash signatures from an exploded
     (doc_id, shingle) table: ``doc_id, m0..m{k-1}``.
 
-    Permutation i is simulated by xxhash64(shingle, seed=i); signature
-    element i is MIN(m_i) per document. Expressed columnar — explode,
-    k scalar hashes, one groupBy with k MIN aggregates — everything
+    Signature element i is MIN(g_i(shingle)) per document under the
+    double-hashing family above. Expressed columnar — explode, one md5,
+    k arithmetic mins, one groupBy with k MIN aggregates — everything
     stays in whole-stage codegen with map-side partial aggregation, so
     shuffle rows = one per (doc, partition). The nested-higher-order-
     function formulation (transform over seeds x array_min over
     shingles) is ~5x slower: HOF lambdas are interpreted per element
     and allocate an intermediate array per seed (measured at sf0.1).
     """
-    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"m{i}") for i in range(k)]
+    h1 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("long")
+    aggs = [F.min((h1 + F.lit(i) * h2) % F.lit(_MOD)).alias(f"m{i}") for i in range(k)]
     return doc_shingles.groupBy("doc_id").agg(*aggs)
 
 
-@register("dedup_minhash_lsh", tags=("llm-pipeline", "rows-only"))
+def _minhash_oracle() -> str:
+    r = MINHASH_K // LSH_BANDS
+    mins = ", ".join(
+        f"MIN((h1 + {i}*h2) % {_MOD}) AS m{i}" for i in range(MINHASH_K)
+    )
+    banded = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, concat("
+        + ", ',', ".join(f"m{b * r + j}" for j in range(r))
+        + ") AS bucket FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    eq = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K)
+    )
+    return f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tk),
+hh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+  FROM sh
+),
+sig AS (SELECT doc_id, {mins} FROM hh GROUP BY doc_id),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ({eq}) / 32.0 AS jaccard_est
+FROM cand
+JOIN sig sa ON doc_a = sa.doc_id
+JOIN sig sb ON doc_b = sb.doc_id
+WHERE ({eq}) / 32.0 >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("llm-pipeline",))
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle -> 32-hash signature ->
     8 bands of 4 -> band-bucket join -> exact-signature Jaccard estimate.
 
-    Rows-only check (xxhash64 has no DuckDB twin); the EXACT
-    dedup_ngram_jaccard query above is the semantic oracle — tests
-    assert LSH recall against it on the same corpus.
+    Fully oracle-checked: the md5-based double-hashing family is
+    engine-portable, so DuckDB reproduces the identical signatures,
+    candidate pairs, and estimates. The EXACT dedup_ngram_jaccard query
+    above remains the semantic ground truth — tests assert LSH recall
+    against it on the same corpus.
 
     Scale: this is THE fuzzy-dedup design for 100 TB. Per document the
-    shuffle carries 8 (band_hash, doc_id) pairs — constant, independent
-    of document size. Candidate generation is a self-join on band_hash
-    (uniform 64-bit keys, no planned skew; a pathological bucket is
+    shuffle carries 8 (band, bucket) pairs — constant, independent
+    of document size. Candidate generation is a self-join on the band
+    bucket (uniform keys, no planned skew; a pathological bucket is
     handled by AQE skew-join). Signature comparison happens only on the
-    (much smaller) candidate-pair set; raw text is tokenized exactly
-    once. 132s -> ~8s at sf0.1 vs the earlier nested-HOF plan.
+    (much smaller) candidate-pair set; raw text is tokenized and md5'd
+    exactly once per shingle regardless of K. At production scale the
+    bucket string would be xxhash64'd down to 8 bytes before the
+    shuffle; it stays raw here so both engines join on identical keys.
+    132s -> ~8s at sf0.1 vs the earlier nested-HOF plan.
     """
     r = MINHASH_K // LSH_BANDS
     sigw = minhash_signatures(_doc_shingles(spark, sf_dir)).cache()
 
     # Narrow band table: (doc_id, band, bucket) only — the signatures do
-    # NOT flow through the self-join shuffle. Buckets hash straight off
-    # the wide min columns; no array assembly in the hot path.
+    # NOT flow through the self-join shuffle.
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.lit(str(b)),
-                        *[F.col(f"m{b * r + j}").cast("string") for j in range(r)],
-                    )
+                F.concat_ws(
+                    ",", *[F.col(f"m{b * r + j}").cast("string") for j in range(r)]
                 ).alias("bucket"),
             )
             for b in range(LSH_BANDS)
@@ -289,34 +336,64 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- SimHash
 
-@register("dedup_simhash", tags=("llm-pipeline", "rows-only"))
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document (rows-only: xxhash64).
+SIMHASH_BITS = 60  # 15 hex chars of md5: portable across engines, fits BIGINT
 
-    bit b of the fingerprint = sign of sum over tokens of ±1 according
-    to bit b of xxhash64(token). Computed as 64 conditional-sum
-    aggregates after a token explode — one shuffle keyed by doc_id with
-    map-side partial aggregation, so shuffle rows = docs x 1.
-    Near-dup candidates at scale: band the 64 bits into 4x16 and join
-    on any equal chunk (not materialized here; see dedup_minhash_lsh
-    for the banding pattern).
+_SIMHASH_BITSUMS = ", ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIMHASH_ASSEMBLE = " + ".join(
+    f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(SIMHASH_BITS)
+)
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM tok
+),
+bits AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM h GROUP BY doc_id)
+SELECT doc_id, {_SIMHASH_ASSEMBLE} AS simhash FROM bits
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("llm-pipeline",))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document: bit b = sign of the sum
+    over tokens of ±1 according to bit b of the token's hash.
+
+    The token hash is the first 15 hex chars of md5 — bit-identical in
+    Spark (``conv(substr(md5,1,15),16,10)``) and DuckDB
+    (``'0x'||substr`` cast), which upgrades this from a rows-only check
+    to a full value-hash oracle. A production run would swap md5 for
+    xxhash64 (~5× cheaper, same downstream shape) — the operator
+    structure is hash-agnostic.
+
+    Computed as 60 conditional-sum aggregates after a token explode —
+    one shuffle keyed by doc_id with map-side partial aggregation, so
+    shuffle rows = docs × 1 (the 60 partial sums ride one row).
+    Near-dup candidates at scale: band the bits into 4×15 chunks and
+    join on any equal chunk (see dedup_minhash_lsh for the pattern).
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
-    h = F.xxhash64("tok")
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     bit_sums = [
         F.sum(
             F.when((F.shiftright(h, b).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy("doc_id").agg(*bit_sums)
-    # assemble: sum of 2^b for positive-majority bits, as unsigned-ish bigint
     fingerprint = None
-    for b in range(64):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint")).otherwise(
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
-        ) * F.lit(1 << b if b < 63 else -(1 << 63)).cast("bigint")
+        )
         fingerprint = term if fingerprint is None else fingerprint + term
     return agg.select("doc_id", fingerprint.alias("simhash"))
 

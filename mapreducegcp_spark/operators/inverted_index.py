@@ -64,8 +64,41 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(load_table(spark, sf_dir, "documents"))
 
 
-@register("inverted_index_nested", tags=("reference-parity", "rows-only"))
+_NESTED_ORACLE = f"""
+WITH norm AS (
+  SELECT word, doc_id, count(*) AS cnt
+  FROM (
+    SELECT doc_id, unnest({TOKEN_ORACLE_EXPR.format(col='text')}) AS word
+    FROM documents
+  )
+  WHERE word <> ''
+  GROUP BY word, doc_id
+)
+SELECT word,
+       to_json(map_from_entries(list_sort(
+         list({{'key': CAST(doc_id AS VARCHAR), 'value': cnt}})
+       ))) AS postings_json
+FROM norm GROUP BY word
+"""
+
+
+@register("inverted_index_nested", oracle=_NESTED_ORACLE, tags=("reference-parity",))
 def q_inverted_index_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nested map output — rows-only check (MapType has no stable
-    SQL-comparable form in the hash oracle; see SURVEY.md §7 risk 2)."""
-    return inverted_index_nested(load_table(spark, sf_dir, "documents"))
+    """Nested postings-map output, serialized as canonical JSON with
+    entries sorted by (string) doc key — both engines emit the byte-
+    identical ``{"doc":cnt,...}`` string, which upgrades the
+    reference's literal ``{word: {filename: count}}`` shape from a
+    rows-only check to a full value-hash oracle. The raw MapType
+    presentation stays available via ``inverted_index_nested()``."""
+    norm = inverted_index(load_table(spark, sf_dir, "documents"))
+    entries = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("doc_id").cast("string").alias("key"),
+                F.col("cnt").alias("value"),
+            )
+        )
+    )
+    return norm.groupBy("word").agg(
+        F.to_json(F.map_from_entries(entries)).alias("postings_json")
+    )
