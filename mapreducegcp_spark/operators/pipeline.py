@@ -70,3 +70,190 @@ def q_pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
     )
+
+
+# ---------------------------------------------------- incremental dedup
+
+# Near-dup admission threshold — kept in lockstep with
+# operators/dedup.py::_JACCARD_THRESHOLD (asserted at import below).
+MIN_JACCARD = 0.5
+
+_NEW_SOURCE = "src18"  # the arriving batch; everything else is the corpus
+
+_INCR_ORACLE = f"""
+WITH tk AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 1, 0) + 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM tk
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+hashes AS (
+  SELECT doc_id, source,
+         sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents
+),
+exact_hit AS (
+  SELECT DISTINCT n.doc_id
+  FROM hashes n JOIN hashes o ON n.h = o.h AND o.source <> '{_NEW_SOURCE}'
+  WHERE n.source = '{_NEW_SOURCE}'
+),
+pairs AS (
+  SELECT a.doc_id AS new_doc, b.doc_id AS old_doc, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.source = '{_NEW_SOURCE}' AND b.source <> '{_NEW_SOURCE}'
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT p.new_doc, p.old_doc,
+         CAST(p.n_common AS DOUBLE) / (sa.sz + sb.sz - p.n_common) AS jaccard
+  FROM pairs p
+  JOIN sizes sa ON p.new_doc = sa.doc_id
+  JOIN sizes sb ON p.old_doc = sb.doc_id
+),
+best AS (
+  SELECT new_doc, old_doc, jaccard,
+         row_number() OVER (PARTITION BY new_doc
+                            ORDER BY jaccard DESC, old_doc) AS rn
+  FROM scored WHERE jaccard >= {MIN_JACCARD}
+)
+SELECT d.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'drop_exact'
+            WHEN b.new_doc IS NOT NULL THEN 'drop_neardup'
+            ELSE 'keep' END AS decision,
+       b.old_doc AS match_doc_id,
+       b.jaccard
+FROM documents d
+LEFT JOIN exact_hit e ON d.doc_id = e.doc_id
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.new_doc
+WHERE d.source = '{_NEW_SOURCE}'
+"""
+
+
+@register("dedup_incremental", oracle=_INCR_ORACLE, tags=("llm-pipeline",))
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: admit an arriving batch (source = src18)
+    against the existing corpus — drop exact-normalized duplicates,
+    then near-duplicates (shingle Jaccard >= 0.5 against any corpus
+    doc, reporting the best match), keep the rest. This is the
+    continuous-ingestion shape: only the NEW batch is shingled and
+    probed; the corpus side is an inverted shingle index that a real
+    deployment would have materialized incrementally.
+
+    Scale: cost is proportional to the new batch's shingle mass times
+    per-shingle corpus frequency — independent of corpus size for
+    non-pathological shingles (cap document frequency to bound the hot
+    ones). The exact stage is one hash semi-join; the near-dup stage
+    reuses the dedup_ngram_jaccard inverted-index join asymmetrically."""
+    from mapreducegcp_spark.operators.dedup import _JACCARD_THRESHOLD, shingles
+
+    assert _JACCARD_THRESHOLD == MIN_JACCARD
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("source") == _NEW_SOURCE
+    norm_hash = F.sha2(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), 256
+    )
+    hashed = docs.select("doc_id", "source", norm_hash.alias("h"))
+    new_h = hashed.filter(is_new)
+    old_h = hashed.filter(~is_new).select(F.col("h").alias("h_old"))
+    exact_hit = (
+        new_h.join(old_h, new_h.h == F.col("h_old"), "leftsemi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(True))
+    )
+
+    sh = docs.select(
+        "doc_id", "source", tokens("text").alias("toks")
+    ).select("doc_id", "source", F.explode(shingles("toks")).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    new_sh = sh.filter(is_new).select(F.col("doc_id").alias("new_doc"), "shingle")
+    old_sh = sh.filter(~is_new).select(F.col("doc_id").alias("old_doc"), "shingle")
+    pairs = (
+        new_sh.join(old_sh, "shingle")
+        .groupBy("new_doc", "old_doc")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("new_doc"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("old_doc"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    scored = (
+        pairs.join(sa, "new_doc")
+        .join(sb, "old_doc")
+        .select("new_doc", "old_doc", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("new_doc").orderBy(F.desc("jaccard"), F.asc("old_doc"))
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    new_docs = docs.filter(is_new).select("doc_id")
+    return (
+        new_docs.join(exact_hit, "doc_id", "left")
+        .join(best, new_docs.doc_id == best.new_doc, "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), "drop_exact")
+            .when(F.col("new_doc").isNotNull(), "drop_neardup")
+            .otherwise("keep")
+            .alias("decision"),
+            F.col("old_doc").alias("match_doc_id"),
+            "jaccard",
+        )
+    )
+
+
+# ------------------------------------------------- decontamination
+
+_BENCH_SOURCE = "src0"  # stands in for the eval/benchmark document set
+_CONTAM_THRESHOLD = 10  # shared shingles that flag a training doc
+
+_DECONTAM_ORACLE = f"""
+WITH tk AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 1, 0) + 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM tk
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE source = '{_BENCH_SOURCE}')
+SELECT s.doc_id, count(*) AS n_shared,
+       count(*) >= {_CONTAM_THRESHOLD} AS flagged
+FROM sh s JOIN bench b ON s.shingle = b.shingle
+WHERE s.source <> '{_BENCH_SOURCE}'
+GROUP BY s.doc_id
+"""
+
+
+@register("decontaminate_ngram_overlap", oracle=_DECONTAM_ORACLE, tags=("llm-pipeline",))
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: count each training document's
+    3-gram shingles that also occur anywhere in the eval set (source =
+    src0) and flag docs at >= {threshold} shared shingles — the
+    contamination screen run before training on scraped data.
+
+    Scale: the eval set's distinct-shingle table is small (eval suites
+    are thousands of docs, not billions) — broadcast it, making this a
+    map-side semi-join + per-doc count with ONE shuffle on doc_id.
+    Training-corpus shingles stream through without materializing."""
+    from mapreducegcp_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", tokens("text").alias("toks")
+    ).select("doc_id", "source", F.explode(shingles("toks")).alias("shingle"))
+    bench = (
+        sh.filter(F.col("source") == _BENCH_SOURCE).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("source") != _BENCH_SOURCE)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared"),
+            (F.count("*") >= _CONTAM_THRESHOLD).alias("flagged"),
+        )
+    )
