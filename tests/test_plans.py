@@ -1,0 +1,87 @@
+"""Physical-plan invariants — the scale design, frozen as assertions.
+
+These guard the properties SCALE.md argues from: filters reach parquet
+scans, dimensions broadcast, single-shuffle operators stay single-
+shuffle, and no plan regresses to a sort-merge join where a broadcast
+was intended. A refactor that silently breaks one of these would still
+pass the value oracles (correctness is partition-independent) — this
+file is what catches it.
+"""
+
+import re
+
+import pytest
+
+from mapreducegcp_spark.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plans(spark, name):
+    df = all_queries()[name].fn(spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return qe.executedPlan().toString(), qe.explainString(mode)
+
+
+def _exchanges(tree: str) -> int:
+    return len(re.findall(r"Exchange hashpartitioning", tree))
+
+
+def _pushed(formatted: str) -> int:
+    return sum(
+        1
+        for m in re.findall(r"PushedFilters: \[([^\]]*)\]", formatted)
+        if m.strip()
+    )
+
+
+# (query, max hash exchanges, min broadcast joins, sort-merge allowed)
+SHAPE = [
+    ("wordcount", 1, 0, False),
+    ("inverted_index", 1, 0, False),
+    ("dedup_exact", 1, 0, False),
+    ("sessionize_events", 1, 0, False),
+    ("asof_join_last_click", 1, 0, False),
+    ("split_train_val_test", 0, 0, False),
+    ("tpch_q7_nation_volume", 3, 4, False),
+    ("join_nation_revenue", 3, 2, False),
+]
+
+
+@pytest.mark.parametrize("name,max_ex,min_bhj,smj_ok", SHAPE)
+def test_plan_shape(spark, name, max_ex, min_bhj, smj_ok):
+    tree, _ = _plans(spark, name)
+    assert _exchanges(tree) <= max_ex, f"{name}: too many shuffles\n{tree[:2000]}"
+    assert tree.count("BroadcastHashJoin") >= min_bhj, name
+    if not smj_ok:
+        assert "SortMergeJoin" not in tree, f"{name}: unexpected sort-merge join"
+
+
+def test_q6_filters_reach_the_scan(spark):
+    _, formatted = _plans(spark, "tpch_q6_forecast_revenue")
+    assert _pushed(formatted) >= 1
+    # all three predicates present among the pushed filters
+    for frag in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert re.search(rf"PushedFilters: \[[^\]]*{frag}", formatted), frag
+
+
+def test_q6_column_pruning(spark):
+    _, formatted = _plans(spark, "tpch_q6_forecast_revenue")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", formatted)
+    assert schemas and all(len(s.split(",")) <= 4 for s in schemas), schemas
+
+
+def test_wordcount_scans_one_column(spark):
+    _, formatted = _plans(spark, "wordcount")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", formatted)
+    assert schemas and all(len(s.split(",")) == 1 for s in schemas), schemas
+
+
+def test_sessionize_rollup_reuses_window_exchange(spark):
+    # window partition (user_id) + rollup on (user_id, session_id):
+    # Catalyst must plan ONE exchange, not two
+    tree, _ = _plans(spark, "sessionize_events")
+    assert _exchanges(tree) == 1, tree[:2000]
