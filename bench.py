@@ -60,6 +60,7 @@ def main() -> None:
     sf_dir = sf_dir_from_env()
     spark = get_spark("mapreducegcp-bench")
     catalog = all_queries()
+    names = sorted(catalog) if "--all" in sys.argv else HEADLINE
 
     # Warmup: run the cheapest query once to pay JVM + codegen startup.
     catalog["wordcount"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -69,7 +70,7 @@ def main() -> None:
     # engine-side number (run-to-run noise at sf0.1 measured up to 6x
     # on short queries with a single pass).
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         rq = catalog.get(name)
         if rq is None:
             continue

@@ -61,6 +61,36 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdf
 
 
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+class stream_partitions:
+    """Temporarily size ``spark.sql.shuffle.partitions`` for stateful
+    streaming.
+
+    Every stateful operator materializes one state store per shuffle
+    partition per micro-batch; at core-count partitions (32 here) the
+    store open/commit overhead dominates small streams — measured 4x
+    on the stream-stream join at sf0.1 (8.9s -> 2.2s). Production
+    sizing tracks state volume / key cardinality, not core count, and
+    is fixed at the FIRST checkpoint of a query's life; these replay
+    harness queries start fresh each call, so a scoped override is
+    safe and results are partition-independent either way.
+    """
+
+    def __init__(self, spark: SparkSession, n: int = STREAM_SHUFFLE_PARTITIONS):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(self.n, int(self.prev)))
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink.
 
@@ -70,16 +100,17 @@ def run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     and returns the sink as a batch DataFrame.
     """
     name = f"mem_{uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_partitions(df.sparkSession):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return df.sparkSession.table(name)
 
 
@@ -376,9 +407,10 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(bdf: DataFrame, epoch_id: int) -> None:
         bdf.write.mode("overwrite").parquet(out)
 
-    q = agg.writeStream.foreachBatch(write_batch).outputMode("complete").start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_partitions(spark):
+        q = agg.writeStream.foreachBatch(write_batch).outputMode("complete").start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.read.parquet(out)
