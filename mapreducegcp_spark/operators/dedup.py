@@ -127,6 +127,23 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, 64-bit shingle id) — for count-only shingle joins.
+
+    Joining on xxhash64 ids instead of ~25-byte shingle strings cuts
+    the self-join shuffle width ~3x (measured 2.9s -> 2.3s at sf0.1).
+    Only valid where shingle IDENTITY feeds counts, never where the
+    string value is consumed (MinHash md5 needs the raw string). A
+    64-bit collision would miscount one pair; at 2^32 distinct
+    shingles the birthday bound is ~2^-1 per *corpus*, at the 27k
+    distinct shingles of sf0.1 it is ~2^-35 — and the DuckDB oracle
+    (which joins raw strings) would flag any miscount at check scale.
+    """
+    return _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
+
+
 # ------------------------------------------------- exact n-gram Jaccard
 
 _JACCARD_THRESHOLD = 0.5
@@ -164,8 +181,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     with document-frequency above a cap (they can't create >=tau pairs
     on their own but explode the join), or going straight to MinHash.
     Exact integer intersection/union -> one double division: hash-stable.
+    The join key is the 64-bit shingle id (_doc_shingle_ids) — identity
+    only, counts unchanged.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _doc_shingle_ids(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
