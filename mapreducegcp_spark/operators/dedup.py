@@ -562,3 +562,46 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+@register("dedup_clusters_recursive_sql", oracle=_CLUSTERS_ORACLE, tags=("llm-pipeline",))
+def q_dedup_clusters_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution via WITH RECURSIVE (Spark 4 native
+    recursion) — same result as dedup_connected_components, same DuckDB
+    oracle, different execution path: the transitive closure runs
+    INSIDE the engine instead of as a driver-controlled join loop.
+
+    When to choose which at 100 TB: the recursive CTE materializes the
+    full reachability relation (src, dst) — O(sum of component sizes
+    squared) rows — so it is right for graphs with small components
+    (dup clusters: 2-5 docs) and wrong for large ones; the iterative
+    min-label loop (above) carries one label per node regardless of
+    component size and converges in diameter rounds. Both are shipped
+    because the crossover is real."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs.createOrReplaceTempView("dup_pairs")
+    # Spark 4 recursion only supports UNION ALL (no fixpoint dedup), so
+    # the walk is depth-bounded: exact whenever component diameter <= 8
+    # (dup clusters are tiny cliques; the DuckDB oracle computes the
+    # TRUE closure, so the check would fail if the bound were ever too
+    # small). Path count on a k-clique grows (k-1)^depth — fine for
+    # dup-sized components, the reason large graphs use the loop above.
+    return spark.sql(
+        """
+        WITH RECURSIVE
+        e AS (SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM dup_pairs),
+        nodes AS (SELECT DISTINCT a AS n FROM e),
+        reach(src, dst, depth) AS (
+          SELECT n, n, 0 FROM nodes
+          UNION ALL
+          SELECT r.src, e.b, r.depth + 1
+          FROM reach r JOIN e ON r.dst = e.a
+          WHERE r.depth < 8
+        )
+        SELECT src AS doc_id, min(dst) AS cluster_id
+        FROM reach
+        GROUP BY src
+        """
+    )

@@ -398,3 +398,47 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n_lines"))
     )
+
+
+_LATERAL_ORACLE = f"""
+SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey,
+       {o_dec2('l.o_totalprice')}::DOUBLE AS o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 2
+) l
+WHERE c.c_acctbal > 9000
+"""
+
+
+@register("join_lateral_topn", oracle=_LATERAL_ORACLE, tags=("relational",))
+def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each rich customer's two most
+    expensive finished orders — the per-row top-N join SQL:2016
+    standardized and Spark 4 executes natively.
+
+    Catalyst decorrelates the LATERAL into the same plan the manual
+    window-rank formulation produces (partition by custkey, rank,
+    filter <= 2) — one custkey shuffle, no nested-loop per row. The
+    deterministic ORDER BY tie-break keeps the row set hash-stable."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey,
+               CAST(CAST(l.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          LIMIT 2
+        ) l
+        WHERE c.c_acctbal > 9000
+        """
+    )

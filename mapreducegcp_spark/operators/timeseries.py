@@ -146,3 +146,65 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_us"
         ),
     )
+
+
+# -------------------------------------------------- calendar gap fill
+
+_GAP_FILL_ORACLE = """
+WITH spine AS (
+  SELECT CAST(d AS TIMESTAMP) AS day
+  FROM generate_series(DATE '1997-01-01', DATE '1997-03-31', INTERVAL 1 DAY) t(d)
+),
+daily AS (
+  SELECT date_trunc('day', l_shipdate) AS day,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_lines
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT s.day, coalesce(d.revenue, 0.0) AS revenue,
+       coalesce(d.n_lines, 0) AS n_lines
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+"""
+
+
+@register("calendar_gap_fill", oracle=_GAP_FILL_ORACLE, tags=("timeseries",))
+def q_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill: daily revenue for a quarter with zero rows
+    for days that had no shipments — the densification step before any
+    moving-average or forecasting pass (a day missing from the data is
+    a 0, not a gap, once a spine is joined).
+
+    The spine is ``sequence(start, stop, interval 1 day)`` exploded —
+    generated at the driver-free expression level, 90 rows, broadcast
+    to the left join. Spark's idiomatic spine needs no recursion (vs
+    the recursive-CTE spine older engines use); the daily rollup is
+    one date-keyed shuffle with pushed-down scan bounds."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    from mapreducegcp_spark.functions.exact import dec2
+
+    daily = (
+        li.groupBy(F.date_trunc("day", "l_shipdate").alias("day"))
+        .agg(
+            F.sum(dec2("l_extendedprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1997-01-01").cast("timestamp"),
+                F.lit("1997-03-31").cast("timestamp"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+    )
