@@ -39,6 +39,7 @@ _OPERATOR_MODULES = [
     "mapreducegcp_spark.operators.pipeline",
     "mapreducegcp_spark.operators.timeseries",
     "mapreducegcp_spark.operators.sampling",
+    "mapreducegcp_spark.sources.pysource",
     "mapreducegcp_spark.streaming.events",
 ]
 

@@ -1,0 +1,106 @@
+"""Custom Python data source (Spark 4 DataSource API).
+
+The reference's only "source" is its Master-side chunker feeding a KV
+store (Master/Master.py:188-255). Spark subsumes file sources entirely
+(sources/catalog.py); this module exercises the OTHER direction a real
+pipeline needs — a programmatic source that is not a file at all
+(a service, a queue, a generator) — via PySpark 4's Python DataSource
+API: schema declaration, option passing, and partition-parallel reads
+that scale out like any file scan.
+
+The shipped source is a deterministic synthetic-row generator (LCG
+arithmetic, no RNG state), so the DuckDB oracle reproduces every row
+with generate_series — the custom-source path gets the same exact
+value-hash check as the parquet path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from mapreducegcp_spark.registry import register
+
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2_147_483_648  # 2^31
+
+N_ROWS = 100_000
+N_PARTS = 8
+
+
+def make_synthetic_rows_source():
+    """Build the DataSource class in local scope so cloudpickle ships
+    it BY VALUE — the plan-time and executor Python workers must not
+    need this package on their import path (same rule as
+    operators/multimodal.py::make_feature_extractor)."""
+
+    class SyntheticRowsReader(DataSourceReader):
+        def __init__(self, options) -> None:
+            self.n = int(options.get("n", N_ROWS))
+            self.parts = int(options.get("partitions", N_PARTS))
+
+        def partitions(self):
+            # one InputPartition per stride class -> Spark schedules
+            # them as independent tasks, exactly like file splits
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition: InputPartition):
+            for i in range(partition.value, self.n, self.parts):
+                v = (i * _LCG_A + _LCG_C) % _LCG_M
+                yield (i, v, i % 7)
+
+    class SyntheticRowsDataSource(DataSource):
+        """``spark.read.format("synthetic_rows").option("n", ...)`` —
+        id, an LCG-derived value, and a small category bucket."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_rows"
+
+        def schema(self) -> str:
+            return "id bigint, value bigint, bucket int"
+
+        def reader(self, schema) -> DataSourceReader:
+            return SyntheticRowsReader(self.options)
+
+    return SyntheticRowsDataSource
+
+
+_PYSOURCE_ORACLE = f"""
+WITH src AS (
+  SELECT g AS id,
+         (g * {_LCG_A} + {_LCG_C}) % {_LCG_M} AS value,
+         CAST(g % 7 AS INT) AS bucket
+  FROM generate_series(0, {N_ROWS - 1}) t(g)
+)
+SELECT bucket, count(*) AS n, CAST(sum(value) AS BIGINT) AS total,
+       min(value) AS min_v, max(value) AS max_v
+FROM src
+GROUP BY bucket
+"""
+
+
+@register("source_python_datasource", oracle=_PYSOURCE_ORACLE, tags=("sources",))
+def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through the registered Python data source and aggregate —
+    proves the partition-parallel custom-source path end to end
+    against a DuckDB re-derivation of the generator.
+
+    Scale: each InputPartition is an independent task; a real service-
+    backed source shards by key range or shard id the same way. Rows
+    stream from Python via Arrow batches — no driver materialization."""
+    spark.dataSource.register(make_synthetic_rows_source())
+    df = (
+        spark.read.format("synthetic_rows")
+        .option("n", str(N_ROWS))
+        .option("partitions", str(N_PARTS))
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("total"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )

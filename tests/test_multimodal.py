@@ -45,3 +45,21 @@ def test_feature_extract_runs_through_map_in_pandas(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "png")
+
+
+def test_binary_file_source_ingest(spark, tmp_path):
+    # the media-file ingest path: raw files on disk -> binaryFile scan
+    # -> (path, length, content) rows, content byte-identical
+    blobs = {f"m{i}.bin": bytes([i] * (i + 3)) for i in range(4)}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(tmp_path))
+    )
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == set(blobs)
+    for name, data in blobs.items():
+        assert bytes(rows[name].content) == data
+        assert rows[name].length == len(data)
