@@ -18,7 +18,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from mapreducegcp_spark.registry import register
 
@@ -104,3 +109,80 @@ def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_v"),
         F.max("value").alias("max_v"),
     )
+
+
+# ------------------------------------------------ streaming variant
+
+N_STREAM_ROWS = 20_000
+STREAM_BATCH = 4_000
+
+
+def make_synthetic_stream_source():
+    """Python STREAMING data source (SimpleDataSourceStreamReader):
+    the same LCG rows arrive in micro-batches with offset tracking —
+    the shape a queue/service-backed streaming source takes when there
+    is no built-in connector. Built in local scope for by-value
+    pickling (same rule as make_synthetic_rows_source)."""
+
+    class SyntheticStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            i = start["i"]
+            if i >= N_STREAM_ROWS:
+                return iter([]), start  # drained: offset stops advancing
+            end = min(i + STREAM_BATCH, N_STREAM_ROWS)
+            rows = [
+                (k, (k * _LCG_A + _LCG_C) % _LCG_M, k % 7) for k in range(i, end)
+            ]
+            return iter(rows), {"i": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                (k, (k * _LCG_A + _LCG_C) % _LCG_M, k % 7)
+                for k in range(start["i"], end["i"])
+            )
+
+    class SyntheticStreamDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_stream"
+
+        def schema(self) -> str:
+            return "id bigint, value bigint, bucket int"
+
+        def simpleStreamReader(self, schema):
+            return SyntheticStreamReader()
+
+    return SyntheticStreamDataSource
+
+
+_PYSTREAM_ORACLE = f"""
+WITH src AS (
+  SELECT g AS id,
+         (g * {_LCG_A} + {_LCG_C}) % {_LCG_M} AS value,
+         CAST(g % 7 AS INT) AS bucket
+  FROM generate_series(0, {N_STREAM_ROWS - 1}) t(g)
+)
+SELECT bucket, count(*) AS n, CAST(sum(value) AS BIGINT) AS total
+FROM src
+GROUP BY bucket
+"""
+
+
+@register("source_python_stream", oracle=_PYSTREAM_ORACLE, tags=("sources", "streaming"))
+def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the Python source to completion (5 micro-batches of
+    4k rows) through a windowless grouped aggregate in complete mode —
+    the custom streaming connector path, value-hash-checked against
+    the batch derivation once the stream drains. Offsets advance per
+    micro-batch exactly as a queue consumer would commit them."""
+    from mapreducegcp_spark.streaming.events import run_to_memory
+
+    spark.dataSource.register(make_synthetic_stream_source())
+    sdf = spark.readStream.format("synthetic_stream").load()
+    agg = sdf.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("value").alias("total")
+    )
+    return run_to_memory(agg, "complete")
