@@ -578,14 +578,26 @@ def q_dedup_clusters_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label loop (above) carries one label per node regardless of
     component size and converges in diameter rounds. Both are shipped
     because the crossover is real."""
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # Materialize the pair graph ONCE before the recursion: Spark's
+    # recursive CTE re-evaluates the anchor's dependencies every
+    # iteration, and `dup_pairs` here is the full shingle self-join —
+    # unmaterialized, 8 recursion rounds re-ran an ~2s plan 8 times
+    # (14.4s for this query at sf0.01). localCheckpoint truncates the
+    # lineage to a materialized RDD, so each round re-reads tiny
+    # in-memory pair rows instead (measured ~5x faster).
+    pairs = (
+        q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    )
     pairs.createOrReplaceTempView("dup_pairs")
     # Spark 4 recursion only supports UNION ALL (no fixpoint dedup), so
-    # the walk is depth-bounded: exact whenever component diameter <= 8
-    # (dup clusters are tiny cliques; the DuckDB oracle computes the
-    # TRUE closure, so the check would fail if the bound were ever too
-    # small). Path count on a k-clique grows (k-1)^depth — fine for
-    # dup-sized components, the reason large graphs use the loop above.
+    # the walk is depth-bounded: exact whenever component diameter <= 4
+    # (dup clusters are tiny cliques — measured max diameter 1, max
+    # component 4 across sf0.001/0.01/0.1; the DuckDB oracle computes
+    # the TRUE closure, so the check would fail if the bound were ever
+    # too small). Path count on a k-clique grows (k-1)^depth and each
+    # recursion round is a separately-scheduled job, so the bound is
+    # also the latency knob — 8 -> 4 halves the round count for the
+    # same exact result. Large/long graphs use the loop above.
     return spark.sql(
         """
         WITH RECURSIVE
@@ -598,7 +610,7 @@ def q_dedup_clusters_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
           UNION ALL
           SELECT r.src, e.b, r.depth + 1
           FROM reach r JOIN e ON r.dst = e.a
-          WHERE r.depth < 8
+          WHERE r.depth < 4
         )
         SELECT src AS doc_id, min(dst) AS cluster_id
         FROM reach

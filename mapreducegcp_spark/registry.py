@@ -22,16 +22,16 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Modules that register queries (imported lazily by _load_all).
+#
+# ORDER MATTERS for external consumers that iterate the catalog under a
+# budget (the driver's correctness gate checks queries in registration
+# order and may truncate): the novel / differentiated surface — dedup,
+# similarity, text stats, multimodal, pipeline, time series, sampling,
+# custom sources, streaming — registers FIRST, and the classic
+# relational shapes (already exhaustively driver-checked in round 1:
+# wordcount, relational, the 21 TPC-H queries) register LAST, so a
+# truncated run still covers the operators no other evidence covers.
 _OPERATOR_MODULES = [
-    "mapreducegcp_spark.operators.wordcount",
-    "mapreducegcp_spark.operators.inverted_index",
-    "mapreducegcp_spark.operators.relational",
-    "mapreducegcp_spark.operators.tpch",
-    "mapreducegcp_spark.operators.aggregates",
-    "mapreducegcp_spark.operators.windows",
-    "mapreducegcp_spark.operators.scalars",
-    "mapreducegcp_spark.operators.subqueries",
-    "mapreducegcp_spark.operators.udtf_ops",
     "mapreducegcp_spark.operators.dedup",
     "mapreducegcp_spark.operators.similarity",
     "mapreducegcp_spark.operators.textstats",
@@ -41,6 +41,15 @@ _OPERATOR_MODULES = [
     "mapreducegcp_spark.operators.sampling",
     "mapreducegcp_spark.sources.pysource",
     "mapreducegcp_spark.streaming.events",
+    "mapreducegcp_spark.operators.windows",
+    "mapreducegcp_spark.operators.scalars",
+    "mapreducegcp_spark.operators.subqueries",
+    "mapreducegcp_spark.operators.udtf_ops",
+    "mapreducegcp_spark.operators.aggregates",
+    "mapreducegcp_spark.operators.wordcount",
+    "mapreducegcp_spark.operators.inverted_index",
+    "mapreducegcp_spark.operators.relational",
+    "mapreducegcp_spark.operators.tpch",
 ]
 
 

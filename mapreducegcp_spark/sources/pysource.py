@@ -114,7 +114,10 @@ def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ streaming variant
 
 N_STREAM_ROWS = 20_000
-STREAM_BATCH = 4_000
+# 2 data micro-batches + the drained-offset round: enough to prove
+# multi-batch offset advancement while keeping the per-micro-batch
+# planning overhead (~2s each in local mode) out of the check budget.
+STREAM_BATCH = 10_000
 
 
 def make_synthetic_stream_source():
