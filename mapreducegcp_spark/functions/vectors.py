@@ -49,69 +49,146 @@ NORM_ORACLE_EXPR = (
 )
 
 
+PAIR_BLOCKS = 4  # default block count for the all-pairs block join
+
+
 def blas_pair_candidates(
     emb_df,
     threshold: float | None = None,
     margin: float = 1e-6,
+    n_blocks: int = PAIR_BLOCKS,
 ) -> "DataFrame":
     """Distributed BLAS prefilter for exact all-pairs cosine operators.
 
     The exact O(n^2) fold evaluation is the correctness contract (it
     hash-matches DuckDB), but evaluating a 64-element interpreted fold
     per pair is ~100x the work of one matmul. This narrows the pair
-    space first: broadcast the (n, dim) unit matrix (model-parameter
-    sized — 0.5 GB at 1e6 vectors; beyond that the LSH/IVF operators
-    are the path), then each Arrow batch computes approximate cosines
-    for its rows against everything in one BLAS call and emits only
+    space first — fully distributed, nothing touches the driver:
 
-    - ``threshold`` mode: pairs (a < b) with approx >= threshold-margin
+    Every vector is hashed into one of ``n_blocks`` blocks and
+    replicated once per block it must meet, keyed by the unordered
+    block pair (gi, gj); ``applyInPandas`` then evaluates each block
+    pair with one numpy matmul. Shuffle volume is O(n * n_blocks) rows
+    and task work is O((n/B)^2 * dim) per block pair — the standard
+    blocked all-pairs layout. On a cluster, raise ``n_blocks`` so a
+    block fits executor memory (B >= n * dim * 8 / mem_per_task);
+    B=32 at 1e6 x 64-d is ~16 MB per side per task. The construction
+    is lazy: building the DataFrame launches no Spark job.
+
+    - ``threshold`` mode: emits pairs (a < b) with approx >=
+      threshold - margin. Each unordered pair lives in exactly one
+      block-pair group, so no cross-group dedup is needed.
     - argmax mode (threshold=None): for each row, every partner within
-      ``margin`` of that row's max — a superset of the exact argmax.
+      ``margin`` of that row's *global* approximate max — a superset
+      of the exact argmax. Each block-pair task emits partners within
+      ``margin`` of the row's *local* (within-group) max; a global
+      max-window then filters to ``margin`` of the global max. The
+      local pass cannot lose a qualifying partner: if approx(a,b) >=
+      gmax - margin then the local max of a's group with b satisfies
+      lmax <= gmax, hence approx(a,b) >= lmax - margin and b is kept.
+      The row's true argmax partner IS its group's local max, so the
+      max over emitted approx values equals the global max.
 
     numpy's pairwise-summed dot differs from the strict left fold by
     <1e-12 relative at dim 64, so with margin 1e-6 no qualifying pair
     can be lost; the caller re-scores candidates with the exact fold,
     which alone decides the output (values and ties).
     """
-    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
-    spark = emb_df.sparkSession
-    pdf = emb_df.select("vec_id", "embedding").toPandas()
-    if len(pdf) == 0:
-        return spark.createDataFrame([], "vec_a long, vec_b long")
-    ids_all = pdf["vec_id"].to_numpy().astype("int64")
-    M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-    nrm = np.linalg.norm(M, axis=1, keepdims=True)
-    nrm[nrm == 0] = 1.0
-    bc = spark.sparkContext.broadcast((ids_all, M / nrm))
+    B = int(n_blocks)
 
-    def gen(batches):
+    def gen(pdf):
+        import numpy as np
         import pandas as pd
 
-        ids_b, Mn = bc.value
-        order = np.argsort(ids_b)
-        for pdf_ in batches:
-            if len(pdf_) == 0:
-                continue
-            ids = pdf_["vec_id"].to_numpy().astype("int64")
-            E = np.vstack(pdf_["embedding"].to_numpy()).astype(np.float64)
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "approx": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "approx": "float64"}
+        )
+        if len(pdf) == 0:
+            return empty
+        gi, gj = int(pdf["gi"].iloc[0]), int(pdf["gj"].iloc[0])
+
+        def unit(rows):
+            ids = rows["vec_id"].to_numpy().astype("int64")
+            E = np.vstack(rows["embedding"].to_numpy()).astype(np.float64)
             n = np.linalg.norm(E, axis=1, keepdims=True)
             n[n == 0] = 1.0
-            sims = (E / n) @ Mn.T  # (batch, n_all)
-            rows_a, rows_b = [], []
-            if threshold is not None:
-                hit_r, hit_c = np.nonzero(
-                    (sims >= threshold - margin) & (ids[:, None] < ids_b[None, :])
-                )
-                rows_a, rows_b = ids[hit_r], ids_b[hit_c]
-            else:
-                self_col = order[np.searchsorted(ids_b, ids, sorter=order)]
-                sims[np.arange(len(ids)), self_col] = -np.inf
-                mx = sims.max(axis=1, keepdims=True)
-                hit_r, hit_c = np.nonzero(sims >= mx - margin)
-                rows_a, rows_b = ids[hit_r], ids_b[hit_c]
-            yield pd.DataFrame({"vec_a": rows_a, "vec_b": rows_b})
+            return ids, E / n
 
-    return emb_df.select("vec_id", "embedding").mapInPandas(
-        gen, "vec_a long, vec_b long"
+        if gi == gj:
+            ids_l, L = unit(pdf)
+            ids_r, R = ids_l, L
+        else:
+            left = pdf[pdf["side"] == gi]
+            right = pdf[pdf["side"] == gj]
+            if len(left) == 0 or len(right) == 0:
+                return empty
+            ids_l, L = unit(left)
+            ids_r, R = unit(right)
+        sims = L @ R.T  # (nl, nr)
+
+        if threshold is not None:
+            if gi == gj:
+                # symmetric matrix: upper triangle = each pair once
+                hit_r, hit_c = np.nonzero(
+                    (sims >= threshold - margin) & (ids_l[:, None] < ids_r[None, :])
+                )
+                va, vb = ids_l[hit_r], ids_r[hit_c]
+            else:
+                # cross-block: either side may hold the smaller id —
+                # emit the unordered pair as (min, max)
+                hit_r, hit_c = np.nonzero(sims >= threshold - margin)
+                il, ir = ids_l[hit_r], ids_r[hit_c]
+                va, vb = np.minimum(il, ir), np.maximum(il, ir)
+            return pd.DataFrame(
+                {"vec_a": va, "vec_b": vb, "approx": sims[hit_r, hit_c]}
+            )
+        # argmax mode: per-row local-max candidates, both directions.
+        outs = []
+        if gi == gj:
+            np.fill_diagonal(sims, -np.inf)
+            mx = sims.max(axis=1, keepdims=True)
+            # isfinite guard: a 1-row block would otherwise match its
+            # own -inf diagonal (-inf >= -inf) and emit a self-pair
+            hit_r, hit_c = np.nonzero((sims >= mx - margin) & np.isfinite(sims))
+            outs.append((ids_l[hit_r], ids_r[hit_c], sims[hit_r, hit_c]))
+        else:
+            mx = sims.max(axis=1, keepdims=True)
+            hit_r, hit_c = np.nonzero(sims >= mx - margin)
+            outs.append((ids_l[hit_r], ids_r[hit_c], sims[hit_r, hit_c]))
+            mxT = sims.max(axis=0, keepdims=True)
+            hit_r, hit_c = np.nonzero(sims >= mxT - margin)
+            outs.append((ids_r[hit_c], ids_l[hit_r], sims[hit_r, hit_c]))
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate([o[0] for o in outs]),
+                "vec_b": np.concatenate([o[1] for o in outs]),
+                "approx": np.concatenate([o[2] for o in outs]),
+            }
+        )
+
+    blk = F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int")
+    replicated = (
+        emb_df.select("vec_id", "embedding", blk.alias("side"))
+        .withColumn("o", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .select(
+            F.least("side", "o").alias("gi"),
+            F.greatest("side", "o").alias("gj"),
+            "side",
+            "vec_id",
+            "embedding",
+        )
+    )
+    cand = replicated.groupBy("gi", "gj").applyInPandas(
+        gen, "vec_a long, vec_b long, approx double"
+    )
+    if threshold is not None:
+        return cand.select("vec_a", "vec_b")
+    w = Window.partitionBy("vec_a")
+    return (
+        cand.withColumn("gmax", F.max("approx").over(w))
+        .filter(F.col("approx") >= F.col("gmax") - margin)
+        .select("vec_a", "vec_b")
     )

@@ -455,12 +455,13 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/vectors.py) so values hash-match the DuckDB fold exactly.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    # BLAS prefilter (functions/vectors.py): one matmul per Arrow batch
-    # against the broadcast unit matrix narrows the n^2 pair space to
-    # near-threshold candidates; the strict-fold cosine below re-scores
-    # ONLY candidates and alone decides membership, so the output is
-    # bit-identical to evaluating every pair (measured 24s -> <1s at
-    # sf0.1). The margin guarantees no qualifying pair is pruned.
+    # Distributed BLAS prefilter (functions/vectors.py): a blocked
+    # all-pairs join — one numpy matmul per block-pair task — narrows
+    # the n^2 pair space to near-threshold candidates with no driver
+    # transit; the strict-fold cosine below re-scores ONLY candidates
+    # and alone decides membership, so the output is bit-identical to
+    # evaluating every pair (measured 24s -> <1s at sf0.1). The margin
+    # guarantees no qualifying pair is pruned.
     cand = blas_pair_candidates(emb, threshold=_COSINE_DUP_THRESHOLD)
     embn = emb.select("vec_id", "embedding", l2_norm("embedding").alias("nrm"))
     a = embn.select(

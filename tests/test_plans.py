@@ -85,3 +85,31 @@ def test_sessionize_rollup_reuses_window_exchange(spark):
     # Catalyst must plan ONE exchange, not two
     tree, _ = _plans(spark, "sessionize_events")
     assert _exchanges(tree) == 1, tree[:2000]
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_embedding_cosine", "similarity_nearest_neighbor"]
+)
+def test_exact_pair_operators_build_lazily(spark, name):
+    # The exact-pair operators' BLAS prefilter must be fully distributed:
+    # CONSTRUCTING the plan may not launch a Spark job (the old design
+    # collected the whole embeddings table to the driver at build time),
+    # and the executed plan may not contain a driver-side collect node.
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    df = all_queries()[name].fn(spark, SF_DIR)
+    after = set(tracker.getJobIdsForGroup())
+    for job_id in after - before:
+        # the only permissible construction-time job is the parquet
+        # footer/schema read (1 task); a driver-side collect of the
+        # corpus (the old design) shows up as a multi-task collect job
+        info = tracker.getJobInfo(job_id)
+        for stage_id in info.stageIds:
+            stage = tracker.getStageInfo(stage_id)
+            assert stage is None or (
+                "parquet at" in stage.name and stage.numTasks == 1
+            ), f"{name}: construction launched {stage.name} ({stage.numTasks} tasks)"
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    # the pair space is narrowed by a distributed block join, visible as
+    # the FlatMapGroupsInPandas (applyInPandas) stage over (gi, gj)
+    assert "FlatMapGroupsInPandas" in tree, tree[:2000]
