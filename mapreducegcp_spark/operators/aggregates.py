@@ -107,6 +107,39 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APPROX_RSD = 0.025
+_APPROX_TOL = 3 * _APPROX_RSD  # 3 sigma of the sketch's relative error
+
+_APPROX_TOL_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS within_tol
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_approx_distinct_tol", oracle=_APPROX_TOL_ORACLE, tags=("relational",))
+def q_agg_approx_distinct_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable companion to agg_approx_distinct: per group,
+    compute BOTH the HLL++ estimate and the exact distinct count and
+    emit whether the estimate lands within 3x the configured relative
+    standard deviation. The oracle re-derives the exact count from the
+    data and states TRUE for the gate, so the value-hash matches iff
+    every group's sketch is inside tolerance — the approximate operator
+    gets a full CORRECTNESS row instead of a rows-only check."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", _APPROX_RSD).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+    within = (
+        F.abs(F.col("approx") - F.col("exact_customers"))
+        <= F.col("exact_customers") * _APPROX_TOL
+    )
+    return agg.select("o_orderpriority", "exact_customers", within.alias("within_tol"))
+
+
 _ROLLUP_ORACLE = f"""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {o_dsum(o_dec2('l_quantity'))} AS sum_qty
 FROM lineitem

@@ -409,6 +409,46 @@ def ivf_centroids(
     return C
 
 
+LSH_RECALL_FLOOR = 0.85  # measured 0.94 at sf0.01 (test_similarity.py)
+IVF_RECALL_FLOOR = 0.60  # measured 0.74 at sf0.001; uniform vectors are IVF's worst case
+
+
+def _recall_query(ann_fn, floor: float):
+    """Single-row recall gate: |ANN topk ∩ exact topk| / |exact topk|
+    >= floor, computed entirely in Spark (two plans + a semi join), so
+    the approximate operator leaves a full value-hash CORRECTNESS row:
+    the oracle re-derives n_expected from the data and states TRUE for
+    the gate — the hash matches iff Spark's measured recall clears the
+    floor. No collect; the single output row is the aggregate."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        exact = q_similarity_topk(spark, sf_dir).select("query_id", "vec_id")
+        ann = ann_fn(spark, sf_dir).select("query_id", "vec_id")
+        hits = exact.join(ann, ["query_id", "vec_id"], "left_semi")
+        return (
+            exact.agg(F.count("*").alias("n_expected"))
+            .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+            .select(
+                "n_expected",
+                (
+                    F.col("n_hit").cast("double") / F.col("n_expected")
+                    >= F.lit(floor)
+                ).alias("recall_ok"),
+            )
+        )
+
+    return q
+
+
+_RECALL_ORACLE = f"""
+SELECT count(*) AS n_expected, TRUE AS recall_ok FROM ({_TOPK_ORACLE.strip()})
+"""
+
+register("similarity_ann_lsh_recall", oracle=_RECALL_ORACLE, tags=("llm-pipeline",))(
+    _recall_query(q_similarity_ann_lsh, LSH_RECALL_FLOOR)
+)
+
+
 @register("similarity_ann_ivf", tags=("llm-pipeline", "rows-only"))
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization.
@@ -461,3 +501,7 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+register("similarity_ann_ivf_recall", oracle=_RECALL_ORACLE, tags=("llm-pipeline",))(
+    _recall_query(q_similarity_ann_ivf, IVF_RECALL_FLOOR)
+)
