@@ -103,7 +103,12 @@ def shingles(toks_col: Column | str, k: int = SHINGLE_K) -> Column:
     A document shorter than k tokens contributes no shingles.
     """
     toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    # Sub-k-token docs must yield an EMPTY array: sequence(1, 0) in
+    # Spark is the DESCENDING [1, 0], whose element_at(toks, 0) throws
+    # INVALID_INDEX_OF_ZERO — hence the explicit size guard.
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(
             idx,

@@ -194,10 +194,16 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bytes = F.col("meta.n_bytes")
     # integer div (not /): Spark's / on longs yields double
     n_frames = F.expr(f"(meta.n_bytes + {FRAME_BYTES - 1}) div {FRAME_BYTES}")
-    kept = F.filter(
-        F.sequence(F.lit(0), n_frames - 1),
-        lambda i: i % FRAME_STRIDE == 0,
-    )
+    # Zero-length payload => 0 frames: sequence(0, -1) would be the
+    # DESCENDING [0, -1] (stride keeps [0] — one phantom frame) while
+    # the oracle's generate_series(0, -1) is empty; guard to match.
+    kept = F.when(
+        n_frames > 0,
+        F.filter(
+            F.sequence(F.lit(0), n_frames - 1),
+            lambda i: i % FRAME_STRIDE == 0,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     frame_md5s = F.transform(
         kept,
         lambda i: F.md5(F.col("payload").substr((i * FRAME_BYTES + 1).cast("int"), F.lit(FRAME_BYTES))),

@@ -268,12 +268,19 @@ def make_user_stats_fn():
     """
 
     def update(key, pdf_iter, state):
+        import numpy as np  # noqa: PLC0415 (executor-side import)
         import pandas as pd  # noqa: PLC0415 (executor-side import)
 
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            cents += int(round(float(pdf["value"].sum()) * 100))
+            # round each ROW to cents before summing (matches the
+            # oracle's per-row round exactly); rounding the float batch
+            # sum instead would drift once accumulated error crosses
+            # half a cent
+            cents += int(
+                np.rint(pdf["value"].to_numpy() * 100).astype("int64").sum()
+            )
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}

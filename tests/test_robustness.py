@@ -47,6 +47,38 @@ def test_asof_with_no_clicks(spark, monkeypatch):
     assert all(r.last_click_us is None and r.gap_us is None for r in rows)
 
 
+def test_shingle_queries_on_sub_k_token_docs(spark, monkeypatch):
+    # docs shorter than SHINGLE_K tokens must contribute no shingles —
+    # the naive sequence(1, size-k+1) yields the DESCENDING [1, 0] for
+    # them and element_at(toks, 0) throws INVALID_INDEX_OF_ZERO
+    import mapreducegcp_spark.operators.dedup as dd
+
+    short = spark.createDataFrame(
+        [(900001, "one two"), (900002, "solo"), (900003, ""), (900004, "a b c")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(dd, "load_table", lambda *a, **k: short)
+    pairs = all_queries()["dedup_ngram_jaccard"].fn(spark, SF_DIR).collect()
+    assert pairs == []  # only the 3-token doc shingles; no pairs, no crash
+
+
+def test_frame_sample_on_empty_payload(spark, monkeypatch):
+    # zero-length payload => 0 frames and 0 sampled (sequence(0, -1)
+    # would otherwise produce a phantom frame 0)
+    import mapreducegcp_spark.operators.multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(900001, ""), (900002, "x" * 40)], "doc_id long, text string"
+    )
+    monkeypatch.setattr(mm, "load_table", lambda *a, **k: docs)
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["multimodal_frame_sample"].fn(spark, SF_DIR).collect()
+    }
+    assert rows[900001].n_frames == 0 and rows[900001].n_sampled == 0
+    assert rows[900002].n_frames == 3 and rows[900002].n_sampled == 1
+
+
 def test_observe_emits_metrics_without_second_pass(spark):
     # Observation metrics ride the same action as the result — the
     # pattern for row-count / quality accounting in production sinks
