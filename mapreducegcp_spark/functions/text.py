@@ -35,6 +35,28 @@ def tokens(col: Column | str) -> Column:
     return F.filter(arr, lambda t: t != "")
 
 
+# Unicode-aware twin: the reference tokenizer is ``str.isalpha()``
+# (Worker/Worker.py:11-12), which accepts EVERY Unicode letter — the
+# ASCII ``[^a-z]`` above is only equivalent on ASCII corpora
+# (SURVEY.md §2.3). ``\p{L}`` reproduces the isalpha() contract for
+# non-ASCII text; Java regex (Spark) and RE2 (DuckDB) agree on the
+# class, and lower() is full-Unicode in both engines.
+TOKEN_UNICODE_ORACLE_EXPR = (
+    r"string_split_regex(regexp_replace(lower({col}), '[^\p{{L}}]+', ' ', 'g'), ' ')"
+)
+
+
+def tokens_unicode(col: Column | str) -> Column:
+    """Tokenize with the reference's FULL ``str.isalpha()`` semantics:
+    lowercase, replace any non-LETTER (Unicode class ``\\p{L}``) run
+    with a space, split, drop empties. Matches ``tokens()`` exactly on
+    ASCII input; diverges only where the corpus carries non-ASCII
+    letters ("café" -> "café", not "caf")."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.split(F.regexp_replace(F.lower(c), r"[^\p{L}]+", " "), " ")
+    return F.filter(arr, lambda t: t != "")
+
+
 def words_of(col: Column | str) -> Column:
     """Exploded token stream (one row per token) for flatMap-style plans.
 

@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreducegcp_spark.functions.text import TOKEN_ORACLE_EXPR, words_of
+from mapreducegcp_spark.functions.text import (
+    TOKEN_ORACLE_EXPR,
+    TOKEN_UNICODE_ORACLE_EXPR,
+    tokens_unicode,
+    words_of,
+)
 from mapreducegcp_spark.registry import register
 from mapreducegcp_spark.sources.catalog import load_table
 
@@ -69,6 +74,43 @@ def q_wordcount_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
             F.countDistinct("word").alias("n_distinct"),
         )
+    )
+
+
+# Non-ASCII fixture derived deterministically from the corpus: both
+# engines translate a/e/o -> ä/é/ø BEFORE tokenizing, so the Unicode
+# letter class is actually exercised (the ASCII tokenizer would split
+# "wörd" into "w" and "rd"). translate() is per-code-point in both.
+_UNI_FIXTURE = "translate(text, 'aeo', 'äéø')"
+_UNICODE_WORDCOUNT_ORACLE = f"""
+SELECT word, count(*) AS cnt
+FROM (
+  SELECT unnest({TOKEN_UNICODE_ORACLE_EXPR.format(col=_UNI_FIXTURE)}) AS word
+  FROM documents
+)
+WHERE word <> ''
+GROUP BY word
+"""
+
+
+@register(
+    "wordcount_unicode",
+    oracle=_UNICODE_WORDCOUNT_ORACLE,
+    tags=("reference-parity",),
+)
+def q_wordcount_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount with the reference's full Unicode ``str.isalpha()``
+    tokenizer contract (Worker/Worker.py:11-12), proven on a non-ASCII
+    fixture: the corpus is accented (a/e/o -> ä/é/ø) identically in
+    both engines, then tokenized with the ``\\p{L}`` letter class —
+    hash-matching the DuckDB twin shows the Unicode variant's parity
+    is measured, not assumed (SURVEY.md §2.3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    accented = F.translate("text", "aeo", "äéø")
+    return (
+        docs.select(F.explode(tokens_unicode(accented)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
     )
 
 

@@ -136,3 +136,49 @@ def test_wordcount_property_matches_reference_semantics(engine, text):
     uid = engine.init_cluster(2, 2)
     got = json.loads(engine.run_mapred(uid, text, "WordCountMapper", "WordCountReducer"))
     assert got == _reference_wordcount(text)
+
+
+def _reference_wordcount_unicode(text: str) -> dict[str, int]:
+    """The reference's ACTUAL tokenizer is ``str.isalpha()``
+    (Worker/Worker.py:11-12) — Unicode-aware, unlike the ASCII [a-z]
+    approximation valid only for ASCII corpora."""
+    sep = "".join(c if c.isalpha() else " " for c in text.lower())
+    return dict(Counter(sep.split()))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8",
+            categories=("Lu", "Ll", "Lo", "Nd", "Zs", "Po"),
+        ),
+        max_size=200,
+    )
+)
+def test_unicode_tokenizer_matches_isalpha_reference(spark, text):
+    """Property: tokens_unicode reproduces the reference's Unicode
+    str.isalpha() contract on arbitrary letters across scripts.
+
+    Caveat pinned by the filter: \\p{L} is the LETTER class, while
+    str.isalpha() is slightly wider on a few modifier/other codepoints;
+    the generated categories stay within territory where the two
+    definitions agree (the reference corpus never leaves it either)."""
+    from pyspark.sql import functions as F
+
+    from mapreducegcp_spark.functions.text import tokens_unicode
+
+    df = spark.createDataFrame([(text,)], "text string")
+    got = dict(
+        df.select(F.explode(tokens_unicode("text")).alias("w"))
+        .groupBy("w")
+        .count()
+        .rdd.map(lambda r: (r.w, r["count"]))
+        .collect()
+    )
+    assert got == _reference_wordcount_unicode(text)
