@@ -56,38 +56,51 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _run(rq, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    rq.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = sf_dir_from_env()
     spark = get_spark("mapreducegcp-bench")
     catalog = all_queries()
-    names = sorted(catalog) if "--all" in sys.argv else HEADLINE
+    headline_only = "--headline-only" in sys.argv
 
     # Warmup: run the cheapest query once to pay JVM + codegen startup.
     catalog["wordcount"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Best-of-2 per query: the first run can pay lazy codegen/broadcast
-    # warmup that belongs to the JVM, not the plan — min is the stable
-    # engine-side number (run-to-run noise at sf0.1 measured up to 6x
-    # on short queries with a single pass).
+    # Headliners get best-of-2: the first run can pay lazy codegen/
+    # broadcast warmup that belongs to the JVM, not the plan — min is
+    # the stable engine-side number (run-to-run noise at sf0.1 measured
+    # up to 6x on short queries with a single pass). `value` sums ONLY
+    # these 18 — the cross-round trend anchor.
     timings: dict[str, float] = {}
-    for name in names:
-        rq = catalog.get(name)
-        if rq is None:
-            continue
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            rq.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    for name in HEADLINE:
+        timings[name] = round(min(_run(catalog[name], spark, sf_dir) for _ in range(2)), 3)
+    headline_total = round(sum(timings.values()), 3)
+
+    # Breadth: every other registered query, one pass each, so a
+    # regression in a non-headline operator is visible round over round.
+    if not headline_only:
+        for name in sorted(catalog):
+            if name in timings:
+                continue
+            try:
+                timings[name] = round(_run(catalog[name], spark, sf_dir), 3)
+            except Exception as e:  # noqa: BLE001 — a broken query must not hide the rest
+                timings[name] = -1.0
+                print(f"bench error {name}: {e}", file=sys.stderr)
 
     print(
         json.dumps(
             {
                 "metric": "headline_total_sec",
-                "value": round(sum(timings.values()), 3),
+                "value": headline_total,
                 "unit": "sec",
                 "queries": timings,
+                "headline_queries": HEADLINE,
                 "sf": _sf_of(sf_dir),
             }
         )

@@ -61,13 +61,96 @@ def timed(df: DataFrame) -> float:
     return time.time() - t
 
 
+def skew_probe(spark: SparkSession, sf_dir: str, hot_share_pct: int = 50) -> None:
+    """Deliberate single-key skew: remap ~hot_share_pct% of lineitem
+    rows onto ONE hot orderkey, then join against orders three ways.
+
+    Isolates the failure mode AQE cannot fix for a hash join: all rows
+    of one key hash to one reducer, so the hot task serializes the
+    stage. Salting scatters the key across N_SALT sub-keys (replicating
+    the other side) and restores parallelism. Broadcast is disabled so
+    the join actually exchanges on the key (with a broadcastable build
+    side there is no key shuffle and no skew problem — that IS the
+    first fix when the dimension fits).
+    """
+    from mapreducegcp_spark.functions.exact import dec2, dsum
+    from mapreducegcp_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    hot = o.select(F.min("o_orderkey")).first()[0]
+    # deterministic remap: ~hot_share_pct% of lines pile onto `hot`
+    skewed_li = li.withColumn(
+        "l_orderkey",
+        F.when(
+            F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(100)) < hot_share_pct,
+            F.lit(hot).cast("long"),
+        ).otherwise(F.col("l_orderkey")),
+    )
+    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+
+    def naive():
+        return (
+            skewed_li.join(o, skewed_li.l_orderkey == o.o_orderkey)
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n_lines"))
+        )
+
+    def salted(n_salt: int = 8):
+        s_li = skewed_li.withColumn("salt", F.pmod(F.hash("l_linenumber"), F.lit(n_salt)))
+        r_o = o.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+        return (
+            s_li.join(
+                r_o,
+                (s_li.l_orderkey == r_o.o_orderkey) & (s_li.salt == r_o.salt),
+            )
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n_lines"))
+        )
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+        )
+    }
+    results = {}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        print(f"hot key carries ~{hot_share_pct}% of lineitem; broadcast disabled")
+        print("| plan | AQE skew-join | t (s) |")
+        print("|---|---|---|")
+        for label, build, aqe_skew in (
+            ("naive shuffle join", naive, "false"),
+            ("naive shuffle join", naive, "true"),
+            ("salted (N_SALT=8)", salted, "false"),
+        ):
+            conf.set("spark.sql.adaptive.skewJoin.enabled", aqe_skew)
+            t = min(timed(build()) for _ in range(2))
+            print(f"| {label} | {aqe_skew} | {t:.2f} |")
+            results[(label, aqe_skew)] = t
+        # same rows out of both plans (salting must not change results)
+        a = {tuple(r) for r in naive().collect()}
+        b = {tuple(r) for r in salted().collect()}
+        print(f"results identical: {a == b}")
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--skew", action="store_true", help="run the skew-join probe only")
     args = ap.parse_args()
 
     spark = get_spark("scale-probe")
+    if args.skew:
+        skew_probe(spark, args.sf_dir)
+        return
     from mapreducegcp_spark.registry import all_queries
     import mapreducegcp_spark.sources.catalog as catalog
 
