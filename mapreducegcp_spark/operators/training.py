@@ -1,0 +1,374 @@
+"""Training-batch assembly operators — the last mile between a cleaned
+corpus and an LLM training run: sequence packing, mixture sampling,
+shard assignment with verifiable fingerprints, frequency-based rarity
+scoring, PII scrubbing, and embedding centroid statistics.
+
+The reference engine has none of this surface (its applications stop at
+wordcount / inverted index, Worker/Worker.py:9-41); these operators are
+part of the LLM-pipeline extension (SURVEY.md §7 phase 3). Everything
+is built from deterministic primitives — md5 universe hashing
+(`sampling.md5_bucket`), exact integer/decimal aggregation, and
+fixed-order folds — so every query here value-hash-matches a DuckDB
+oracle bit-exactly, the same cross-engine contract the dedup family
+established.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreducegcp_spark.functions.text import TOKEN_ORACLE_EXPR, tokens
+from mapreducegcp_spark.operators.sampling import _o_bucket, md5_bucket
+from mapreducegcp_spark.registry import register
+from mapreducegcp_spark.sources.catalog import load_table
+
+_TOKS = f"list_filter({TOKEN_ORACLE_EXPR.format(col='text')}, t -> t <> '')"
+
+
+# ------------------------------------------------------ sequence packing
+
+SEQ_BUDGET = 512  # tokens per packed training sequence
+PACK_SHARDS = 8  # independent packing streams (parallelism unit)
+
+_PACK_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, source, len({_TOKS}) AS n_tokens,
+         {_o_bucket("CAST(doc_id AS VARCHAR)", PACK_SHARDS)} AS shard
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tk
+)
+SELECT source, shard,
+       CAST(floor((cum - n_tokens) / {SEQ_BUDGET}.0) AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+FROM c
+GROUP BY source, shard, seq_id
+"""
+
+
+@register("pack_sequences", oracle=_PACK_ORACLE, tags=("llm-pipeline",))
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each (source, shard)
+    stream, documents concatenate in doc_id order and split into
+    {SEQ_BUDGET}-token training sequences; a document belongs to the
+    sequence its first token lands in. Output: per-sequence doc count
+    and token mass — the packing manifest a dataloader consumes.
+
+    Scale: packing is inherently sequential, so the parallelism unit is
+    the (source, shard) stream — the md5 shard splits each source into
+    PACK_SHARDS independent streams (raise the constant to match the
+    cluster; each stream is one window partition, one task). One
+    shuffle on (source, shard); the running sum is exact bigint."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).alias("n_tokens"),
+        md5_bucket(F.col("doc_id").cast("string"), PACK_SHARDS).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    seq = F.floor((cum - F.col("n_tokens")) / float(SEQ_BUDGET)).cast("long")
+    return (
+        base.withColumn("seq_id", seq)
+        .groupBy("source", "shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+    )
+
+
+# ------------------------------------------------------ mixture sampling
+
+# Per-source keep rates (percent) — the data-mixture recipe. Sources
+# absent from the map fall back to the long-tail rate.
+_MIX_RATES = {"src0": 100, "src1": 80, "src2": 60, "src3": 40, "src4": 20}
+_MIX_DEFAULT = 10
+
+_MIX_CASE = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_RATES.items())
+
+_MIX_ORACLE = f"""
+SELECT source,
+       CAST(CASE source {_MIX_CASE} ELSE {_MIX_DEFAULT} END AS BIGINT) AS rate_pct,
+       count(*) AS n_docs_kept,
+       CAST(sum(n_chars) AS BIGINT) AS chars_kept
+FROM documents
+WHERE {_o_bucket("(CAST(doc_id AS VARCHAR) || ':mix')", 100)} <
+      CASE source {_MIX_CASE} ELSE {_MIX_DEFAULT} END
+GROUP BY source
+"""
+
+
+@register("sample_mixture_weights", oracle=_MIX_ORACLE, tags=("llm-pipeline",))
+def q_sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixture sampling: each source keeps a configured
+    percentage of its documents (upweight curated sources, downsample
+    the crawl tail) — the recipe step that turns a corpus into a
+    training mixture. Membership is universe-hashed on doc_id with a
+    ':mix' salt, so this sample is stable across runs AND independent
+    of the train/val/test split's hash.
+
+    Scale: map-only predicate in the scan stage plus one
+    low-cardinality rollup; no data-sized state anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(_MIX_DEFAULT)
+    for k, v in _MIX_RATES.items():
+        rate = F.when(F.col("source") == k, v).otherwise(rate)
+    kept = docs.filter(
+        md5_bucket(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")), 100) < rate
+    )
+    return kept.groupBy("source").agg(
+        F.max(rate).cast("long").alias("rate_pct"),
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+# ------------------------------------------------- shard fingerprinting
+
+N_SHARDS = 32
+
+# Order-independent 60-bit content signature: xor of a per-doc md5-derived
+# integer. Constant aggregation state — the fingerprint that still works
+# when a shard holds a billion documents (unlike md5-of-concatenation,
+# which would need the full sorted id list in memory).
+_DOC_SIG = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)"
+
+_SHARD_ORACLE = f"""
+SELECT {_o_bucket("CAST(doc_id AS VARCHAR)", N_SHARDS)} AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       bit_xor({_DOC_SIG}) AS content_sig
+FROM documents
+GROUP BY shard
+"""
+
+
+@register("shard_assign_fingerprint", oracle=_SHARD_ORACLE, tags=("llm-pipeline",))
+def q_shard_assign_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment: hash every document
+    into one of N_SHARDS output shards and emit per-shard row counts,
+    byte mass, and an order-independent xor content signature — the
+    manifest that lets a consumer verify a shard set is complete and
+    untampered without re-reading the corpus. The physical write is
+    ``repartition(N_SHARDS, shard).write`` using the same column.
+
+    Scale: one hash-partition shuffle (what the write needs anyway);
+    the xor signature folds map-side into 8 bytes of state per shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return (
+        docs.select(
+            md5_bucket(F.col("doc_id").cast("string"), N_SHARDS).alias("shard"),
+            "n_chars",
+            sig.alias("sig"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.expr("bit_xor(sig)").alias("content_sig"),
+        )
+    )
+
+
+# ------------------------------------------------------- rarity scoring
+
+_RARITY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+),
+vocab AS (
+  SELECT word, count(*) AS corpus_freq FROM tok GROUP BY word
+),
+tot AS (
+  SELECT CAST(sum(corpus_freq) AS BIGINT) AS n_total,
+         count(*) AS n_vocab
+  FROM vocab
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(v.corpus_freq) AS BIGINT) AS sum_freq,
+       CAST(sum(v.corpus_freq) AS DOUBLE) / count(*) AS avg_freq,
+       CAST(sum(CASE WHEN v.corpus_freq * tot.n_vocab * 2 < tot.n_total
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(min(v.corpus_freq) AS BIGINT) AS min_freq
+FROM tok t
+JOIN vocab v USING (word)
+CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
+@register("text_rarity_score", oracle=_RARITY_ORACLE, tags=("llm-pipeline",))
+def q_text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity profile per document — the cheap,
+    fully-relational stand-in for perplexity filtering: documents
+    whose tokens are mostly rare in the corpus score differently from
+    boilerplate. A token is "rare" when its corpus frequency is below
+    half the mean vocabulary frequency (pure integer comparison, so
+    the flag is exact on any engine). sum/avg/min of frequencies are
+    exact bigints with one final double division.
+
+    Scale: the vocabulary aggregates with map-side combine and is
+    broadcast back (it scales with distinct tokens, not corpus size).
+    The corpus-total row rides on the vocab table via an unpartitioned
+    window rather than a separate aggregate, so the token stream is
+    scanned and shuffled for the vocabulary exactly ONCE (a separate
+    `vocab.agg(...)` plans a duplicate vocab subtree — the corpus
+    would tokenize twice); the single-partition window step touches
+    only vocabulary-sized data that must fit a broadcast anyway. One
+    doc_id shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    vocab = tok.groupBy("word").agg(F.count("*").alias("corpus_freq"))
+    everything = Window.partitionBy()
+    vocab = vocab.select(
+        "word",
+        "corpus_freq",
+        F.sum("corpus_freq").over(everything).alias("n_total"),
+        F.count("*").over(everything).alias("n_vocab"),
+    )
+    is_rare = F.col("corpus_freq") * F.col("n_vocab") * 2 < F.col("n_total")
+    return (
+        tok.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("corpus_freq").alias("sum_freq"),
+            (F.sum("corpus_freq").cast("double") / F.count("*")).alias("avg_freq"),
+            F.sum(F.when(is_rare, 1).otherwise(0)).alias("n_rare"),
+            F.min("corpus_freq").alias("min_freq"),
+        )
+    )
+
+
+# --------------------------------------------------------- PII scrubbing
+
+# Java regex (Spark) and RE2 (DuckDB) agree on these classes.
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-\d{3}-\d{4}"
+
+# The corpus is synthetic lowercase prose with no real PII, so the
+# query injects deterministic PII derived from doc_id (0-2 emails,
+# a phone on even ids) and then proves the scrubber removes exactly
+# what was injected. Both engines build the identical augmented text.
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || repeat(' contact user' || CAST(doc_id AS VARCHAR) || '@example.com',
+                   CAST(doc_id % 3 AS INTEGER))
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS body
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(body, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(body, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(body, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_sig
+FROM aug
+"""
+
+
+@register("text_pii_scrub", oracle=_PII_ORACLE, tags=("llm-pipeline",))
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email addresses and phone
+    numbers with compiled regexes, emitting per-document redaction
+    counts plus an md5 of the scrubbed text (so the redacted output
+    itself is cross-engine verified, not just the counts).
+
+    Scale: map-only — regex evaluation inside whole-stage codegen, no
+    shuffle at all; at 100 TB this runs at scan speed. The pattern
+    list extends per deployment (SSNs, credit cards, IPs) as further
+    regexp_replace chains in the same projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    body = F.concat(
+        F.col("text"),
+        F.expr(
+            "repeat(concat(' contact user', CAST(doc_id AS STRING), '@example.com'), "
+            "CAST(doc_id % 3 AS INT))"
+        ),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    aug = docs.select("doc_id", body.alias("body"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("body"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("body", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("body", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_sig"),
+    )
+
+
+# ------------------------------------------------ embedding centroids
+
+_Q_SCALE = 1_000_000.0  # fixed-point quantization for exact cross-row sums
+
+_CENTROID_ORACLE = f"""
+SELECT label, i AS pos,
+       count(*) AS n_vecs,
+       CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(sum(q) AS DOUBLE) / (count(*) * {_Q_SCALE}) AS centroid
+FROM (
+  SELECT label, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_Q_SCALE}) AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)
+)
+GROUP BY label, i
+"""
+
+
+@register("embedding_label_centroids", oracle=_CENTROID_ORACLE, tags=("llm-pipeline",))
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the class-prototype statistics
+    behind embedding-space diagnostics (cluster drift, label purity,
+    semantic sampling). Components are fixed-point quantized
+    (floor(x * 1e6), exact in IEEE doubles on every engine) before the
+    cross-row sum, because float addition is not associative and a
+    distributed sum would otherwise depend on partitioning; the bigint
+    sums ARE associative, so the result is bit-identical on any
+    cluster layout. The final division back to a double centroid is a
+    single deterministic operation.
+
+    Scale: posexplode multiplies rows by dim (64), but the shuffle
+    carries only (label, pos, partial sums) after map-side combine —
+    O(labels x dim) regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pe = emb.select("label", F.posexplode("embedding"))
+    q = F.floor(F.col("col").cast("double") * F.lit(_Q_SCALE)).cast("long")
+    return (
+        pe.select("label", (F.col("pos") + 1).cast("long").alias("pos"), q.alias("q"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("q").alias("sum_q"),
+            (F.sum("q").cast("double") / (F.count("*") * F.lit(_Q_SCALE))).alias(
+                "centroid"
+            ),
+        )
+    )

@@ -48,6 +48,15 @@ SHAPE = [
     ("split_train_val_test", 0, 0, False),
     ("tpch_q7_nation_volume", 3, 4, False),
     ("join_nation_revenue", 3, 2, False),
+    # training-batch assembly: pack/shard/centroid are single-shuffle
+    # (groupBy reuses the window's/nothing else's partitioning);
+    # rarity joins the vocab back as broadcasts only
+    ("pack_sequences", 1, 0, False),
+    ("shard_assign_fingerprint", 1, 0, False),
+    ("embedding_label_centroids", 1, 0, False),
+    ("text_rarity_score", 2, 1, False),
+    ("text_pii_scrub", 0, 0, False),
+    ("sample_mixture_weights", 1, 0, False),
 ]
 
 
