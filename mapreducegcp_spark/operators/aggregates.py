@@ -451,3 +451,47 @@ def q_agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n"),
         F.sum("v").cast("double").alias("total_value"),
     )
+
+
+_QTY = o_dec2("l_quantity")
+_PRICE = o_dec2("l_extendedprice")
+_N = "COUNT(*)"
+_CORR_ORACLE = f"""
+SELECT l_returnflag,
+       {_N} AS n,
+       ({o_dsum(f"{_QTY} * {_PRICE}")} / {_N}
+        - ({o_dsum(_QTY)} / {_N}) * ({o_dsum(_PRICE)} / {_N})) AS cov_qty_price,
+       ({o_dsum(f"{_QTY} * {_PRICE}")} / {_N}
+        - ({o_dsum(_QTY)} / {_N}) * ({o_dsum(_PRICE)} / {_N}))
+       / (sqrt({o_dsum(f"{_QTY} * {_QTY}")} / {_N}
+               - ({o_dsum(_QTY)} / {_N}) * ({o_dsum(_QTY)} / {_N}))
+          * sqrt({o_dsum(f"{_PRICE} * {_PRICE}")} / {_N}
+                 - ({o_dsum(_PRICE)} / {_N}) * ({o_dsum(_PRICE)} / {_N})))
+       AS corr_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_correlation", oracle=_CORR_ORACLE, tags=("relational",))
+def q_agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and population covariance from exact decimal
+    moments — the same recipe as agg_variance: all five moments (sums
+    of x, y, xy, x², y²) accumulate exactly in the decimal domain
+    (order-independent, partitioning-independent), then ONE fixed
+    sequence of IEEE double ops finishes the statistic, so the result
+    hash-matches DuckDB bit-for-bit where the built-in corr()/covar_pop
+    (streaming double accumulation) cannot. One shuffle, map-side
+    partials, five 16-byte accumulators per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = dec2("l_quantity"), dec2("l_extendedprice")
+    n = F.count("*")
+    mx, my = dsum(x) / n, dsum(y) / n
+    cov = dsum(x * y) / n - mx * my
+    var_x = dsum(x * x) / n - mx * mx
+    var_y = dsum(y * y) / n - my * my
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        cov.alias("cov_qty_price"),
+        (cov / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_qty_price"),
+    )

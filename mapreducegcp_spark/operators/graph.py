@@ -1,0 +1,145 @@
+"""Graph analytics over relational data — iterative algorithms as
+driver-controlled loops of declarative joins (the connected-components
+pattern from operators/dedup.py, applied to a weighted digraph).
+
+Absent from the reference (its two applications are wordcount and
+inverted index, Worker/Worker.py:9-41). The differentiating design
+point is EXACT iteration: ranks live in fixed-point bigint units, every
+per-edge division is true integer division, and every cross-row sum is
+a bigint sum — all associative, so a 3-iteration PageRank produces
+bit-identical output on any partitioning and hash-matches an unrolled
+DuckDB CTE oracle. Floating-point PageRank can never be value-checked
+this way (neighbor sums are order-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducegcp_spark.registry import register
+from mapreducegcp_spark.sources.catalog import load_table
+
+RANK_SCALE = 1_000_000_000_000  # fixed-point rank unit (1.0 == 1e12)
+N_ITER = 3
+DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+
+_EDGE_SQL = """
+SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY src, dst
+"""
+
+
+def _oracle() -> str:
+    """Unrolled 3-iteration fixed-point PageRank as chained CTEs."""
+    s = RANK_SCALE
+    its = []
+    prev = "r0"
+    for i in range(1, N_ITER + 1):
+        its.append(f"""
+it{i} AS (
+  SELECT nodes.node,
+         CAST(({100 - DAMP_NUM} * {s}) // ({DAMP_DEN} * nn.n)
+              + ({DAMP_NUM} * coalesce(c.s, 0)) // {DAMP_DEN} AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(({prev}.r * e.w) // outw.ow) AS BIGINT) AS s
+    FROM e
+    JOIN {prev} ON e.src = {prev}.node
+    JOIN outw ON e.src = outw.src
+    GROUP BY e.dst
+  ) c USING (node)
+)""")
+        prev = f"it{i}"
+    return f"""
+WITH e AS ({_EDGE_SQL}),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST({s} // nn.n AS BIGINT) AS r FROM nodes CROSS JOIN nn),
+{",".join(its)}
+SELECT n.n_name AS nation, {prev}.r AS rank_scaled,
+       CAST({prev}.r AS DOUBLE) / {s} AS rank
+FROM {prev} JOIN nation n ON {prev}.node = n.n_nationkey
+"""
+
+
+@register("graph_pagerank_nations", oracle=_oracle(), tags=("llm-pipeline",))
+def q_graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the trade graph (customer nation -> supplier
+    nation, edge weight = lineitem count), {N_ITER} fixed iterations,
+    damping {DAMP_NUM}/{DAMP_DEN} — the canonical iterative algorithm
+    expressed as a driver loop of joins, each round one edge join + one
+    dst-keyed aggregation.
+
+    Exactness: ranks are bigint fixed-point ({RANK_SCALE} = 1.0); the
+    per-edge transfer is `(r * w) div out_w` (true integer division —
+    double division + truncation is off-by-one whenever the quotient
+    rounds across an integer, so both engines must use their native
+    integer-div). Bigint sums are associative: the result is identical
+    on any cluster layout, and hash-matches the unrolled CTE oracle.
+
+    Scale: the rank/degree tables are vertex-sized and broadcast; only
+    the edge table shuffles, once per iteration (join on src, agg on
+    dst) — the standard distributed PageRank layout. `(r * w)` needs
+    headroom: with 1e12-unit ranks, edge weights stay exact through
+    w ~ 9e6 per edge; beyond that, pre-normalize `w` to fixed-point
+    fractions of out_w once up front (same contract, one more div).
+    The reference could not express iteration at all — each round here
+    is the map/shuffle/reduce its Master would schedule as a separate
+    job with KV-store round trips (Master/Master.py:61-94).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy(
+            c.c_nationkey.alias("src"), su.s_nationkey.alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        .cache()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    nn = nodes.agg(F.count("*").alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(nn)).selectExpr(
+        "node", f"CAST({RANK_SCALE} div n AS BIGINT) AS r"
+    )
+    for _ in range(N_ITER):
+        contrib = (
+            edges.join(
+                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+            )
+            .join(F.broadcast(outw), "src")
+            .selectExpr("dst AS node", "(r * w) div ow AS c")
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, "node", "left")
+            .selectExpr(
+                "node",
+                f"CAST(({100 - DAMP_NUM} * {RANK_SCALE}) div ({DAMP_DEN} * n)"
+                f" + ({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN} AS BIGINT) AS r",
+            )
+        )
+    return ranks.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("node"), "n_name")),
+        "node",
+    ).selectExpr(
+        "n_name AS nation",
+        "r AS rank_scaled",
+        f"CAST(r AS DOUBLE) / {RANK_SCALE} AS rank",
+    )

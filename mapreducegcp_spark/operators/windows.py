@@ -206,3 +206,44 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w_full).alias("priciest_key"),
         F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
     )
+
+
+_RANGE_INTERVAL_ORACLE = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+         PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_value,
+       COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_trailing
+FROM events
+"""
+
+
+@register("window_range_interval", oracle=_RANGE_INTERVAL_ORACLE, tags=("relational",))
+def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user trailing-1-hour sum/count at
+    every event — the value-based frame (all rows within 3600 s of the
+    current row's timestamp), versus window_moving_frame's row-count
+    frame. The batch twin of the streaming sliding window, but anchored
+    at each event rather than at aligned window boundaries.
+
+    Cross-engine contract: both engines order by epoch seconds
+    (Spark's timestamp->long cast truncates; the oracle floors
+    DuckDB's fractional epoch()), so frame membership is identical —
+    and because RANGE frames include all peers of the current second,
+    the result is deterministic even where timestamps collide. Scale:
+    one user_id exchange + in-partition sort, same as every window
+    here; frame evaluation is the engine's sliding-sum, not O(n^2)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(dec2("value")).over(w).cast("double").alias("trailing_value"),
+        F.count("*").over(w).alias("n_trailing"),
+    )

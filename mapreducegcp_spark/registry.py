@@ -38,6 +38,7 @@ _OPERATOR_MODULES = [
     "mapreducegcp_spark.operators.multimodal",
     "mapreducegcp_spark.operators.pipeline",
     "mapreducegcp_spark.operators.training",
+    "mapreducegcp_spark.operators.graph",
     "mapreducegcp_spark.operators.timeseries",
     "mapreducegcp_spark.operators.sampling",
     "mapreducegcp_spark.sources.pysource",

@@ -14,8 +14,13 @@ levers:
   way join with ZERO exchanges — the shuffle happens once at write
   time instead of on every query, which is the difference between an
   hourly pipeline re-shuffling 100 TB and reading it join-ready.
+- ``write_sorted``: range-clustering + in-file sort -> row-group and
+  file skipping on range predicates over high-cardinality keys.
+- ``compact``: small-file maintenance, sized from the real on-disk
+  footprint.
 
-tests/test_formats.py asserts the pruning and the no-Exchange plans.
+tests/test_formats.py asserts the pruning, the no-Exchange plans, the
+disjoint row-group statistics, and the compaction arithmetic.
 """
 
 from __future__ import annotations
@@ -75,3 +80,55 @@ def write_orc(df: DataFrame, path: str) -> None:
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     # ORC carries its schema; no inference scan needed (unlike CSV/JSON)
     return spark.read.orc(path)
+
+
+def write_sorted(
+    df: DataFrame, path: str, *sort_cols: str, n_ranges: int = 8
+) -> None:
+    """Range-clustered parquet for row-group data skipping: rows are
+    range-partitioned on ``sort_cols`` (files cover disjoint key
+    ranges) and sorted within each partition (row groups inside a file
+    cover disjoint, ordered sub-ranges). Parquet footers then carry
+    tight min/max statistics, so a selective filter on the sort key
+    skips whole row groups and whole files without reading them — the
+    third physical-design lever after directory partitioning
+    (coarse-grained pruning) and bucketing (join co-location): this is
+    the one for range predicates on high-cardinality columns
+    (timestamps, ids), where directory partitioning would explode into
+    a small-files problem.
+
+    ``n_ranges`` controls output file count; at scale set it to
+    data_size / target_file_size. The range exchange samples the sort
+    key to pick balanced boundaries — one shuffle, paid at write time,
+    amortized over every scan that skips."""
+    df.repartitionByRange(n_ranges, *sort_cols).sortWithinPartitions(
+        *sort_cols
+    ).write.mode("overwrite").parquet(path)
+
+
+def compact(
+    spark: SparkSession, path: str, out_path: str, target_file_mb: int = 128
+) -> int:
+    """Small-file compaction: rewrite a fragmented dataset into files
+    of ~``target_file_mb``. Streaming sinks and fine-grained partition
+    writes accrete small files; at scale, footer/open overhead and
+    scheduler pressure grow with file COUNT, not bytes, so periodic
+    compaction is standing maintenance for any 100 TB table.
+
+    Sizing reads the existing footprint from the filesystem (here the
+    local FS of the test substrate; on an object store the same
+    numbers come from the listing API or table-format metadata) — not
+    from a row-count heuristic. Returns the target file count. The
+    rewrite is one round-robin repartition; use ``write_sorted``
+    instead when the table should also end up range-clustered."""
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(urlparse(f).path) for f in df.inputFiles()
+    )
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

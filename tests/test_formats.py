@@ -78,3 +78,54 @@ def test_orc_round_trip(spark, tmp_path):
     back = read_orc(spark, p)
     assert back.schema == src.schema
     assert sorted(back.collect()) == sorted(src.collect())
+
+
+def test_write_sorted_row_group_skipping(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    src = load_table(spark, SF_DIR, "events").select("event_id", "ts", "value")
+    p = str(tmp_path / "events_sorted")
+    from mapreducegcp_spark.sources.formats import write_sorted
+
+    write_sorted(src, p, "ts", n_ranges=4)
+
+    back = spark.read.parquet(p)
+    assert back.count() == src.count()
+
+    # every row group carries ts min/max stats, row groups within a
+    # file are ordered and non-overlapping, and files cover disjoint
+    # ranges -> a ts range predicate can skip at both granularities
+    import glob
+
+    file_ranges = []
+    for f in sorted(glob.glob(p + "/*.parquet")):
+        pf = pq.ParquetFile(f)
+        ts_idx = pf.schema_arrow.get_field_index("ts")
+        rgs = []
+        for i in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(i).column(ts_idx).statistics
+            assert st is not None and st.has_min_max, "missing ts stats"
+            rgs.append((st.min, st.max))
+        for (lo1, hi1), (lo2, hi2) in zip(rgs, rgs[1:]):
+            assert hi1 <= lo2, "row groups overlap within a file"
+        file_ranges.append((rgs[0][0], rgs[-1][1]))
+    file_ranges.sort()
+    for (_, hi1), (lo2, _) in zip(file_ranges, file_ranges[1:]):
+        assert hi1 <= lo2, "files overlap in ts range"
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    from mapreducegcp_spark.sources.formats import compact
+
+    src = load_table(spark, SF_DIR, "events")
+    frag = str(tmp_path / "events_frag")
+    # simulate a fragmented table: 64 tiny files
+    src.repartition(64).write.mode("overwrite").parquet(frag)
+    n_before = len(spark.read.parquet(frag).inputFiles())
+    assert n_before >= 64
+
+    out = str(tmp_path / "events_compact")
+    n_target = compact(spark, frag, out, target_file_mb=1)
+    got = spark.read.parquet(out)
+    assert len(got.inputFiles()) == n_target < n_before
+    assert got.count() == src.count()

@@ -57,6 +57,8 @@ SHAPE = [
     ("text_rarity_score", 2, 1, False),
     ("text_pii_scrub", 0, 0, False),
     ("sample_mixture_weights", 1, 0, False),
+    ("agg_correlation", 1, 0, False),
+    ("window_range_interval", 1, 0, False),
 ]
 
 
