@@ -318,3 +318,118 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("doc_id", "word", "cnt", "score", "rank")
     )
+
+
+# ------------------------------------------- Gopher-style repetition filter
+
+_REPETITION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         {_TOKS_SQL} AS toks
+  FROM documents
+),
+tok_counts AS (
+  SELECT doc_id, tok, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  GROUP BY doc_id, tok
+),
+tok_stats AS (
+  SELECT doc_id, max(cnt) AS top_tok, CAST(sum(cnt) AS BIGINT) AS n_tokens
+  FROM tok_counts GROUP BY doc_id
+),
+line_stats AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_distinct_lines,
+         len(list_filter(lines, x -> starts_with(x, '-')
+                                  OR starts_with(x, '*'))) AS n_bullet,
+         len(list_filter(lines, x -> x LIKE '%...')) AS n_ellipsis
+  FROM t
+)
+SELECT l.doc_id,
+       s.n_tokens,
+       l.n_lines,
+       CAST(l.n_lines - l.n_distinct_lines AS DOUBLE) / l.n_lines
+         AS dup_line_frac,
+       CAST(s.top_tok AS DOUBLE) / s.n_tokens AS top_token_frac,
+       CAST(l.n_bullet AS DOUBLE) / l.n_lines AS bullet_line_frac,
+       CAST(l.n_ellipsis AS DOUBLE) / l.n_lines AS ellipsis_line_frac,
+       (CAST(l.n_lines - l.n_distinct_lines AS DOUBLE) / l.n_lines <= 0.30
+        AND CAST(s.top_tok AS DOUBLE) / s.n_tokens <= 0.20
+        AND CAST(l.n_bullet AS DOUBLE) / l.n_lines <= 0.90
+        AND CAST(l.n_ellipsis AS DOUBLE) / l.n_lines <= 0.30
+        AND s.n_tokens >= 5) AS keep
+FROM line_stats l JOIN tok_stats s USING (doc_id)
+"""
+
+
+@register(
+    "text_repetition_filter",
+    oracle=_REPETITION_ORACLE,
+    tags=("text-analysis", "llm-pipeline"),
+)
+def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality rules in the Gopher tradition:
+    duplicate-line fraction, most-frequent-token mass, bullet-point and
+    ellipsis line fractions, with a combined keep/drop verdict. These
+    are the rules that kill boilerplate, navigation chrome, and
+    auto-generated listings that length/stopword scoring
+    (text_quality_scores) misses.
+
+    Line-level stats are pure array expressions (no shuffle). The
+    most-frequent-token mass needs a per-(doc, token) count: explode ->
+    two-level aggregation, which Spark executes with map-side partial
+    aggregation, then a broadcast-friendly join back on doc_id. Every
+    ratio is one bigint/bigint IEEE division, identical in both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split("text", "\n").alias("lines"),
+        tokens("text").alias("toks"),
+    )
+    tok_stats = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("top_tok"),
+            F.sum("count").alias("n_tokens"),
+        )
+    )
+    lines = F.col("lines")
+    line_stats = t.select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        F.size(F.array_distinct("lines")).alias("n_distinct_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda x: x.startswith("-") | x.startswith("*"),
+            )
+        ).alias("n_bullet"),
+        F.size(F.filter(lines, lambda x: x.endswith("..."))).alias("n_ellipsis"),
+    )
+    n_lines = F.col("n_lines").cast("double")
+    dup = (F.col("n_lines") - F.col("n_distinct_lines")).cast("double") / n_lines
+    top = F.col("top_tok").cast("double") / F.col("n_tokens")
+    bullet = F.col("n_bullet").cast("double") / n_lines
+    ellipsis = F.col("n_ellipsis").cast("double") / n_lines
+    return line_stats.join(tok_stats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_lines",
+        dup.alias("dup_line_frac"),
+        top.alias("top_token_frac"),
+        bullet.alias("bullet_line_frac"),
+        ellipsis.alias("ellipsis_line_frac"),
+        (
+            (dup <= 0.30)
+            & (top <= 0.20)
+            & (bullet <= 0.90)
+            & (ellipsis <= 0.30)
+            & (F.col("n_tokens") >= 5)
+        ).alias("keep"),
+    )

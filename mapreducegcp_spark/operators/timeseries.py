@@ -208,3 +208,94 @@ def q_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
         F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
     )
+
+
+# ------------------------------------------- CDC latest-state compaction
+
+_CDC_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, ts_us, event_type, value
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("cdc_latest_snapshot", oracle=_CDC_ORACLE, tags=("timeseries",))
+def q_cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log compaction: collapse an event stream to the latest
+    row per key — the materialize step of every CDC / upsert pipeline
+    (and what a log-structured table's read path does on the fly).
+
+    Implementation: ``max(struct(ts_us, event_id, payload...))`` per
+    key, NOT a row_number window. Struct max compares field-by-field,
+    so it is argmax over the (ts, event_id) total order with the
+    payload riding along — and because it is an *aggregate*, Spark
+    runs a map-side partial pass first: each input partition reduces
+    to at most one row per key before the exchange. At 100 TB of
+    change log with a bounded key space, the shuffle moves O(keys)
+    rows instead of the window plan's O(rows) full sort. The oracle
+    pins identical semantics with an independent row_number plan."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.unix_micros("ts").alias("ts_us"),
+                    F.col("event_id"),
+                    F.col("event_type"),
+                    F.col("value"),
+                )
+            ).alias("s")
+        )
+    )
+    return latest.select(
+        "user_id",
+        F.col("s.event_id").alias("event_id"),
+        F.col("s.ts_us").alias("ts_us"),
+        F.col("s.event_type").alias("event_type"),
+        F.col("s.value").alias("value"),
+    )
+
+
+# ---------------------------------------------------- SCD2 intervalization
+
+_SCD2_ORACLE = """
+SELECT user_id,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w) AS valid_to_us,
+       value,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("scd2_intervals", oracle=_SCD2_ORACLE, tags=("timeseries",))
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) intervalization: each
+    purchase is a dimension update; emit ``[valid_from, valid_to)``
+    rows where ``valid_to`` is the next update's timestamp (open-ended
+    for the current row). The output joins back to fact tables with
+    the band predicate ``fact.ts >= valid_from AND (valid_to IS NULL
+    OR fact.ts < valid_to)`` — the standard temporal-dimension shape.
+
+    One user_id shuffle + in-partition sort, then ``lead`` — no
+    self-join, so no quadratic blowup on hot keys. Filter on
+    event_type reaches the parquet scan before the exchange."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+        "value",
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

@@ -51,6 +51,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet TIMESTAMP(MICROS) without a timezone must read as a
+        # session-TZ (UTC) TIMESTAMP, not TIMESTAMP_NTZ: the engine's
+        # time arithmetic (unix_micros, window ranges) and the DuckDB
+        # oracle both treat naive storage as UTC instants, and NTZ
+        # inference would make the same parquet file type-unstable
+        # across writer versions.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # write timestamps as TIMESTAMP_MICROS, not legacy INT96:
         # INT96 row groups carry no min/max statistics, which silently
         # disables row-group skipping on every time-range predicate

@@ -46,11 +46,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive parquet TIMESTAMP(MICROS) must read as a session-TZ (UTC)
+    # TIMESTAMP, not TIMESTAMP_NTZ: the engine's time arithmetic
+    # (unix_micros, window ranges) and the DuckDB oracle both treat
+    # naive storage as UTC instants. Set here (runtime SQL conf), not
+    # only in session.py, because callers may hand in their own session
+    # (the driver does).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer div (not double /): a double round-trip can round a
         # ...999 nanos tail up and disagree with true floor division.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Belt-and-braces: if an upstream reader still produced NTZ (conf
+    # flipped after a cached plan, a future default change), normalize.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
