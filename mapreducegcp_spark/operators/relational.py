@@ -11,6 +11,8 @@ plan survives a 1000-executor 100 TB run.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -441,4 +443,73 @@ def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) l
         WHERE c.c_acctbal > 9000
         """
+    )
+
+
+# ------------------------------------------------- bucketed co-located join
+
+_BUCKETS = 8
+_BUCKET_BASE = "/tmp/mapreducegcp_spark_bucketed"
+
+_BUCKETED_ORACLE = """
+SELECT c.c_mktsegment AS mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def _bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str) -> str:
+    """Materialize ``table`` as an external bucketed+sorted table (once
+    per session+sf) and return its catalog name.
+
+    This is the offline layout step a 100 TB deployment runs at ingest:
+    ``bucketBy(key).sortBy(key)`` pre-shuffles and pre-sorts the data
+    into a fixed number of hash buckets so every future equi-join or
+    aggregation on ``key`` reads co-located, pre-sorted buckets and
+    skips both the exchange and the sort."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    name = f"{table}_bucketed_{sf_tag}"
+    if not spark.catalog.tableExists(name):
+        (
+            load_table(spark, sf_dir, table)
+            # one writer task per bucket -> one file per bucket: Spark
+            # only trusts bucket-level sort order (and skips the
+            # join-side Sort) when each bucket is a single file
+            .repartition(_BUCKETS, F.col(key))
+            .write.bucketBy(_BUCKETS, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .option("path", f"{_BUCKET_BASE}/{sf_tag}/{table}")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return name
+
+
+@register("join_bucketed_colocated", oracle=_BUCKETED_ORACLE, tags=("relational",))
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free join via bucketing: orders and customer are laid
+    out as 8-bucket hash-bucketed, bucket-sorted tables on the join
+    key, so the sort-merge join consumes both scans directly — zero
+    shuffle on either side. The ``merge`` hint pins SMJ (a broadcast
+    would also skip the exchange, but the point here is the layout: at
+    100 TB neither side broadcasts, and bucketing is what keeps the
+    daily join from re-shuffling the fact table every run). The only
+    exchange in the plan is the final 5-group rollup. The residual
+    in-partition Sort nodes are linear passes over already-bucket-
+    sorted single files (Spark only drops them under the legacy
+    bucketedTableScan.outputOrdering conf); the shuffle is what
+    matters at scale, and there is none.
+
+    test_plans.py asserts the no-exchange-before-join invariant."""
+    t_orders = _bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    t_cust = _bucketed_table(spark, sf_dir, "customer", "c_custkey")
+    o = spark.table(t_orders).hint("merge")
+    c = spark.table(t_cust).hint("merge")
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(dec2("o_totalprice")).cast("double").alias("revenue"),
     )

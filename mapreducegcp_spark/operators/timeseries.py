@@ -299,3 +299,75 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+# -------------------------------------------------------- funnel analysis
+
+_FUNNEL_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+),
+staged AS (
+  SELECT user_id,
+         (t_view IS NOT NULL) AS s1,
+         (t_view IS NOT NULL AND t_click > t_view) AS s2,
+         (t_view IS NOT NULL AND t_click > t_view
+          AND t_purchase > t_click) AS s3
+  FROM firsts
+)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+       CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+       CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase,
+       CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS view_to_click,
+       CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS DOUBLE)
+         / sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS click_to_purchase
+FROM staged
+"""
+
+
+@register("funnel_view_click_purchase", oracle=_FUNNEL_ORACLE, tags=("timeseries",))
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: a user reaches stage N when their
+    first stage-N event happens strictly after their first stage-(N-1)
+    event — view -> click -> purchase, with per-step conversion rates.
+
+    One conditional-min aggregation per user (map-side partial: each
+    input partition reduces to <= 1 row per user before the exchange),
+    then a single global rollup — no self-joins, no window sort. The
+    strictly-after semantics use NULL-safe comparisons: a missing
+    earlier stage makes every later comparison NULL, i.e. not
+    reached, in both engines identically."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(etype: str) -> Column:
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    staged = firsts.select(
+        s1.alias("s1"),
+        F.coalesce(s2, F.lit(False)).alias("s2"),
+        F.coalesce(s3, F.lit(False)).alias("s3"),
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0))  # noqa: E731
+    return staged.agg(
+        F.count("*").alias("n_users"),
+        cnt("s1").alias("reached_view"),
+        cnt("s2").alias("reached_click"),
+        cnt("s3").alias("reached_purchase"),
+        (cnt("s2").cast("double") / cnt("s1")).alias("view_to_click"),
+        (cnt("s3").cast("double") / cnt("s2")).alias("click_to_purchase"),
+    )

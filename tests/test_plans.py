@@ -124,3 +124,35 @@ def test_exact_pair_operators_build_lazily(spark, name):
     # the pair space is narrowed by a distributed block join, visible as
     # the FlatMapGroupsInPandas (applyInPandas) stage over (gi, gj)
     assert "FlatMapGroupsInPandas" in tree, tree[:2000]
+
+
+def test_cdc_latest_snapshot_partial_agg(spark):
+    """CDC compaction must be an aggregate with a map-side partial pass
+    (shuffle moves O(keys) rows), not a row_number window (full sort of
+    O(rows))."""
+    tree, _ = _plans(spark, "cdc_latest_snapshot")
+    assert _exchanges(tree) <= 1, tree[:2000]
+    assert "partial_max" in tree, "expected map-side partial aggregation"
+    assert "Window" not in tree, "CDC compaction regressed to a window plan"
+
+
+def test_bucketed_join_no_exchange_before_smj(spark):
+    """The bucketed co-located join's SMJ must consume bucketed scans
+    directly: the only exchange allowed is the final group rollup."""
+    tree, _ = _plans(spark, "join_bucketed_colocated")
+    assert "SortMergeJoin" in tree, tree[:2000]
+    join_part = tree[tree.index("SortMergeJoin"):]
+    assert "Exchange" not in join_part, (
+        "exchange below the join — bucketing not picked up\n" + join_part[:2000]
+    )
+    assert tree.count("Bucketed: true") == 2, "scans are not bucketed"
+    assert _exchanges(tree) <= 1, tree[:2000]
+
+
+def test_sq8_candidate_prune_shape(spark):
+    """SQ8: the scale pass is a 64-group partial aggregation and the
+    candidate scan ranks by integer dot — no sort-merge join, queries
+    broadcast."""
+    tree, _ = _plans(spark, "similarity_sq8_topk")
+    assert "SortMergeJoin" not in tree
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, tree[:1500]
