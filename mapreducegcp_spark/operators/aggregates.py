@@ -495,3 +495,60 @@ def q_agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov.alias("cov_qty_price"),
         (cov / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_qty_price"),
     )
+
+
+# ------------------------------------- approx quantiles with tolerance gate
+
+_APPROX_Q_EPS = 0.02  # approx_percentile accuracy = 1/eps = 50
+
+_APPROX_Q_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       TRUE AS p50_within_tol,
+       TRUE AS p95_within_tol
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_approx_quantiles_tol", oracle=_APPROX_Q_ORACLE, tags=("relational",))
+def q_agg_approx_quantiles_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles with a driver-checkable gate: per
+    group, compute approx_percentile (Greenwald–Khanna style, bounded
+    memory — the 100 TB path, vs exact percentile's full sort) AND the
+    exact rank of each estimate, then emit whether the estimate's true
+    rank is within the configured accuracy of the target rank. The
+    oracle states TRUE, so the hash matches iff every group's sketch
+    meets its contract — rank-based (the GK guarantee is on *rank*
+    error, not value error, so a value tolerance would be the wrong
+    gate for skewed columns)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    acc = int(1 / _APPROX_Q_EPS)
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("p50_est"),
+        F.percentile_approx("l_extendedprice", 0.95, acc).alias("p95_est"),
+        F.count("*").alias("n"),
+    )
+    # Exact rank of each estimate: one extra aggregation joined back on
+    # the group key (broadcast — group cardinality is tiny).
+    ranked = li.join(F.broadcast(approx), "l_returnflag").groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_extendedprice") <= F.col("p50_est"), 1).otherwise(0)).alias(
+            "rank50"
+        ),
+        F.sum(F.when(F.col("l_extendedprice") <= F.col("p95_est"), 1).otherwise(0)).alias(
+            "rank95"
+        ),
+    )
+    out = approx.join(ranked, "l_returnflag")
+    n = F.col("n")
+
+    def gate(rank_col: str, q: float):
+        target = n * q
+        return F.abs(F.col(rank_col) - target) <= (n * _APPROX_Q_EPS + 1)
+
+    return out.select(
+        "l_returnflag",
+        "n",
+        gate("rank50", 0.5).alias("p50_within_tol"),
+        gate("rank95", 0.95).alias("p95_within_tol"),
+    )

@@ -299,3 +299,68 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_resizer(),
         schema="doc_id long, width int, height int, thumb_sum long, thumb_md5 string",
     )
+
+
+_CHUNK_BYTES = 256
+
+_CHUNK_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, text, strlen(text) AS n_bytes,
+         CAST(ceil(strlen(text) / {_CHUNK_BYTES}.0) AS BIGINT) AS n_chunks
+  FROM documents
+)
+SELECT doc_id, i AS chunk_idx,
+       least({_CHUNK_BYTES}, n_bytes - i * {_CHUNK_BYTES}) AS chunk_bytes,
+       md5(substring(text, i * {_CHUNK_BYTES} + 1, {_CHUNK_BYTES})) AS chunk_md5
+FROM m, unnest(range(0, n_chunks)) AS t(i)
+WHERE n_chunks > 0
+"""
+
+
+@register(
+    "multimodal_chunk_payload",
+    oracle=_CHUNK_ORACLE,
+    tags=("multimodal",),
+)
+def q_multimodal_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size payload chunking — the shape of audio windowing or
+    video GOP splitting before a per-chunk decode/transcribe stage:
+    each binary payload becomes ceil(n/256) rows of (chunk_idx, size,
+    checksum). Pure expression-level work (sequence -> explode ->
+    binary substr -> md5): no Python, no shuffle, output row count
+    scales with payload bytes, not documents. A real pipeline feeds
+    each chunk to decode_media; the md5 stands in as the
+    oracle-checkable per-chunk digest (ASCII corpus: byte == char, so
+    DuckDB reproduces every chunk from the string).
+
+    Chunks stay with their source row's partition — embarrassingly
+    parallel, the explode multiplies rows ~n_bytes/256x so a 100 TB
+    run sizes maxPartitionBytes for the post-explode width."""
+    m = with_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "payload",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.ceil(F.col("meta.n_bytes") / float(_CHUNK_BYTES)).alias("n_chunks"),
+    )
+    chunks = m.filter(F.col("n_chunks") > 0).select(
+        "doc_id",
+        "payload",
+        "n_bytes",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.least(
+            F.lit(_CHUNK_BYTES).cast("long"),
+            F.col("n_bytes") - F.col("chunk_idx") * _CHUNK_BYTES,
+        ).alias("chunk_bytes"),
+        F.md5(
+            F.col("payload").substr(
+                (F.col("chunk_idx") * _CHUNK_BYTES + 1).cast("int"),
+                F.lit(_CHUNK_BYTES),
+            )
+        ).alias("chunk_md5"),
+    )

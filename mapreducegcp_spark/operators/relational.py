@@ -513,3 +513,94 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(dec2("o_totalprice")).cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------- MERGE upsert emulation
+
+_MERGE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+changes AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'I'
+              WHEN o_orderkey % 7 = 1 THEN 'U'
+              ELSE 'D' END AS op,
+         o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 IN (0, 1, 2)
+)
+SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+       coalesce(b.o_custkey, c.o_custkey) AS o_custkey,
+       CASE WHEN c.op = 'U' THEN 'U' ELSE b.o_orderstatus END AS o_orderstatus,
+       CASE WHEN c.op = 'U' THEN b.o_totalprice * 1.05
+            WHEN c.op = 'I' THEN c.o_totalprice
+            ELSE b.o_totalprice END AS o_totalprice,
+       CASE WHEN c.op = 'U' THEN 'updated'
+            WHEN c.op = 'I' THEN 'inserted'
+            ELSE 'kept' END AS merge_action
+FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+WHERE (c.op IS NULL AND b.o_orderkey IS NOT NULL)   -- untouched base row
+   OR (c.op = 'U' AND b.o_orderkey IS NOT NULL)     -- matched update
+   OR (c.op = 'I' AND b.o_orderkey IS NULL)         -- not-matched insert
+"""
+
+
+@register("merge_upsert_orders", oracle=_MERGE_ORACLE, tags=("relational",))
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (the lakehouse upsert): apply a change feed
+    of inserts / updates / deletes onto a base snapshot in one full
+    outer join + resolution pass — WHEN MATCHED THEN UPDATE/DELETE,
+    WHEN NOT MATCHED THEN INSERT. The feed is carved deterministically
+    from orders (key mod 7: 0=insert-only keys, 1=updates, 2=deletes)
+    so both engines reproduce it exactly.
+
+    Scale shape: one equi-join on the merge key. A real change feed is
+    small relative to the base, so Spark broadcasts it (or, combined
+    with join_bucketed_colocated's layout, bucket-joins without any
+    exchange); resolution is pure projection. This is the whole
+    read-side of copy-on-write MERGE — the write side is
+    write.partitionBy, exercised by the format round-trip tests."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    changes = (
+        orders.filter((F.col("o_orderkey") % 7).isin(0, 1, 2))
+        .select(
+            F.col("o_orderkey").alias("c_orderkey"),
+            F.col("o_custkey").alias("c_custkey"),
+            F.when(F.col("o_orderkey") % 7 == 0, "I")
+            .when(F.col("o_orderkey") % 7 == 1, "U")
+            .otherwise("D")
+            .alias("op"),
+            F.col("o_totalprice").alias("c_totalprice"),
+        )
+    )
+    j = base.join(
+        changes, base["o_orderkey"] == changes["c_orderkey"], "full_outer"
+    )
+    matched = F.col("o_orderkey").isNotNull()
+    # Explicit allowlist (not negations): full-outer NULLs make negated
+    # predicates silently three-valued — a matched delete is simply the
+    # absence of any keep rule.
+    keep = (
+        (F.col("op").isNull() & matched)
+        | ((F.col("op") == "U") & matched)
+        | ((F.col("op") == "I") & ~matched)
+    )
+    return j.filter(keep).select(
+        F.coalesce("o_orderkey", "c_orderkey").alias("o_orderkey"),
+        F.coalesce("o_custkey", "c_custkey").alias("o_custkey"),
+        F.when(F.col("op") == "U", "U").otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(F.col("op") == "U", F.col("o_totalprice") * 1.05)
+        .when(F.col("op") == "I", F.col("c_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("op") == "U", "updated")
+        .when(F.col("op") == "I", "inserted")
+        .otherwise("kept")
+        .alias("merge_action"),
+    )

@@ -152,3 +152,75 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(col_name, n_rows, n_null, n_distinct, min_str, max_str)"
     )
+
+
+# ------------------------------------------------- data-quality constraints
+
+_DQ_ORACLE = """
+WITH m AS (
+  SELECT count(*) AS n_rows,
+         count(doc_id) AS n_docid,
+         count(DISTINCT doc_id) AS n_docid_distinct,
+         count(text) AS n_text,
+         CAST(sum(CASE WHEN n_chars >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_chars_pos,
+         CAST(sum(CASE WHEN lang IN ('en','de','es','fr') THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_lang_ok,
+         CAST(sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_len_consistent
+  FROM documents
+)
+SELECT c.constraint_name, c.n_violations, c.passed FROM m, LATERAL (
+  SELECT * FROM (VALUES
+    ('doc_id_complete',   m.n_rows - m.n_docid,          m.n_rows - m.n_docid = 0),
+    ('doc_id_unique',     m.n_docid - m.n_docid_distinct, m.n_docid = m.n_docid_distinct),
+    ('text_complete',     m.n_rows - m.n_text,           m.n_rows - m.n_text = 0),
+    ('n_chars_positive',  m.n_rows - m.n_chars_pos,      m.n_rows = m.n_chars_pos),
+    ('lang_in_domain',    m.n_rows - m.n_lang_ok,        m.n_rows = m.n_lang_ok),
+    ('n_chars_matches_text', m.n_rows - m.n_len_consistent,
+                             m.n_rows = m.n_len_consistent)
+  ) AS v(constraint_name, n_violations, passed)
+) c
+"""
+
+
+@register("dq_constraint_check", oracle=_DQ_ORACLE, tags=("llm-pipeline",))
+def q_dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (the Deequ pattern): completeness,
+    uniqueness, domain, and cross-column consistency constraints over
+    the documents table, one verdict row per constraint. A pipeline
+    runs this before (and after) every expensive stage; a failed row
+    aborts the run instead of training on corrupt data.
+
+    All constraints evaluate in ONE scan — a single global aggregate
+    computes every count, then an in-memory stack unpivots the scalar
+    cells into verdict rows. No per-constraint passes, no shuffle
+    beyond the final single-row exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    langs = ("en", "de", "es", "fr")
+    m = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("doc_id").alias("n_docid"),
+        F.countDistinct("doc_id").alias("n_docid_distinct"),
+        F.count("text").alias("n_text"),
+        F.sum(F.when(F.col("n_chars") >= 1, 1).otherwise(0)).alias("n_chars_pos"),
+        F.sum(F.when(F.col("lang").isin(*langs), 1).otherwise(0)).alias("n_lang_ok"),
+        F.sum(
+            F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0)
+        ).alias("n_len_consistent"),
+    )
+    checks = [
+        ("doc_id_complete", "n_rows - n_docid", "n_rows - n_docid = 0"),
+        ("doc_id_unique", "n_docid - n_docid_distinct", "n_docid = n_docid_distinct"),
+        ("text_complete", "n_rows - n_text", "n_rows - n_text = 0"),
+        ("n_chars_positive", "n_rows - n_chars_pos", "n_rows = n_chars_pos"),
+        ("lang_in_domain", "n_rows - n_lang_ok", "n_rows = n_lang_ok"),
+        ("n_chars_matches_text", "n_rows - n_len_consistent",
+         "n_rows = n_len_consistent"),
+    ]
+    stack_args = ", ".join(
+        f"'{name}', CAST({viol} AS BIGINT), {passed}" for name, viol, passed in checks
+    )
+    return m.selectExpr(
+        f"stack({len(checks)}, {stack_args}) AS (constraint_name, n_violations, passed)"
+    )
