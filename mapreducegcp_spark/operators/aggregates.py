@@ -552,3 +552,43 @@ def q_agg_approx_quantiles_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         gate("rank50", 0.5).alias("p50_within_tol"),
         gate("rank95", 0.95).alias("p95_within_tol"),
     )
+
+
+# ------------------------------------------------------ fixed-bin histogram
+
+_HIST_WIDTH = 5.0
+
+_HIST_ORACLE = f"""
+SELECT event_type,
+       CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) AS bin,
+       CAST(floor(value / {_HIST_WIDTH}) * {_HIST_WIDTH} AS DOUBLE) AS bin_lo,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS bin_sum
+FROM events
+GROUP BY event_type, bin, bin_lo
+"""
+
+
+@register("agg_histogram_bins", oracle=_HIST_ORACLE, tags=("relational",))
+def q_agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — the distribution
+    profile behind dashboards and outlier gates, as one groupBy on a
+    computed bin key. Unlike percentile sketches this is exact and
+    merge-able: partial counts combine map-side, the shuffle carries
+    only (type, bin) cells, and two histograms union by adding cells.
+    The bin id is floor(value/width) — one IEEE division + floor,
+    identical in both engines; bin sums fold in the exact decimal
+    domain (functions/exact.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / _HIST_WIDTH)
+    return (
+        ev.groupBy(
+            "event_type",
+            bin_.alias("bin"),
+            (bin_ * _HIST_WIDTH).cast("double").alias("bin_lo"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec2("value")).cast("double").alias("bin_sum"),
+        )
+    )

@@ -143,3 +143,99 @@ def q_graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r AS rank_scaled",
         f"CAST(r AS DOUBLE) / {RANK_SCALE} AS rank",
     )
+
+
+# ------------------------------------------------------- triangle counting
+
+_TRI_ORACLE = f"""
+WITH d AS ({_EDGE_SQL}),
+ue AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM d WHERE src <> dst
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM ue e1
+  JOIN ue e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN ue e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT (SELECT count(*) FROM (SELECT DISTINCT u FROM ue
+                              UNION SELECT DISTINCT v FROM ue)) AS n_nodes,
+       (SELECT count(*) FROM ue) AS n_edges,
+       tri.n_triangles
+FROM tri
+"""
+
+
+@register("graph_triangle_count", oracle=_TRI_ORACLE, tags=("llm-pipeline",))
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count over the undirected trade graph — the
+    clustering-structure metric behind community detection and spam
+    heuristics.
+
+    The Spark plan is the degree-oriented wedge join (the MapReduce-
+    classic skew fix): each undirected edge is directed from the
+    endpoint with (lower degree, lower id) to the other, so a wedge is
+    enumerated only at its lowest-degree vertex. A hub of degree D in a
+    skewed graph generates O(D^2) wedge candidates under the naive
+    u<v self-join but only O(sum of its *smaller* neighbors' degrees)
+    under orientation — the difference between a dead executor and an
+    even spread at 100 TB. The DuckDB oracle counts the same triangles
+    with the independent canonical a<b<c 3-way join."""
+    # Build the directed trade edges with the same joins as PageRank.
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    directed = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+    )
+    ue = (
+        directed.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        ue.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # Orient each edge from the (deg, id)-smaller endpoint to the other.
+    e = (
+        ue.join(F.broadcast(deg.withColumnRenamed("node", "u")
+                .withColumnRenamed("deg", "du")), "u")
+        .join(F.broadcast(deg.withColumnRenamed("node", "v")
+              .withColumnRenamed("deg", "dv")), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("s")
+        )
+        .select("s.a", "s.b")
+    )
+    w1 = e.select(F.col("a").alias("x"), F.col("b").alias("y1"))
+    w2 = e.select(F.col("a").alias("x"), F.col("b").alias("y2"))
+    wedges = w1.join(w2, "x").filter(F.col("y1") < F.col("y2"))
+    # A wedge (y1, y2) closes iff the edge exists in EITHER orientation.
+    closing = e.select(
+        F.least("a", "b").alias("cu"), F.greatest("a", "b").alias("cv")
+    )
+    tri = wedges.join(
+        closing,
+        (F.least("y1", "y2") == F.col("cu"))
+        & (F.greatest("y1", "y2") == F.col("cv")),
+        "leftsemi",
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = ue.agg(F.count("*").alias("n_edges"))
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreducegcp_spark.functions.exact import dec2
 from mapreducegcp_spark.registry import register
 from mapreducegcp_spark.sources.catalog import load_table
 
@@ -370,4 +371,63 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("s3").alias("reached_purchase"),
         (cnt("s2").cast("double") / cnt("s1")).alias("view_to_click"),
         (cnt("s3").cast("double") / cnt("s2")).alias("click_to_purchase"),
+    )
+
+
+# -------------------------------------------------- time-weighted average
+
+_TWA_ORACLE = """
+WITH stepped AS (
+  SELECT user_id, value,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt_us,
+         (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000 AS dt_ms
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       count(*) AS n_intervals,
+       CAST(sum(dt_us) AS BIGINT) AS span_us,
+       CAST(sum(CAST(value AS DECIMAL(12,2)) * dt_ms) AS DOUBLE)
+         / CAST(sum(dt_ms) AS DOUBLE) AS twa_value
+FROM stepped
+WHERE dt_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("time_weighted_avg", oracle=_TWA_ORACLE, tags=("timeseries",))
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average in the hypertable tradition: each
+    observation holds (last-observation-carried-forward) until the
+    next one, so its weight is the interval length, not 1 — the right
+    mean for irregularly sampled gauges, where a plain AVG over-weights
+    bursts.
+
+    One user_id shuffle: lead() inside the window partition computes
+    interval lengths, and the per-user rollup groups on the window's
+    own partition key, so Catalyst reuses the exchange. The weighted
+    sum runs in the exact decimal domain (value lifts to DECIMAL(12,2),
+    weights are integer microseconds) with ONE final cast to double —
+    order-independent, so the value-hash survives any partitioning
+    (functions/exact.py convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    # Weights are integer MILLIseconds (floor-div, identical in both
+    # engines): with microsecond weights the scaled decimal sum can
+    # exceed 2^53, where Spark's and DuckDB's decimal->double casts
+    # can disagree by 1 ulp. ms weights keep every sum exactly
+    # representable through sf10 while span_us stays exact.
+    dt_ms = F.expr("dt_us div 1000")
+    return stepped.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("dt_us").alias("span_us"),
+        (
+            F.sum(dec2("value") * dt_ms).cast("double")
+            / F.sum(dt_ms).cast("double")
+        ).alias("twa_value"),
     )
