@@ -604,3 +604,43 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("kept")
         .alias("merge_action"),
     )
+
+
+# ------------------------------------------------- multiset (ALL) set ops
+
+_EXCEPT_ALL_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+@register("set_except_all", oracle=_EXCEPT_ALL_ORACLE, tags=("relational",))
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): each occurrence on the right
+    cancels ONE occurrence on the left — the semantics audits need
+    ("remove exactly the rows already processed"), which DISTINCT-based
+    EXCEPT silently breaks. Spark plans this as a single count-matching
+    aggregation per key — one shuffle, no join explosion."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.exceptAll(b)
+
+
+_INTERSECT_ALL_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+@register("set_intersect_all", oracle=_INTERSECT_ALL_ORACLE, tags=("relational",))
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): keeps min(left-count,
+    right-count) occurrences per key. Same single-shuffle count-
+    matching plan as EXCEPT ALL."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.intersectAll(b)

@@ -72,3 +72,65 @@ def q_udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL split_sentences(d.doc_id, d.text) s
         """
     )
+
+
+# --------------------------------------- table-argument UDTF (PARTITION BY)
+
+_LANG_STATS_ORACLE = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+def make_lang_stats_udtf():
+    """Per-partition aggregating UDTF: consumes TABLE(...) PARTITION BY
+    lang, folds rows in eval(), emits one summary row in terminate().
+    This is the arbitrary-stateful-per-group contract (the batch twin
+    of applyInPandasWithState) spelled as a SQL table function — the
+    API a user reaches for when per-group logic doesn't decompose into
+    aggregates. Closure-built so cloudpickle ships it by value."""
+    from pyspark.sql.functions import udtf
+
+    class LangStats:
+        def __init__(self):
+            self._lang = None
+            self._n = 0
+            self._chars = 0
+            self._max = 0
+
+        def eval(self, row):
+            self._lang = row["lang"]
+            self._n += 1
+            self._chars += row["n_chars"]
+            self._max = max(self._max, row["n_chars"])
+
+        def terminate(self):
+            if self._n:
+                yield self._lang, self._n, self._chars, self._max
+
+    return udtf(
+        LangStats,
+        returnType="lang string, n_docs bigint, total_chars bigint, max_chars bigint",
+    )
+
+
+@register("udtf_lang_stats_table_arg", oracle=_LANG_STATS_ORACLE, tags=("relational",))
+def q_udtf_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-level corpus stats through a TABLE-argument UDTF with
+    PARTITION BY — Spark routes every row of a partition to one UDTF
+    instance (a hash shuffle on lang), eval() folds, terminate() emits.
+    Integer counts/sums only, so the result is deterministic and
+    hash-matches the plain GROUP BY oracle. At scale the shuffle
+    carries the two projected columns, and state per instance is four
+    scalars — but prefer real aggregates when the logic fits them
+    (they combine map-side; a UDTF cannot)."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    spark.udtf.register("lang_stats_udtf", make_lang_stats_udtf())
+    docs.createOrReplaceTempView("udtf_lang_stats_src")
+    return spark.sql(
+        "SELECT * FROM lang_stats_udtf("
+        "TABLE(SELECT lang, n_chars FROM udtf_lang_stats_src) PARTITION BY lang)"
+    )

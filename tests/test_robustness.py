@@ -93,3 +93,81 @@ def test_observe_emits_metrics_without_second_pass(spark):
     assert obs.get["n_rows"] == docs.count()
     assert obs.get["n_chars"] > 0
     assert 0 < kept <= obs.get["n_rows"]
+
+
+def test_repetition_filter_on_degenerate_docs(spark, monkeypatch):
+    # empty text, whitespace-only, and single-token docs must not crash;
+    # docs with zero tokens drop out (no token stats row), matching the
+    # oracle's inner-join semantics
+    import mapreducegcp_spark.operators.textstats as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the the the"),  # top-token mass 1.0 -> drop
+            (2, ""),                          # zero tokens -> absent
+            (3, "   \n  \n "),                # whitespace only -> absent
+            (4, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(tx, "load_table", lambda *a, **k: docs)
+    rows = {r.doc_id: r for r in
+            all_queries()["text_repetition_filter"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {1, 4}
+    assert rows[1].keep is False and rows[1].top_token_frac == 1.0
+    assert rows[4].keep is True
+
+
+def test_chunker_on_empty_payload(spark, monkeypatch):
+    import mapreducegcp_spark.operators.multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "x" * 256), (3, "y" * 257)], "doc_id long, text string"
+    )
+    monkeypatch.setattr(mm, "load_table", lambda *a, **k: docs)
+    rows = all_queries()["multimodal_chunk_payload"].fn(spark, SF_DIR).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 1 not in by_doc            # empty payload -> zero chunks, no crash
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_bytes == 256
+    assert len(by_doc[3]) == 2
+    assert sorted(c.chunk_bytes for c in by_doc[3]) == [1, 256]
+
+
+def test_cdc_single_and_tied_rows(spark, monkeypatch):
+    import mapreducegcp_spark.operators.timeseries as ts
+
+    ev = spark.createDataFrame(
+        [
+            (10, "2020-01-01 00:00:00", 7, "a", 1.0),
+            (11, "2020-01-01 00:00:00", 7, "b", 2.0),  # same ts: higher id wins
+            (12, "2020-01-02 00:00:00", 8, "c", 3.0),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    monkeypatch.setattr(ts, "load_table", lambda *a, **k: ev)
+    rows = {r.user_id: r for r in
+            all_queries()["cdc_latest_snapshot"].fn(spark, SF_DIR).collect()}
+    assert rows[7].event_id == 11 and rows[7].event_type == "b"
+    assert rows[8].event_id == 12
+
+
+def test_twa_single_event_user_drops_out(spark, monkeypatch):
+    # a user with one event has no interval -> no TWA row (not a crash,
+    # not a divide-by-zero)
+    import mapreducegcp_spark.operators.timeseries as ts
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2020-01-01 00:00:00", 1, "a", 10.0),
+            (2, "2020-01-01 01:00:00", 1, "a", 20.0),
+            (3, "2020-01-01 00:00:00", 2, "a", 5.0),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    monkeypatch.setattr(ts, "load_table", lambda *a, **k: ev)
+    rows = {r.user_id: r for r in
+            all_queries()["time_weighted_avg"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {1}
+    assert rows[1].twa_value == 10.0  # value holds over the single interval
