@@ -592,3 +592,99 @@ def q_agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec2("value")).cast("double").alias("bin_sum"),
         )
     )
+
+
+# ------------------------------------------------- z-score anomaly flagging
+
+_Z_THRESH = 2.5
+
+_ZSCORE_ORACLE = f"""
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         {o_davg(o_dec2('value'))} AS mean_v,
+         sqrt(({o_dsum(f"{o_dec2('value')} * {o_dec2('value')}")}
+               - {o_dsum(o_dec2('value'))} * {o_dsum(o_dec2('value'))} / COUNT(*))
+              / (COUNT(*) - 1)) AS std_v
+  FROM events
+  GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - s.mean_v) / s.std_v AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE abs((e.value - s.mean_v) / s.std_v) > {_Z_THRESH}
+"""
+
+
+@register("events_anomaly_zscore", oracle=_ZSCORE_ORACLE, tags=("relational",))
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-relative outlier flagging: events whose value sits
+    more than {z} sigma from their type's mean — the standard two-pass
+    anomaly pattern (aggregate stats, broadcast them back, flag rows).
+
+    Pass 1 is one shuffle of decimal partial sums (map-side combine,
+    5 groups); pass 2 re-scans events with the 5-row stats table
+    broadcast — no second shuffle, no window over the full table.
+    Mean/std finish from exact decimal moments with a fixed IEEE op
+    sequence (functions/exact.py), and each row's z is two more IEEE
+    ops on identical operands, so the flagged set hash-matches the
+    oracle exactly despite being a float threshold."""
+    ev = load_table(spark, sf_dir, "events")
+    v = dec2("value")
+    n = F.count("*")
+    s = F.sum(v).cast("double")
+    s2 = F.sum(v * v).cast("double")
+    stats = ev.groupBy("event_type").agg(
+        (s / n).alias("mean_v"),
+        F.sqrt((s2 - s * s / n) / (n - 1)).alias("std_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs("z") > _Z_THRESH)
+    )
+
+
+# --------------------------------------------------------------- exact mode
+
+_MODE_ORACLE = """
+WITH counts AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS cnt
+  FROM customer GROUP BY c_mktsegment, c_nationkey
+),
+ranked AS (
+  SELECT c_mktsegment, c_nationkey, cnt,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY cnt DESC, c_nationkey) AS rn
+  FROM counts
+)
+SELECT c_mktsegment, c_nationkey AS mode_nationkey, cnt AS mode_count
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("agg_mode", oracle=_MODE_ORACLE, tags=("relational",))
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode (most frequent value) per group, deterministic
+    tie-break to the smallest value — what Spark's built-in ``mode()``
+    does NOT guarantee (its ties are arbitrary, so it could never
+    hash-match an oracle).
+
+    Two-level aggregation: (group, value) counts (map-side combine),
+    then argmax-by-struct per group — ``max(struct(cnt, -value))``
+    keeps both levels as partial-aggregating hash aggregates; no
+    window sort over the full table, both shuffles carry only count
+    cells. The oracle uses the independent row_number formulation."""
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("cnt")
+    )
+    best = counts.groupBy("c_mktsegment").agg(
+        F.max(F.struct(F.col("cnt"), (-F.col("c_nationkey")).alias("neg"))).alias("s")
+    )
+    return best.select(
+        "c_mktsegment",
+        (-F.col("s.neg")).alias("mode_nationkey"),
+        F.col("s.cnt").alias("mode_count"),
+    )
