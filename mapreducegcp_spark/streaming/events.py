@@ -48,6 +48,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Same rationale as sources/catalog.py: naive TIMESTAMP(MICROS)
+    # storage must read as a session-TZ timestamp, not TIMESTAMP_NTZ —
+    # set here too because the schema probe below bypasses load_table
+    # and the caller's session (the driver's) may not have it set.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     raw_schema = spark.read.parquet(path).schema
     # The file source wants a directory; scope it to the events file
     # with a glob filter so sibling tables stay out of the stream.
