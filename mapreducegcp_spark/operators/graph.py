@@ -206,11 +206,14 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("deg"))
     )
     # Orient each edge from the (deg, id)-smaller endpoint to the other.
+    # deg is vertex-sized: no forced broadcast — AQE broadcasts it when
+    # it fits (as here) and falls back to a shuffle join at billion-
+    # vertex scale, where forcing a broadcast would OOM the executors.
     e = (
-        ue.join(F.broadcast(deg.withColumnRenamed("node", "u")
-                .withColumnRenamed("deg", "du")), "u")
-        .join(F.broadcast(deg.withColumnRenamed("node", "v")
-              .withColumnRenamed("deg", "dv")), "v")
+        ue.join(deg.withColumnRenamed("node", "u")
+                .withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v")
+              .withColumnRenamed("deg", "dv"), "v")
         .select(
             F.when(
                 (F.col("du") < F.col("dv"))

@@ -433,3 +433,91 @@ def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_tokens") >= 5)
         ).alias("keep"),
     )
+
+
+# ------------------------------------- unigram LM cross-entropy (fixed-point)
+
+_LNQ_SCALE = 1_000_000_000  # nano-nats: ln(p) quantized to a bigint
+
+_XENT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+dc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  GROUP BY doc_id, tok
+),
+vocab AS (
+  SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM dc GROUP BY tok
+),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t FROM vocab),
+lnq AS (
+  SELECT tok, CAST(round(ln(CAST(ct AS DOUBLE) / CAST(t AS DOUBLE))
+                          * {_LNQ_SCALE}) AS BIGINT) AS lq
+  FROM vocab, tot
+)
+SELECT dc.doc_id,
+       CAST(sum(dc.c) AS BIGINT) AS n_tokens,
+       CAST(sum(dc.c * lnq.lq) AS BIGINT) AS logprob_q,
+       -(CAST(sum(dc.c * lnq.lq) AS DOUBLE) / {_LNQ_SCALE})
+         / sum(dc.c) AS xent_nats
+FROM dc JOIN lnq USING (tok)
+GROUP BY dc.doc_id
+"""
+
+
+@register(
+    "text_unigram_xent",
+    oracle=_XENT_ORACLE,
+    tags=("text-analysis", "llm-pipeline"),
+)
+def q_text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus unigram LM — the
+    perplexity-style quality signal (gibberish and boilerplate score
+    far from the corpus distribution) that sits beside rule-based
+    filters in every training-data pipeline.
+
+    The determinism problem: ln/exp are NOT correctly-rounded the same
+    way across engines (measured ~10% 1-ulp disagreement Spark vs
+    DuckDB), and a per-doc float fold is order-dependent. Solution in
+    the fixed-point tradition of graph.py: quantize each token's
+    ln(C_t/T) once to integer nano-nats (the 1-ulp input disagreement
+    is ~1e-7 of the rounding step, so both engines land on the same
+    bigint), then every per-doc reduction is an exact integer
+    sum(c_t * lnq_t) — associative, partitioning-independent, fully
+    value-hashable. The final nats value is two IEEE ops on identical
+    operands.
+
+    Scale shape: (doc, token) counts with map-side combine; the vocab
+    + log table scales with vocabulary, not corpus, and joins back as
+    a broadcast. One doc_id rollup ends the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    dc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = dc.groupBy("tok").agg(F.sum("c").alias("ct"))
+    tot = vocab.agg(F.sum("ct").alias("t"))
+    lnq = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            F.log(F.col("ct").cast("double") / F.col("t").cast("double"))
+            * _LNQ_SCALE
+        )
+        .cast("long")
+        .alias("lq"),
+    )
+    return (
+        dc.join(F.broadcast(lnq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lq")).alias("logprob_q"),
+            (
+                -(F.sum(F.col("c") * F.col("lq")).cast("double") / _LNQ_SCALE)
+                / F.sum("c")
+            ).alias("xent_nats"),
+        )
+    )
