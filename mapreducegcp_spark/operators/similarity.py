@@ -626,3 +626,63 @@ def q_similarity_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+# -------------------------------------- normalize + random projection (JL)
+
+_N_PROJ = 8
+_PROJ_DIM = 64
+_PROJ_PLANES = [_hyperplane(_PROJ_DIM, 1000 + j) for j in range(_N_PROJ)]
+
+
+def _o_proj_cols() -> str:
+    from mapreducegcp_spark.functions.vectors import DOT_ORACLE_EXPR, NORM_ORACLE_EXPR
+
+    nrm = NORM_ORACLE_EXPR.format(a="embedding")
+    cols = []
+    for j, plane in enumerate(_PROJ_PLANES):
+        # CAST each element from its shortest-roundtrip string: a bare
+        # numeric literal is DECIMAL in DuckDB, and decimal->double
+        # re-rounding drifts 1 ulp off the Python double the Spark side
+        # uses. String->double parsing is correctly rounded.
+        lit = (
+            "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in plane) + "]"
+        )
+        d = DOT_ORACLE_EXPR.format(a="embedding", b=lit)
+        cols.append(f"({d}) / ({nrm}) AS p{j}")
+    return ",\n       ".join(cols)
+
+
+_PROJECT_ORACLE = f"""
+SELECT vec_id,
+       {_o_proj_cols()}
+FROM embeddings
+WHERE {{nrm_guard}} > 0
+""".replace(
+    "{nrm_guard}",
+    "list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)",
+)
+
+
+@register("embedding_normalize_project", oracle=_PROJECT_ORACLE, tags=("llm-pipeline",))
+def q_embedding_normalize_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize every embedding and project it onto 8 fixed
+    splitmix64-derived hyperplanes — the Johnson–Lindenstrauss-style
+    dimensionality reduction that front-ends clustering, visualization,
+    and cheap-filter stages (64 floats -> 8 doubles per vector, an 8x
+    width cut before any downstream shuffle).
+
+    Map-only: one scan, per-row strict-fold dots against literal plane
+    vectors (JVM codegen, no Python), division by the strict-fold norm
+    — every output double is a fixed IEEE op sequence over identical
+    operands, so the projection hash-matches DuckDB's list_reduce twin
+    exactly. Zero-norm vectors are dropped (projection undefined).
+    At 100 TB the planes ship as literals in the plan itself — nothing
+    to broadcast, nothing stateful."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm2 = dot("embedding", "embedding")
+    cols = [F.col("vec_id")]
+    for j, plane in enumerate(_PROJ_PLANES):
+        lit = F.array(*[F.lit(v) for v in plane])
+        cols.append((dot(F.col("embedding"), lit) / l2_norm("embedding")).alias(f"p{j}"))
+    return emb.filter(nrm2 > 0).select(*cols)

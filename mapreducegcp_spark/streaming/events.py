@@ -426,3 +426,95 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return spark.read.parquet(out)
+
+
+# ---------------------------------------------------- streaming CDC upsert
+
+_CDC_STATE_SCHEMA = "ts_us long, event_id long, event_type string, value double"
+_CDC_OUT_SCHEMA = (
+    "user_id long, event_id long, ts_us long, event_type string, value double"
+)
+
+
+def make_cdc_latest_fn():
+    """Stateful streaming upsert: keep only the (ts, event_id)-argmax
+    row per key — the streaming twin of cdc_latest_snapshot's map-side
+    argmax, with the argmax held in keyed state across micro-batches.
+    Closure-built so cloudpickle ships it by value."""
+
+    def update(key, pdf_iter, state):
+        import pandas as pd  # noqa: PLC0415 (executor-side import)
+
+        best = state.get if state.exists else None  # (ts_us, id, type, value)
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            # vectorized lexicographic argmax over (ts_us, event_id) —
+            # one C-level sort per Arrow batch, no per-row Python
+            r = pdf.loc[pdf.sort_values(["ts_us", "event_id"]).index[-1]]
+            cand = (
+                int(r["ts_us"]), int(r["event_id"]),
+                str(r["event_type"]), float(r["value"]),
+            )
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_id": [best[1]],
+                "ts_us": [best[0]],
+                "event_type": [best[2]],
+                "value": [best[3]],
+            }
+        )
+
+    return update
+
+
+@register(
+    "stream_cdc_latest",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, ts_us, event_type, value
+FROM ranked WHERE rn = 1
+""",
+    tags=("streaming",),
+)
+def q_stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming change-log compaction: applyInPandasWithState holds
+    each key's latest (ts, event_id)-argmax row and re-emits it per
+    micro-batch in update mode — exactly what a foreachBatch MERGE
+    sink would apply to a serving table. On the finite replay the last
+    emission per key equals the batch CDC snapshot, so the stream
+    carries the same exact oracle as cdc_latest_snapshot; multi-batch
+    carry-over rides the same state machinery as
+    stream_stateful_user_stats (tested with a two-file replay there).
+    State is one row per key — the minimum any upsert can hold."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sdf = events_stream(spark, sf_dir)
+    with stream_partitions(spark):
+        latest = (
+            sdf.select(
+                "user_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "event_id",
+                "event_type",
+                "value",
+            )
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                make_cdc_latest_fn(),
+                outputStructType=_CDC_OUT_SCHEMA,
+                stateStructType=_CDC_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        return run_to_memory(latest, "update")
