@@ -491,7 +491,12 @@ def q_text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: (doc, token) counts with map-side combine; the vocab
     + log table scales with vocabulary, not corpus, and joins back as
-    a broadcast. One doc_id rollup ends the plan."""
+    a broadcast. One doc_id rollup ends the plan. Catalyst does NOT
+    share the doc-term subtree between the vocab branch and the join
+    branch (6 exchanges in the audited plan, two of them the repeated
+    dc aggregation) — a 100 TB run persists the doc-term matrix once
+    (df.persist or a checkpoint table) before deriving both branches,
+    halving the scan+shuffle volume."""
     docs = load_table(spark, sf_dir, "documents")
     dc = (
         docs.select("doc_id", F.explode(tokens("text")).alias("tok"))

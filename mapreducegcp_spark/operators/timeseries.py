@@ -431,3 +431,87 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(dt_ms).cast("double")
         ).alias("twa_value"),
     )
+
+
+# ------------------------------------------------------- cohort retention
+
+_COHORT_ORACLE = """
+WITH m AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym
+  FROM orders
+),
+cohorts AS (
+  SELECT o_custkey, min(ym) AS cohort_ym FROM m GROUP BY o_custkey
+)
+SELECT c.cohort_ym,
+       m.ym - c.cohort_ym AS month_offset,
+       count(DISTINCT m.o_custkey) AS n_customers
+FROM m JOIN cohorts c USING (o_custkey)
+GROUP BY c.cohort_ym, month_offset
+"""
+
+
+@register("cohort_retention", oracle=_COHORT_ORACLE, tags=("timeseries",))
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by the month of
+    their first order, counted in every subsequent month they return —
+    the analysis behind every retention curve.
+
+    Month keys are exact integers (year*12 + month: no interval or
+    months_between semantics to disagree on across engines). Two
+    shuffles, both on o_custkey: the cohort min (map-side partial)
+    and the join back, after which the (cohort, offset) distinct-count
+    re-aggregates. At 100 TB the cohort table is customer-sized —
+    orders of magnitude under the fact table — and joins back hashed
+    on the same key the min used, so AQE reuses the exchange layout."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym"),
+    )
+    cohorts = m.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    return (
+        m.join(cohorts, "o_custkey")
+        .groupBy("cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("month_offset"))
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------- event-type transitions
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+@register("event_transitions", oracle=_TRANSITIONS_ORACLE, tags=("timeseries",))
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: how often each event
+    type follows each other type within a user's ordered stream — the
+    input to Markov-chain session models and next-action features.
+
+    One user_id shuffle for the lag window; the (prev, next) rollup is
+    a 25-cell aggregate with map-side combine. Deterministic under
+    ties via the (ts, event_id) total order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )

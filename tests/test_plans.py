@@ -59,6 +59,23 @@ SHAPE = [
     ("sample_mixture_weights", 1, 0, False),
     ("agg_correlation", 1, 0, False),
     ("window_range_interval", 1, 0, False),
+    # round-2 surface: CDC/SCD2/funnel/TWA/transitions are single- or
+    # two-exchange window/agg compositions; anomaly + repetition join
+    # their small derived tables back as broadcasts; MERGE's full
+    # outer join is legitimately sort-merge (broadcast cannot do full
+    # outer); the JL projection is map-only
+    ("funnel_view_click_purchase", 1, 0, False),
+    ("scd2_intervals", 1, 0, False),
+    ("time_weighted_avg", 1, 0, False),
+    ("event_transitions", 2, 0, False),
+    ("cohort_retention", 3, 1, False),
+    ("events_anomaly_zscore", 1, 1, False),
+    ("text_repetition_filter", 2, 1, False),
+    ("text_unigram_xent", 6, 1, False),
+    ("agg_mode", 2, 0, False),
+    ("agg_histogram_bins", 1, 0, False),
+    ("embedding_normalize_project", 0, 0, False),
+    ("merge_upsert_orders", 2, 0, True),
 ]
 
 
