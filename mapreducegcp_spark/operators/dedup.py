@@ -623,3 +623,61 @@ def q_dedup_clusters_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY src
         """
     )
+
+
+# ------------------------------------- fuzzy string join (FastSS, dist<=1)
+
+_FUZZY_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) = 1
+"""
+
+
+@register("fuzzy_join_part_names", oracle=_FUZZY_ORACLE, tags=("llm-pipeline",))
+def q_fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 fuzzy self-join over distinct part names — the
+    entity-resolution primitive (typo matching, near-identical record
+    linkage) done with FastSS deletion-neighborhood blocking instead
+    of an all-pairs comparison.
+
+    Blocking: every string emits itself plus its |s| single-character-
+    deletion variants; two strings within edit distance 1 necessarily
+    share a variant (substitution -> same deletion at the edit
+    position; indel -> the shorter string IS a variant of the longer),
+    so the variant self-join yields a guaranteed superset, and an
+    exact levenshtein() verification (integer, engine-independent)
+    keeps only true pairs. O(N*L) keys and candidate-only verification
+    vs the oracle's O(N^2) brute force — at 1e9 strings the brute
+    force is 1e18 comparisons while blocking stays linear in data
+    size. Variant generation is pure expression work (transform over
+    a position sequence), no Python."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    variants = names.select(
+        "p_name",
+        F.explode(
+            F.array_union(
+                F.array(F.col("p_name")),
+                F.expr(
+                    "transform(sequence(1, length(p_name)), "
+                    "i -> concat(left(p_name, i-1), substr(p_name, i+1)))"
+                ),
+            )
+        ).alias("variant"),
+    ).distinct()
+    a = variants.select(F.col("p_name").alias("name_a"), "variant")
+    b = variants.select(F.col("p_name").alias("name_b"), "variant")
+    cand = (
+        a.join(b, "variant")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    ).filter(F.col("dist") == 1)

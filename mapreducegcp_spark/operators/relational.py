@@ -644,3 +644,43 @@ def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = orders.filter(F.col("o_totalprice") > 300000).select("o_custkey")
     b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     return a.intersectAll(b)
+
+
+# --------------------------------------------------------- unpivot / melt
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, measure, value FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+         l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+) t
+WHERE l_orderkey % 100 = 0
+"""
+
+
+@register("unpivot_lineitem_measures", oracle=_UNPIVOT_ORACLE, tags=("relational",))
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping (UNPIVOT/melt): the four lineitem
+    measures become (measure, value) rows — the transform feeding
+    generic metric pipelines and per-measure quality checks, inverse
+    of agg_pivot_events.
+
+    Spark's native ``unpivot`` is a zero-shuffle Expand node: each
+    input row fans out to 4 output rows in the same task, with the
+    modulo filter pushed to the scan below it. The oracle spells the
+    same reshape as the portable 4-way UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
