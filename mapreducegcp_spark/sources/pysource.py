@@ -189,3 +189,93 @@ def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.sum("value").alias("total")
     )
     return run_to_memory(agg, "complete")
+
+
+# ------------------------------------------- Python DataSource writer (sink)
+
+
+def make_jsonl_sink_source():
+    """Custom JSON-lines SINK via the Python DataSource writer API —
+    the programmatic-sink twin of the reader above (a service, a queue,
+    an index ingest endpoint). Each task writes its partition to its
+    own file and returns a commit message; the driver sees per-task
+    commits exactly like a real transactional sink. Closure-built so
+    cloudpickle ships it by value."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource as _DS,
+        DataSourceWriter as _DSW,
+        WriterCommitMessage as _WCM,
+    )
+
+    class JsonlWriter(_DSW):
+        def __init__(self, options) -> None:
+            self.path = options.get("path")
+
+        def write(self, iterator):
+            _os.makedirs(self.path, exist_ok=True)
+            fname = _os.path.join(self.path, f"part-{_uuid.uuid4().hex}.json")
+            n = 0
+            with open(fname, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            if n == 0:
+                _os.remove(fname)
+            return _WCM()
+
+    class JsonlSinkDataSource(_DS):
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_sink"
+
+        def writer(self, schema, overwrite: bool):
+            return JsonlWriter(self.options)
+
+    return JsonlSinkDataSource
+
+
+_PYSINK_ORACLE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("sink_python_datasource", oracle=_PYSINK_ORACLE, tags=("sources",))
+def q_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the custom Python sink: aggregate events,
+    write the result with the jsonl_sink DataSource writer, read the
+    files back with an explicit schema, and return them — proving the
+    write path (task-parallel write + per-task commit messages) works
+    end to end and byte-preserves the data. Money is integer cents so
+    the JSON round-trip is exact by construction.
+
+    Scale posture: the sink writes one file per partition with no
+    driver collect; a real deployment implements commit/abort for
+    transactional semantics — the API surface exercised here."""
+    import os
+    import shutil
+
+    from mapreducegcp_spark.sources.catalog import load_table
+
+    spark.dataSource.register(make_jsonl_sink_source())
+    agg = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/mapreducegcp_spark_jsonl_sink/{sf_tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    agg.write.format("jsonl_sink").option("path", out).mode("append").save()
+    return spark.read.schema("event_type string, n bigint, total_cents bigint").json(
+        out
+    )

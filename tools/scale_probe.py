@@ -39,6 +39,18 @@ PROBES = {
     },
     "sessionize_events": {"events": ["event_id", "user_id"]},
     "dedup_exact": {"documents": ["doc_id"]},
+    # round-2 operators. NOTE dedup_minhash_lsh is deliberately absent:
+    # replicating documents creates 10 exact copies of every text, so
+    # the (correct!) output grows quadratically in the duplicate count
+    # — a ratio probe would measure the data's duplicate structure,
+    # not the plan.
+    "cdc_latest_snapshot": {"events": ["event_id", "user_id"]},
+    "time_weighted_avg": {"events": ["event_id", "user_id"]},
+    "funnel_view_click_purchase": {"events": ["event_id", "user_id"]},
+    "cohort_retention": {"orders": ["o_orderkey", "o_custkey"]},
+    "merge_upsert_orders": {"orders": ["o_orderkey", "o_custkey"]},
+    "text_unigram_xent": {"documents": ["doc_id"]},
+    "similarity_sq8_topk": {"embeddings": ["vec_id"]},
 }
 
 
