@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mapreducegcp_spark.functions.text import TOKEN_ORACLE_EXPR, tokens
 from mapreducegcp_spark.functions.vectors import blas_pair_candidates, dot, l2_norm
@@ -681,3 +682,75 @@ def q_fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name_b",
         F.levenshtein("name_a", "name_b").alias("dist"),
     ).filter(F.col("dist") == 1)
+
+
+# ------------------------------------- corpus-wide line-level deduplication
+
+_LINE_DEDUP_ORACLE = """
+WITH lines AS (
+  SELECT doc_id, i - 1 AS pos, parts[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents),
+       unnest(generate_series(1, len(parts))) AS u(i)
+),
+tagged AS (
+  SELECT doc_id, pos, line,
+         min(doc_id) OVER (PARTITION BY line) AS first_doc
+  FROM lines
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN doc_id = first_doc THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dropped,
+       md5(coalesce(string_agg(CASE WHEN doc_id = first_doc THEN line END,
+                               chr(10) ORDER BY pos), '')) AS cleaned_md5
+FROM tagged
+GROUP BY doc_id
+"""
+
+
+@register("dedup_lines_corpuswide", oracle=_LINE_DEDUP_ORACLE, tags=("llm-pipeline",))
+def q_dedup_lines_corpuswide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level deduplication — the C4/RefinedWeb move
+    that strips boilerplate (nav bars, footers, license blocks)
+    repeated across documents while document-level dedup sees nothing:
+    a line survives only in the lowest-doc_id document that contains
+    it. Emits per-doc kept/dropped counts and the md5 of the cleaned,
+    order-preserved text.
+
+    One shuffle on the line value (a window min — no separate count
+    table or join-back), then a per-doc rollup. Line order is restored
+    by sorting on the exploded position before the ordered rejoin, so
+    the digest is deterministic on any partitioning. At 100 TB hash
+    the line to a 64-bit key for the window shuffle and keep raw text
+    only in the rollup — the same narrow-shuffle trick as the shingle
+    joins (dedup_ngram_jaccard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    w = Window.partitionBy("line")
+    tagged = lines.withColumn("first_doc", F.min("doc_id").over(w))
+    kept_struct = F.when(
+        F.col("doc_id") == F.col("first_doc"),
+        F.struct(F.col("pos"), F.col("line")),
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)).alias(
+            "n_kept"
+        ),
+        F.sum(F.when(F.col("doc_id") == F.col("first_doc"), 0).otherwise(1)).alias(
+            "n_dropped"
+        ),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(kept_struct)
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            )
+        ).alias("cleaned_md5"),
+    )

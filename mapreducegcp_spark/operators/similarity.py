@@ -1,18 +1,25 @@
 """Similarity search over the ``embeddings`` table (array<float> column).
 
-North-star extension (SURVEY.md §7 phase 3). Three operators:
+North-star extension (SURVEY.md §7 phase 3). The operator family:
 
 - brute-force cosine top-k for a fixed query set (exact baseline,
   oracle-checked)
 - global nearest-neighbor pairs (exact, oracle-checked)
 - LSH-bucketed approximate top-k (random-hyperplane signs) — the scale
   path, rows-only with a recall test against the brute-force baseline
-- IVF approximate top-k (k-means coarse quantizer, probe-N lists) —
-  the other classic ANN scale path, also rows-only + recall-tested
+- IVF approximate top-k (k-means coarse quantizer persisted as an
+  index artifact, probe-N lists) — the other classic ANN scale path,
+  also rows-only + recall-tested
+- SQ8 scalar-quantized rank + exact re-rank — integer quantized dots,
+  so the whole pipeline carries a full value oracle
+- JL random projection (normalize + 8 fixed hyperplanes) — map-only
+  dimensionality reduction, bit-exact
+- hard-negative mining — top cross-label similars for contrastive
+  training, same broadcast/stream shape as the exact top-k
 
-All vector math is JVM-side higher-order array functions with a strict
-left fold in double (functions/vectors.py), so exact queries hash-match
-the DuckDB fold bit-for-bit.
+All exact vector math is JVM-side higher-order array functions with a
+strict left fold in double (functions/vectors.py), so exact queries
+hash-match the DuckDB fold bit-for-bit.
 """
 
 from __future__ import annotations
@@ -686,3 +693,64 @@ def q_embedding_normalize_project(spark: SparkSession, sf_dir: str) -> DataFrame
         lit = F.array(*[F.lit(v) for v in plane])
         cols.append((dot(F.col("embedding"), lit) / l2_norm("embedding")).alias(f"p{j}"))
     return emb.filter(nrm2 > 0).select(*cols)
+
+
+# ------------------------------------------------- hard-negative mining
+
+_HARDNEG_K = 3
+
+_HARDNEG_ORACLE = f"""
+SELECT query_id, vec_id, cos_sim, rn AS rank
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         {_o_cosine('q.embedding', 'c.embedding')} AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_o_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id
+         ) AS rn
+  FROM embeddings q JOIN embeddings c
+    ON c.vec_id NOT IN ({_IDS_SQL}) AND c.label <> q.label
+  WHERE q.vec_id IN ({_IDS_SQL})
+)
+WHERE rn <= {_HARDNEG_K}
+"""
+
+
+@register("hard_negative_mining", oracle=_HARDNEG_ORACLE, tags=("llm-pipeline",))
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the most similar corpus vectors with a DIFFERENT label —
+    the near-misses that make embedding models learn boundaries
+    instead of memorizing easy negatives.
+
+    Same scale shape as the brute-force top-k (broadcast queries,
+    streamed corpus, per-query k-bounded window); the label-mismatch
+    predicate filters the candidate stream before the window, and at
+    scale the candidate generator swaps to the LSH/IVF/SQ8 bucketed
+    paths with the same label filter applied post-bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("q_label"),
+        )
+    )
+    corpus = emb.filter(~F.col("vec_id").isin(*_QUERY_IDS)).select(
+        "vec_id", "embedding", "label"
+    )
+    scored = (
+        corpus.crossJoin(queries)
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HARDNEG_K)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )

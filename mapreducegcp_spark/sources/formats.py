@@ -132,3 +132,65 @@ def compact(
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df.repartition(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+# ------------------------------------------------------- XML round-trip
+
+_XML_ORACLE = """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def _register_xml_roundtrip():
+    from pyspark.sql import functions as F
+
+    from mapreducegcp_spark.functions.exact import dec2
+    from mapreducegcp_spark.registry import register
+    from mapreducegcp_spark.sources.catalog import load_table
+
+    @register("format_xml_roundtrip", oracle=_XML_ORACLE, tags=("sources",))
+    def q_format_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Round-trip through Spark 4's built-in XML source: aggregate
+        orders, write element-per-row XML, read it back with an
+        explicit schema, return the rows — covering the one mainstream
+        interchange format the parquet/orc/csv/json round-trip tests
+        (tests/test_formats.py) don't. Exact decimal totals cast once
+        to double survive the text round-trip losslessly (shortest-
+        roundtrip float printing both ways).
+
+        XML is a fine INTERCHANGE edge, not a table substrate: no
+        pushdown, no column pruning, whole-row parse per record — at
+        100 TB it exists at ingest boundaries only, converted to
+        parquet on first touch (write_sorted/compact above)."""
+        import os
+        import shutil
+
+        agg = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(dec2("o_totalprice")).cast("double").alias("total"),
+            )
+        )
+        sf_tag = os.path.basename(os.path.normpath(sf_dir))
+        out = f"/tmp/mapreducegcp_spark_xml/{sf_tag}"
+        shutil.rmtree(out, ignore_errors=True)
+        (
+            agg.write.format("xml")
+            .option("rootTag", "priorities")
+            .option("rowTag", "priority")
+            .save(out)
+        )
+        return (
+            spark.read.format("xml")
+            .schema("o_orderpriority string, n bigint, total double")
+            .option("rowTag", "priority")
+            .load(out)
+        )
+
+
+_register_xml_roundtrip()
