@@ -171,3 +171,41 @@ def test_twa_single_event_user_drops_out(spark, monkeypatch):
             all_queries()["time_weighted_avg"].fn(spark, SF_DIR).collect()}
     assert set(rows) == {1}
     assert rows[1].twa_value == 10.0  # value holds over the single interval
+
+
+def test_fuzzy_join_blocking_is_exact(spark, monkeypatch):
+    # deletion-neighborhood blocking must find substitutions, indels,
+    # and equal-length swaps at distance 1 — and must NOT emit the
+    # distance-2 pair even though it shares no verification shortcut
+    import mapreducegcp_spark.operators.relational  # noqa: F401 (registry)
+    import mapreducegcp_spark.operators.dedup as dd
+
+    names = spark.createDataFrame(
+        [("abc",), ("abd",), ("abcd",), ("xbd",), ("zzzz",)], "p_name string"
+    )
+    monkeypatch.setattr(dd, "load_table", lambda *a, **k: names)
+    rows = {
+        (r.name_a, r.name_b)
+        for r in all_queries()["fuzzy_join_part_names"].fn(spark, SF_DIR).collect()
+    }
+    assert ("abc", "abd") in rows          # substitution
+    assert ("abc", "abcd") in rows         # insertion
+    assert ("abcd", "abd") in rows         # deletion mid-string ('abcd' < 'abd')
+    assert ("abd", "xbd") in rows          # substitution at pos 0
+    assert ("abc", "xbd") not in rows      # distance 2 (two substitutions)
+    assert all("zzzz" not in pair for pair in rows)
+
+
+def test_python_sink_empty_input(spark, monkeypatch):
+    # an empty aggregate must write no files and read back as an empty
+    # frame with the declared schema (not crash on the empty directory)
+    import mapreducegcp_spark.sources.pysource as ps
+
+    empty = load_table(spark, SF_DIR, "events").filter(F.lit(False))
+    monkeypatch.setattr(ps, "load_table", lambda *a, **k: empty, raising=False)
+    import mapreducegcp_spark.sources.catalog as cat
+    real = cat.load_table
+    monkeypatch.setattr(cat, "load_table", lambda s, d, n: empty if n == "events" else real(s, d, n))
+    out = all_queries()["sink_python_datasource"].fn(spark, SF_DIR)
+    assert out.count() == 0
+    assert [f[0] for f in out.dtypes] == ["event_type", "n", "total_cents"]
