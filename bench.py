@@ -67,6 +67,11 @@ def main() -> None:
     spark = get_spark("mapreducegcp-bench")
     catalog = all_queries()
     headline_only = "--headline-only" in sys.argv
+    known = {"--headline-only", "--all"}  # --all is the (default) breadth mode
+    unknown = [a for a in sys.argv[1:] if a.startswith("--") and a not in known]
+    if unknown:
+        print(f"bench: unknown flags {unknown}", file=sys.stderr)
+        sys.exit(2)
 
     # Warmup: run the cheapest query once to pay JVM + codegen startup.
     catalog["wordcount"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -78,7 +83,11 @@ def main() -> None:
     # these 18 — the cross-round trend anchor.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(min(_run(catalog[name], spark, sf_dir) for _ in range(2)), 3)
+        rq = catalog.get(name)
+        if rq is None:  # a renamed headliner must not abort the whole bench
+            print(f"bench: headline query {name!r} not registered", file=sys.stderr)
+            continue
+        timings[name] = round(min(_run(rq, spark, sf_dir) for _ in range(2)), 3)
     headline_total = round(sum(timings.values()), 3)
 
     # Breadth: every other registered query, one pass each, so a

@@ -529,28 +529,44 @@ def q_agg_approx_quantiles_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.95, acc).alias("p95_est"),
         F.count("*").alias("n"),
     )
-    # Exact rank of each estimate: one extra aggregation joined back on
-    # the group key (broadcast — group cardinality is tiny).
-    ranked = li.join(F.broadcast(approx), "l_returnflag").groupBy("l_returnflag").agg(
-        F.sum(F.when(F.col("l_extendedprice") <= F.col("p50_est"), 1).otherwise(0)).alias(
-            "rank50"
-        ),
-        F.sum(F.when(F.col("l_extendedprice") <= F.col("p95_est"), 1).otherwise(0)).alias(
-            "rank95"
-        ),
+    # Exact rank INTERVAL of each estimate: [count(< est), count(<= est)],
+    # one extra aggregation joined back on the group key (broadcast —
+    # group cardinality is tiny). The interval matters under heavy ties:
+    # a duplicated value occupies a rank RANGE, and the GK contract is
+    # met if that range intersects the tolerance band — gating on the
+    # upper count alone would fail a correct sketch whenever one value's
+    # multiplicity exceeds the band width.
+    def counts(est_col: str, tag: str):
+        return [
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col(est_col), 1).otherwise(0)
+            ).alias(f"lo{tag}"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col(est_col), 1).otherwise(0)
+            ).alias(f"hi{tag}"),
+        ]
+
+    ranked = (
+        li.join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(*counts("p50_est", "50"), *counts("p95_est", "95"))
     )
     out = approx.join(ranked, "l_returnflag")
     n = F.col("n")
 
-    def gate(rank_col: str, q: float):
+    def gate(tag: str, q: float):
         target = n * q
-        return F.abs(F.col(rank_col) - target) <= (n * _APPROX_Q_EPS + 1)
+        tol = n * _APPROX_Q_EPS + 1
+        # pass iff the estimate's rank interval intersects the band
+        return ~(
+            (F.col(f"hi{tag}") < target - tol) | (F.col(f"lo{tag}") > target + tol)
+        )
 
     return out.select(
         "l_returnflag",
         "n",
-        gate("rank50", 0.5).alias("p50_within_tol"),
-        gate("rank95", 0.95).alias("p95_within_tol"),
+        gate("50", 0.5).alias("p50_within_tol"),
+        gate("95", 0.95).alias("p95_within_tol"),
     )
 
 

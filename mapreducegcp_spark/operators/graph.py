@@ -34,6 +34,24 @@ GROUP BY src, dst
 """
 
 
+def trade_edges_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed trade edges (customer nation -> supplier nation), one
+    row per lineitem — the shared edge derivation behind PageRank and
+    triangle counting (SQL twin: _EDGE_SQL's FROM/JOIN block).
+    Dimension sides broadcast; the lineitem-orders join is the one
+    real shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+    )
+
+
 def _oracle() -> str:
     """Unrolled 3-iteration fixed-point PageRank as chained CTEs."""
     s = RANK_SCALE
@@ -93,19 +111,10 @@ def q_graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the map/shuffle/reduce its Master would schedule as a separate
     job with KV-store round trips (Master/Master.py:61-94).
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation")
-
     edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
-        .groupBy(
-            c.c_nationkey.alias("src"), su.s_nationkey.alias("dst")
-        )
+        trade_edges_directed(spark, sf_dir)
+        .groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
         .cache()
     )
@@ -182,17 +191,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     under orientation — the difference between a dead executor and an
     even spread at 100 TB. The DuckDB oracle counts the same triangles
     with the independent canonical a<b<c 3-way join."""
-    # Build the directed trade edges with the same joins as PageRank.
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    supp = load_table(spark, sf_dir, "supplier")
-    directed = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
-    )
+    directed = trade_edges_directed(spark, sf_dir)
     ue = (
         directed.filter(F.col("src") != F.col("dst"))
         .select(

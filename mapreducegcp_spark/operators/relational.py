@@ -449,7 +449,11 @@ def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- bucketed co-located join
 
 _BUCKETS = 8
-_BUCKET_BASE = "/tmp/mapreducegcp_spark_bucketed"
+# Per-process scratch root: two concurrent sessions (pytest + bench, or
+# two drivers) each have their OWN in-memory catalog, so a shared path
+# would let one process overwrite files the other is mid-read on. The
+# pid suffix makes the layout private to the session that built it.
+_BUCKET_BASE = f"/tmp/mapreducegcp_spark_bucketed_{os.getpid()}"
 
 _BUCKETED_ORACLE = """
 SELECT c.c_mktsegment AS mktsegment,

@@ -397,8 +397,18 @@ def ivf_centroids(
 
     Training per query invocation was 3.7s of every similarity_ann_ivf
     call; an IVF index at scale is trained once when the corpus is
-    ingested and shipped as a (k, dim) artifact — this mirrors that."""
-    key = f"ivf_{os.path.basename(os.path.normpath(sf_dir))}_k{k}_i{iters}"
+    ingested and shipped as a (k, dim) artifact — this mirrors that.
+
+    The key carries the corpus file SIZE alongside the directory name:
+    an index is only valid for the exact corpus it was trained on, and
+    the driver regenerates testdata between rounds — a name-only key
+    would silently serve centroids trained on the previous corpus
+    (same path, different bytes) and degrade recall with no signal."""
+    emb_bytes = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (
+        f"ivf_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_b{emb_bytes}_k{k}_i{iters}"
+    )
     if key in _CENTROID_CACHE:
         return _CENTROID_CACHE[key]
     path = _ARTIFACT_DIR / f"{key}.json"

@@ -176,8 +176,8 @@ GROUP BY bucket
 
 @register("source_python_stream", oracle=_PYSTREAM_ORACLE, tags=("sources", "streaming"))
 def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream the Python source to completion (5 micro-batches of
-    4k rows) through a windowless grouped aggregate in complete mode —
+    """Stream the Python source to completion (20k rows in 10k-row
+    micro-batches) through a windowless grouped aggregate in complete mode —
     the custom streaming connector path, value-hash-checked against
     the batch derivation once the stream drains. Offsets advance per
     micro-batch exactly as a queue consumer would commit them."""

@@ -517,4 +517,29 @@ def q_stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout,
             )
         )
-        return run_to_memory(latest, "update")
+        sink = run_to_memory(latest, "update")
+    # The update-mode memory sink accumulates one emission per key per
+    # micro-batch; collapse to each key's LAST emission so the result
+    # is the final snapshot even when the replay splits into multiple
+    # micro-batches (maxFilesPerTrigger, multi-file sources). Same
+    # map-side argmax as the batch operator.
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts_us"),
+                    F.col("event_id"),
+                    F.col("event_type"),
+                    F.col("value"),
+                )
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.ts_us").alias("ts_us"),
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.value").alias("value"),
+        )
+    )

@@ -128,7 +128,6 @@ def skew_probe(spark: SparkSession, sf_dir: str, hot_share_pct: int = 50) -> Non
             "spark.sql.adaptive.skewJoin.enabled",
         )
     }
-    results = {}
     try:
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         print(f"hot key carries ~{hot_share_pct}% of lineitem; broadcast disabled")
@@ -142,7 +141,6 @@ def skew_probe(spark: SparkSession, sf_dir: str, hot_share_pct: int = 50) -> Non
             conf.set("spark.sql.adaptive.skewJoin.enabled", aqe_skew)
             t = min(timed(build()) for _ in range(2))
             print(f"| {label} | {aqe_skew} | {t:.2f} |")
-            results[(label, aqe_skew)] = t
         # same rows out of both plans (salting must not change results)
         a = {tuple(r) for r in naive().collect()}
         b = {tuple(r) for r in salted().collect()}
