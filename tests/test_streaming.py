@@ -142,3 +142,59 @@ def test_checkpoint_restart_recovers_state(spark, tmp_path):
     final = {r.event_type: r["count"] for r in spark.read.parquet(sink).collect()}
     want = {r.event_type: r["count"] for r in ev.groupBy("event_type").count().collect()}
     assert final == want
+
+
+def test_stream_cdc_final_snapshot_across_batches(spark, tmp_path):
+    """Two-file replay (maxFilesPerTrigger=1): the update-mode sink
+    accumulates one emission per key per micro-batch, and the query's
+    final argmax collapse must still return exactly the batch CDC
+    snapshot — one row per key, the (ts, event_id)-latest one."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapreducegcp_spark.streaming.events import (
+        _CDC_OUT_SCHEMA,
+        _CDC_STATE_SCHEMA,
+        make_cdc_latest_fn,
+        run_to_memory,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    half = ev.count() // 2
+    d = tmp_path / "ev_cdc_split"
+    ev.where(F.col("event_id") < half).coalesce(1).write.parquet(str(d / "a"))
+    ev.where(F.col("event_id") >= half).coalesce(1).write.parquet(str(d / "b"))
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    latest = sdf.groupBy("user_id").applyInPandasWithState(
+        make_cdc_latest_fn(),
+        outputStructType=_CDC_OUT_SCHEMA,
+        stateStructType=_CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_memory(latest, "update")
+    # raw sink has duplicate rows per key (two micro-batches) ...
+    assert sink.groupBy("user_id").count().agg(F.max("count")).first()[0] > 1
+    # ... and the operator's collapse recovers the exact batch snapshot
+    final = (
+        sink.groupBy("user_id")
+        .agg(F.max(F.struct("ts_us", "event_id", "event_type", "value")).alias("s"))
+        .select("user_id", "s.event_id", "s.ts_us")
+    )
+    want = {
+        (r.user_id, r.event_id)
+        for r in ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts_us", "event_id")).alias("s"))
+        .select("user_id", "s.event_id")
+        .collect()
+    }
+    got = {(r.user_id, r.event_id) for r in final.collect()}
+    assert got == want
