@@ -76,6 +76,11 @@ SHAPE = [
     ("agg_histogram_bins", 1, 0, False),
     ("embedding_normalize_project", 0, 0, False),
     ("merge_upsert_orders", 2, 0, True),
+    ("fuzzy_join_part_names", 2, 1, False),
+    ("dedup_lines_corpuswide", 2, 0, False),
+    ("unpivot_lineitem_measures", 0, 0, False),
+    ("hard_negative_mining", 1, 0, False),
+    ("agg_approx_quantiles_tol", 3, 2, False),
 ]
 
 
