@@ -49,6 +49,7 @@ _OPERATOR_MODULES = [
     "mapreducegcp_spark.operators.subqueries",
     "mapreducegcp_spark.operators.udtf_ops",
     "mapreducegcp_spark.operators.aggregates",
+    "mapreducegcp_spark.operators.mapred_parity",
     "mapreducegcp_spark.operators.wordcount",
     "mapreducegcp_spark.operators.inverted_index",
     "mapreducegcp_spark.operators.relational",
