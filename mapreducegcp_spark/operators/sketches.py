@@ -1,0 +1,254 @@
+"""Sketch-backed operators — fixed-size summaries that replace unbounded state.
+
+The reference engine has no sketch surface at all (its only aggregation
+is exact count-per-key, Worker/Worker.py:45-49); these operators are the
+100 TB-native generalizations, where a constant-size mergeable summary
+stands in for state that would otherwise grow with the data:
+
+- ``join_bloom_prefilter`` — semi-join reduction: an 8 KiB Bloom bitmap
+  built from the dimension side prunes the fact side BEFORE its shuffle,
+  the standard trick for cutting Exchange volume on a selective join.
+- ``agg_countmin_heavyhitters`` — count-min sketch frequency estimates:
+  d×w counters summarize an unbounded token stream; estimates are
+  deterministic (md5-derived hash family, identical in DuckDB) so the
+  driver hash-checks real sketch math, not a tolerance band.
+
+Both are exact-output operators: the Bloom filter only PRUNES (false
+positives are removed by the exact join that follows), and the CMS query
+emits (exact, estimate) side by side from the same plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducegcp_spark.functions.text import TOKEN_ORACLE_EXPR, words_of
+from mapreducegcp_spark.registry import register
+from mapreducegcp_spark.sources.catalog import load_table
+
+# --------------------------------------------------------------------------
+# Bloom-filter semi-join reduction
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 16  # 64 Ki bits = 8 KiB bitmap — constant, data-independent
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_SEEDS = (0x5BD1, 0x9E37, 0xC2B2, 0x27D4)  # 4 independent hash salts
+
+
+def _bloom_positions(key_col, seed: int):
+    """Bit position for one hash of the key: xxhash64(key, seed) mod m.
+
+    JVM-side only (the sketch never crosses engines — correctness comes
+    from the exact join downstream), so the fast non-portable hash is
+    the right choice.
+    """
+    return F.pmod(F.xxhash64(key_col, F.lit(seed)), F.lit(_BLOOM_BITS)).cast("int")
+
+
+def bloom_build(df: DataFrame, key: str) -> list[int]:
+    """Build the bitmap: distinct bit positions -> driver -> packed longs.
+
+    The collect is bounded by the SKETCH size (≤ 65 536 ints), not the
+    data size — the same constant-model-sync shape as broadcasting
+    k-means centroids (similarity.py). At any corpus scale the driver
+    holds 8 KiB.
+    """
+    pos_rows = (
+        df.select(
+            F.explode(
+                F.array(*[_bloom_positions(F.col(key), s) for s in _BLOOM_SEEDS])
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in pos_rows:
+        p = r["pos"]
+        words[p >> 6] |= 1 << (p & 63)
+    # pack into SIGNED 64-bit for the Spark long literal
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_might_contain(bitmap_words: list[int], key_col) -> F.Column:
+    """Membership predicate as a pure Catalyst expression (codegen'd).
+
+    The bitmap rides into the plan as an array<long> literal; each of
+    the k hashes tests its bit with element_at + shiftleft — no UDF, no
+    broadcast variable, whole-stage codegen keeps it on the fast path.
+    """
+    bitmap = F.lit(bitmap_words)
+    # shiftleft() takes a Python int shift, so shifting by a COLUMN is
+    # done by indexing a 64-entry powers-of-two literal instead.
+    pow2 = F.lit([(1 << i) - (1 << 64 if i == 63 else 0) for i in range(64)])
+    cond = F.lit(True)
+    for s in _BLOOM_SEEDS:
+        p = _bloom_positions(key_col, s)
+        word = F.element_at(bitmap, F.shiftright(p, 6) + F.lit(1))
+        bit = F.element_at(pow2, F.pmod(p, F.lit(64)) + F.lit(1))
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond
+
+
+_BLOOM_JOIN_ORACLE = """
+SELECT
+  strftime(o_orderdate, '%Y-%m') AS order_month,
+  count(*) AS n_lines,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,4))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1
+"""
+
+
+@register("join_bloom_prefilter", oracle=_BLOOM_JOIN_ORACLE, tags=("relational", "scale"))
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dim-fact join with Bloom semi-join reduction.
+
+    100 TB shape: urgent orders select ~20% of keys; without reduction
+    every lineitem row crosses the Exchange only to be dropped by the
+    join. The 8 KiB bitmap filters the fact table AT THE SCAN (the
+    predicate is a plain Catalyst expression, so it sits next to the
+    pushed filters), then the exact join removes Bloom false positives
+    — output is bit-identical to the plain join the oracle runs.
+
+    This is the manual, portable form of Spark's runtime row-level
+    filtering (spark.sql.optimizer.runtime.bloomFilter.*), kept
+    explicit so the reduction applies regardless of optimizer
+    thresholds and cost estimates.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    bitmap = bloom_build(urgent, "o_orderkey")
+    pruned = lineitem.where(bloom_might_contain(bitmap, F.col("l_orderkey")))
+    return (
+        pruned.join(urgent, pruned.l_orderkey == urgent.o_orderkey)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(23,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# --------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 512
+_CMS_TOPK = 20
+
+
+def _cms_bucket_spark(word_col, seed: int):
+    """Row hash for the CMS: first 8 hex chars of md5(word#seed) mod w.
+
+    md5 is the cross-engine hash family (same trick as MinHash,
+    dedup.py:223-241): DuckDB computes the identical bucket, so the
+    sketch estimate itself — not a tolerance band around it — is
+    oracle-checked.
+    """
+    h = F.conv(F.substring(F.md5(F.concat_ws("#", word_col, F.lit(str(seed)))), 1, 8), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(_CMS_WIDTH)).cast("int")
+
+
+_CMS_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(word || '#' || seed), 1, 8)) AS BIGINT) % " + str(_CMS_WIDTH)
+)
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({TOKEN_ORACLE_EXPR.format(col='text')}) AS word FROM documents
+),
+words AS (SELECT word FROM toks WHERE word <> ''),
+exact AS (SELECT word, count(*) AS exact_cnt FROM words GROUP BY word),
+cand AS (
+  SELECT word, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, word LIMIT {_CMS_TOPK}
+),
+seeds AS (SELECT unnest(['0','1','2','3']) AS seed),
+cms AS (
+  SELECT seed, {_CMS_BUCKET_SQL} AS bucket, count(*) AS c
+  FROM words CROSS JOIN seeds
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT cand.word, min(cms.c) AS est_cnt
+  FROM cand CROSS JOIN seeds
+  JOIN cms ON cms.seed = seeds.seed
+          AND cms.bucket = (CAST(('0x' || substr(md5(cand.word || '#' || seeds.seed), 1, 8)) AS BIGINT) % {_CMS_WIDTH})
+  GROUP BY cand.word
+)
+SELECT cand.word, cand.exact_cnt, est.est_cnt
+FROM cand JOIN est ON cand.word = est.word
+"""
+
+
+@register("agg_countmin_heavyhitters", oracle=_CMS_ORACLE, tags=("sketch", "llm-pipeline"))
+def q_agg_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter frequencies from a count-min sketch, vs exact.
+
+    The sketch: 4×512 counters built in ONE
+    columnar pass (explode tokens × seeds -> groupBy(seed, bucket)),
+    mergeable across partitions/streams — 2 048 longs of state however
+    large the corpus, which is the point: exact top-k needs a full
+    groupBy over all distinct tokens; the CMS answers with bounded
+    error from constant memory. Estimates are >= exact by construction
+    (min over d counters, each an over-count); both values are emitted
+    so the driver hash-checks the actual sketch arithmetic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    word = docs.select(words_of("text").alias("word"))
+    exact = word.groupBy("word").agg(F.count("*").alias("exact_cnt"))
+    cand = exact.orderBy(F.desc("exact_cnt"), F.asc("word")).limit(_CMS_TOPK)
+
+    seeds = [str(s) for s in range(_CMS_DEPTH)]
+    cms = (
+        word.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("seed"),
+                            _cms_bucket_spark(F.col("word"), int(s)).alias("bucket"),
+                        )
+                        for s in seeds
+                    ]
+                )
+            ).alias("sb")
+        )
+        .select("sb.seed", "sb.bucket")
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+    cand_buckets = cand.select(
+        "word",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        _cms_bucket_spark(F.col("word"), int(s)).alias("bucket"),
+                    )
+                    for s in seeds
+                ]
+            )
+        ).alias("sb"),
+    ).select("word", "exact_cnt", "sb.seed", "sb.bucket")
+
+    est = (
+        cand_buckets.join(F.broadcast(cms), ["seed", "bucket"])
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+    )
+    return est.select("word", "exact_cnt", "est_cnt")

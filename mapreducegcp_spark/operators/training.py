@@ -372,3 +372,63 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------- sliding-window chunking
+
+CHUNK_WINDOW = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # overlap = WINDOW - STRIDE = 16 tokens
+
+_CHUNK_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+),
+starts AS (
+  SELECT doc_id, toks, n, unnest(generate_series(0, n - 1, {CHUNK_STRIDE})) AS s
+  FROM tk WHERE n > 0
+)
+SELECT doc_id,
+       CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(least(n - s, {CHUNK_WINDOW}) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, s + 1, least(s + {CHUNK_WINDOW}, n)), ' ')) AS chunk_md5
+FROM starts
+"""
+
+
+@register("chunk_text_sliding", oracle=_CHUNK_ORACLE, tags=("llm-pipeline",))
+def q_chunk_text_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — RAG / context-window prep.
+
+    Each document becomes ceil(n / stride) chunks of up to
+    64 tokens starting every 48 (16-token
+    overlap so no boundary context is lost). Emitted as a manifest
+    (doc_id, chunk_id, token count, md5 of the space-joined chunk) so
+    the oracle hash-checks the exact chunk CONTENT, not just counts.
+
+    Scale: pure narrow ops — tokenize, sequence, explode, slice — no
+    shuffle at all until a downstream consumer groups; chunk explosion
+    is bounded by n/stride per doc, and the text column is projected
+    away before any wide stage. Zero-token documents produce zero
+    chunks (the WHERE n > 0 guard matches Spark's empty sequence).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens("text").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    starts = tk.where(F.col("n") > 0).select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    chunk = F.slice("toks", F.col("s") + 1, F.lit(CHUNK_WINDOW))
+    return starts.select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.least(F.col("n") - F.col("s"), F.lit(CHUNK_WINDOW))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )

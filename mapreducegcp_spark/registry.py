@@ -41,6 +41,7 @@ _OPERATOR_MODULES = [
     "mapreducegcp_spark.operators.graph",
     "mapreducegcp_spark.operators.timeseries",
     "mapreducegcp_spark.operators.sampling",
+    "mapreducegcp_spark.operators.sketches",
     "mapreducegcp_spark.sources.pysource",
     "mapreducegcp_spark.sources.formats",
     "mapreducegcp_spark.streaming.events",

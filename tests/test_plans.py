@@ -178,3 +178,43 @@ def test_sq8_candidate_prune_shape(spark):
     tree, _ = _plans(spark, "similarity_sq8_topk")
     assert "SortMergeJoin" not in tree
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, tree[:1500]
+
+
+def test_bloom_prefilter_reaches_scan_stage(spark):
+    """join_bloom_prefilter: the Bloom membership predicate is a pure
+    Catalyst expression, so it must sit in the lineitem scan stage
+    (before the join's Exchange), and the sketch must add no extra
+    shuffle — the plan keeps the plain join's shape with the fact side
+    pre-pruned."""
+    tree, _ = _plans(spark, "join_bloom_prefilter")
+    assert "xxhash64" in tree, "bloom predicate compiled out of the plan"
+    # predicate evaluated in a Filter, not via any Python eval node
+    assert "BatchEvalPython" not in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_pq_adc_scan_is_jvm_side(spark):
+    """similarity_ann_pq: encode/LUT are the only Arrow stages; the ADC
+    candidate scoring itself (aggregate over codes) must be pure
+    Catalyst — no row-at-a-time Python, queries broadcast, no SMJ."""
+    tree, _ = _plans(spark, "similarity_ann_pq")
+    assert "BatchEvalPython" not in tree
+    assert "SortMergeJoin" not in tree
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+
+
+def test_chunking_is_shuffle_free(spark):
+    """chunk_text_sliding: tokenize -> sequence -> explode -> slice is
+    narrow end to end; any Exchange here would be a regression."""
+    tree, _ = _plans(spark, "chunk_text_sliding")
+    assert _exchanges(tree) == 0, tree[:1500]
+    assert "Exchange rangepartitioning" not in tree
+
+
+def test_countmin_sketch_shape(spark):
+    """agg_countmin_heavyhitters: the CMS table (<= d*w rows) must come
+    back as a BROADCAST to the candidate probe, and the whole plan
+    carries no sort-merge join."""
+    tree, _ = _plans(spark, "agg_countmin_heavyhitters")
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree

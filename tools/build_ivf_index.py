@@ -1,6 +1,7 @@
 #!/usr/bin/env python
-"""Offline IVF index build: train the coarse quantizer per corpus and
-persist it under mapreducegcp_spark/artifacts/.
+"""Offline ANN index build: train the IVF coarse quantizer and the PQ
+subspace codebooks per corpus and persist them under
+mapreducegcp_spark/artifacts/.
 
 This is the ingest-time step of the classic IVF layout — the quantizer
 is a (k, dim) model artifact built once per corpus, not per query.
@@ -18,7 +19,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from mapreducegcp_spark.operators.similarity import _ARTIFACT_DIR, ivf_centroids
+from mapreducegcp_spark.operators.similarity import _ARTIFACT_DIR, ivf_centroids, pq_codebooks
 from mapreducegcp_spark.session import get_spark
 
 DEFAULT_DIRS = [
@@ -33,7 +34,9 @@ def main() -> int:
     spark = get_spark("build-ivf-index")
     for d in dirs:
         C = ivf_centroids(spark, d)
-        print(f"{d}: {len(C)} centroids x {len(C[0])} dims -> {_ARTIFACT_DIR}")
+        print(f"{d}: IVF {len(C)} centroids x {len(C[0])} dims -> {_ARTIFACT_DIR}")
+        CB = pq_codebooks(spark, d)
+        print(f"{d}: PQ {len(CB)} codebooks x {len(CB[0])} centroids -> {_ARTIFACT_DIR}")
     return 0
 
 
