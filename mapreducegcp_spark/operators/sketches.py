@@ -208,11 +208,20 @@ def q_agg_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     word = docs.select(words_of("text").alias("word"))
     exact = word.groupBy("word").agg(F.count("*").alias("exact_cnt"))
+    exact.cache()  # feeds candidates AND the sketch build below
     cand = exact.orderBy(F.desc("exact_cnt"), F.asc("word")).limit(_CMS_TOPK)
 
     seeds = [str(s) for s in range(_CMS_DEPTH)]
+    # Sketch build from the per-word counts, not per-occurrence rows:
+    # counter[s][h_s(w)] += cnt(w) is algebraically identical to += 1
+    # per occurrence, but hashes each DISTINCT word once instead of
+    # md5-ing every token x d — the map-side-combine-before-hash shape.
+    # (A production CMS over a raw stream hashes occurrences precisely
+    # to AVOID the distinct-word groupBy; here that groupBy is already
+    # paid for the exact comparison column, so the sketch rides it.)
     cms = (
-        word.select(
+        exact.select(
+            "exact_cnt",
             F.explode(
                 F.array(
                     *[
@@ -223,11 +232,11 @@ def q_agg_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for s in seeds
                     ]
                 )
-            ).alias("sb")
+            ).alias("sb"),
         )
-        .select("sb.seed", "sb.bucket")
+        .select("sb.seed", "sb.bucket", "exact_cnt")
         .groupBy("seed", "bucket")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("exact_cnt").alias("c"))
     )
 
     cand_buckets = cand.select(

@@ -194,3 +194,66 @@ def _register_xml_roundtrip():
 
 
 _register_xml_roundtrip()
+
+
+# --------------------------------------------- partition-pruned scan
+
+_PRUNE_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+"""
+
+
+def _register_partition_prune():
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreducegcp_spark.registry import register
+    from mapreducegcp_spark.sources.catalog import load_table
+
+    @register("source_partition_prune", oracle=_PRUNE_ORACLE, tags=("sources",))
+    def q_source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Directory-partitioned write, then a PRUNED read-back.
+
+        The layout half of the scale story the write helpers above
+        promise: events land partitioned by event_type (one subtree
+        per value), and the filtered read-back resolves the predicate
+        against the PARTITION COLUMNS during planning — 2 of 5
+        subtrees are listed/read, the rest never touched (asserted on
+        the plan's PartitionFilters in tests/test_formats.py). At
+        100 TB this is the difference between scanning a full table
+        and scanning exactly the slices a query names. The aggregate
+        over the surviving partitions hash-matches the unpartitioned
+        oracle, proving the round-trip loses nothing.
+
+        Parity-probe shape (like operators/mapred_parity.py): eager
+        over a bounded projection, because the scratch directory must
+        outlive the scan but not the query."""
+        events = load_table(spark, sf_dir, "events").select("event_type", "value")
+        tmp = tempfile.mkdtemp(prefix="part_prune_")
+        try:
+            write_partitioned(events, tmp, "event_type")
+            back = (
+                spark.read.parquet(tmp)
+                .where(F.col("event_type").isin("click", "purchase"))
+                .groupBy("event_type")
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(18,4)"))
+                    .cast("double")
+                    .alias("total_value"),
+                )
+            )
+            rows = back.collect()
+            schema = back.schema
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(rows, schema)
+
+
+_register_partition_prune()

@@ -129,3 +129,32 @@ def test_compact_reduces_file_count(spark, tmp_path):
     got = spark.read.parquet(out)
     assert len(got.inputFiles()) == n_target < n_before
     assert got.count() == src.count()
+
+
+def test_partitioned_read_prunes_directories(spark, tmp_path):
+    """source_partition_prune's scale claim, frozen: a filter on the
+    partition column becomes a PartitionFilter (resolved at planning,
+    not per-row), and only the matching subtrees' files are read."""
+    from pyspark.sql import functions as F
+
+    from mapreducegcp_spark.sources.formats import write_partitioned
+
+    events = load_table(spark, SF_DIR, "events").select("event_type", "value")
+    path = str(tmp_path / "events_part")
+    write_partitioned(events, path, "event_type")
+
+    back = spark.read.parquet(path).where(F.col("event_type").isin("click", "purchase"))
+    plan = back._jdf.queryExecution().executedPlan()
+    s = plan.toString()
+    assert "PartitionFilters" in s and "event_type" in s.split("PartitionFilters")[1][:200]
+    back.collect()  # metrics populate on execution
+    scan = plan.collectLeaves().apply(0)
+    metrics = {}
+    it = scan.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        metrics[kv._1()] = kv._2().value()
+    # 5 event types exist; only the 2 named partitions may be touched
+    assert metrics["numPartitions"] == 2, metrics
+    n_total_files = len(spark.read.parquet(path).inputFiles())
+    assert metrics["numFiles"] < n_total_files, (metrics, n_total_files)
