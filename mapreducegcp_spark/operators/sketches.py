@@ -261,3 +261,101 @@ def q_agg_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("est_cnt"))
     )
     return est.select("word", "exact_cnt", "est_cnt")
+
+
+# --------------------------------------- mergeable HLL sketch rollup
+
+_HLL_TOL = 0.05  # 3 sigma of lgK=12 Datasketches HLL (rsd ~1.6%)
+
+_HLL_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_tol
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_hll_partitioned_union", oracle=_HLL_ORACLE, tags=("sketch", "relational"))
+def q_agg_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count rollup from MERGEABLE per-day sketches.
+
+    The lakehouse pattern approx_count_distinct can't express: build
+    one Datasketches HLL per (event_type, day) — at scale these land
+    in a summary table at ingest — then answer the full-range distinct
+    question by UNIONING the stored sketches (hll_union_agg), never
+    rescanning raw events. Re-aggregating a year is then a scan of 365
+    sketch rows per group instead of the event log; the same stored
+    sketches answer any date range.
+
+    Driver-checkable via the tolerance-gate pattern
+    (agg_approx_distinct_tol): exact distinct + a boolean that the
+    union-of-dailies estimate lands within 3 sigma. The union is
+    LOSSLESS over sketches — merging dailies gives exactly the sketch
+    of the whole stream, so the gate is as tight as for a single
+    full-range sketch."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= F.col("exact_users") * _HLL_TOL
+    )
+    return (
+        exact.join(merged, "event_type")
+        .select("event_type", "exact_users", within.alias("within_tol"))
+    )
+
+
+# ------------------------------------------- exact robust dispersion
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       any_value(med.med) AS median_value,
+       quantile_cont(abs(e.value - med.med), 0.5) AS mad
+FROM events e JOIN med ON e.event_type = med.event_type
+GROUP BY e.event_type
+"""
+
+
+@register("agg_mad", oracle=_MAD_ORACLE, tags=("relational",))
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    behind outlier fences that variance can't provide (one wild value
+    moves stddev arbitrarily; MAD moves by at most one rank).
+
+    Two exact-percentile passes: group medians (tiny result), broadcast
+    back, then the median of absolute deviations. Both engines share
+    the lower+frac*(upper-lower) interpolation on correctly-rounded
+    ops (see agg_quantiles), and |x - m| is a single IEEE op, so MAD
+    hash-matches bit-for-bit. The group-count is bounded (event types);
+    for unbounded groups the approx_percentile form takes over, gated
+    like agg_approx_quantiles_tol."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("median_value")
+    )
+    return (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.any_value("median_value").alias("median_value"),
+            F.percentile(F.abs(F.col("value") - F.col("median_value")), F.lit(0.5)).alias(
+                "mad"
+            ),
+        )
+    )

@@ -81,6 +81,11 @@ SHAPE = [
     ("unpivot_lineitem_measures", 0, 0, False),
     ("hard_negative_mining", 1, 0, False),
     ("agg_approx_quantiles_tol", 3, 2, False),
+    # sketch operators: MAD broadcasts the 5-row medians back; the HLL
+    # union is daily-sketch agg + union agg + exact distinct (expands
+    # to two-level) joined broadcast; bloom join is frozen separately
+    ("agg_mad", 2, 1, False),
+    ("agg_hll_partitioned_union", 4, 1, False),
 ]
 
 
