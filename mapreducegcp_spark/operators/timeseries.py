@@ -515,3 +515,156 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+# ------------------------------------------------------ OHLC downsampling
+
+_OHLC_ORACLE = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bar, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bar,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close
+FROM b
+GROUP BY event_type, bar
+"""
+
+
+@register("timeseries_ohlc_downsample", oracle=_OHLC_ORACLE, tags=("timeseries",))
+def q_timeseries_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per series — the canonical tick-to-bar
+    downsample of a market-data/metrics engine.
+
+    One groupBy over (series, hour): high/low are plain min/max;
+    open/close are ``min_by``/``max_by`` against the (ts, event_id)
+    struct — first/last VALUE by event time with a deterministic
+    event_id tiebreak, no window pass and no self-join, so the whole
+    bar table is a single Exchange with map-side partials. At 100 TB
+    this is the continuous-aggregate build (agg_time_rollup's shape)
+    with order-statistic columns; the oracle derives open/close
+    independently via row_number windows, pinning the tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bar"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+        )
+    )
+
+
+# ------------------------------------------------- nearest as-of (tolerance)
+
+_NEAREST_TOL_US = 30 * 60 * 1_000_000  # ±30 min
+
+_ASOF_NEAREST_ORACLE = f"""
+WITH merged AS (
+  SELECT user_id, ts, 0 AS tag, epoch_us(ts) AS click_us,
+         NULL::BIGINT AS event_id
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 1, NULL, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+w AS (
+  SELECT *,
+    last_value(click_us IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, tag, event_id NULLS FIRST
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_us,
+    first_value(click_us IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, tag, event_id NULLS FIRST
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us
+  FROM merged
+),
+sel AS (
+  SELECT event_id, user_id, epoch_us(ts) AS purchase_us,
+         CASE WHEN prev_us IS NOT NULL
+                   AND (next_us IS NULL
+                        OR epoch_us(ts) - prev_us <= next_us - epoch_us(ts))
+              THEN prev_us ELSE next_us END AS near_us
+  FROM w WHERE tag = 1
+)
+SELECT event_id, user_id, purchase_us,
+       CASE WHEN near_us IS NOT NULL
+                 AND abs(purchase_us - near_us) <= {_NEAREST_TOL_US}
+            THEN near_us END AS nearest_click_us,
+       CASE WHEN near_us IS NOT NULL
+                 AND abs(purchase_us - near_us) <= {_NEAREST_TOL_US}
+            THEN abs(purchase_us - near_us) END AS dt_us
+FROM sel
+"""
+
+
+@register("asof_join_nearest", oracle=_ASOF_NEAREST_ORACLE, tags=("timeseries",))
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-match as-of join with tolerance: for every purchase, the
+    click by the same user closest in time — either direction — if
+    within ±30 min; ties (equidistant before/after) take the earlier.
+
+    Same merge-scan shape as asof_join_last_click, but BOTH directions
+    come from one union + one user_id shuffle: a backward-looking
+    ``last(ignorenulls)`` and a forward-looking ``first(ignorenulls)``
+    over the SAME window partitioning (Catalyst reuses the Exchange
+    and sort), then a pure projection picks the nearer side. Still
+    zero joins and no quadratic hot-user risk — the pandas
+    ``merge_asof(direction='nearest', tolerance=...)`` semantics at
+    cluster scale. Clicks at the exact purchase timestamp sort before
+    the purchase (tag ordering), so dt=0 resolves via the backward arm."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.unix_micros("ts").alias("click_us"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("click_us"),
+        "event_id",
+    )
+    order = [F.col("ts").asc(), F.col("tag").asc(), F.col("event_id").asc_nulls_first()]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = (
+        clicks.unionByName(purchases)
+        .withColumn("prev_us", F.last("click_us", ignorenulls=True).over(wb))
+        .withColumn("next_us", F.first("click_us", ignorenulls=True).over(wf))
+    )
+    p_us = F.unix_micros("ts")
+    near = F.when(
+        F.col("prev_us").isNotNull()
+        & (F.col("next_us").isNull() | (p_us - F.col("prev_us") <= F.col("next_us") - p_us)),
+        F.col("prev_us"),
+    ).otherwise(F.col("next_us"))
+    in_tol = near.isNotNull() & (F.abs(p_us - near) <= F.lit(_NEAREST_TOL_US))
+    return merged.filter(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        p_us.alias("purchase_us"),
+        F.when(in_tol, near).alias("nearest_click_us"),
+        F.when(in_tol, F.abs(p_us - near)).alias("dt_us"),
+    )

@@ -86,6 +86,10 @@ SHAPE = [
     # to two-level) joined broadcast; bloom join is frozen separately
     ("agg_mad", 2, 1, False),
     ("agg_hll_partitioned_union", 4, 1, False),
+    # OHLC is one grouped agg (min_by/max_by, no window); nearest-asof
+    # reuses one user_id exchange+sort for both window directions
+    ("timeseries_ohlc_downsample", 1, 0, False),
+    ("asof_join_nearest", 1, 0, False),
 ]
 
 
