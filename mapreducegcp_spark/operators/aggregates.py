@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mapreducegcp_spark.functions.exact import davg, dec2, dsum, o_davg, o_dec2, o_dsum
 from mapreducegcp_spark.registry import register
@@ -703,4 +704,62 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         (-F.col("s.neg")).alias("mode_nationkey"),
         F.col("s.cnt").alias("mode_count"),
+    )
+
+
+# ------------------------------------------------- exact weighted median
+
+_WMEDIAN_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+         sum(CAST(l_quantity AS DECIMAL(12,2)))
+           OVER (PARTITION BY l_returnflag ORDER BY CAST(l_extendedprice AS DECIMAL(12,2))
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(CAST(l_quantity AS DECIMAL(12,2)))
+           OVER (PARTITION BY l_returnflag) AS total
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(any_value(total) AS DOUBLE) AS total_weight,
+       CAST(min(price) AS DOUBLE) AS weighted_median_price
+FROM c
+WHERE 2 * cum >= total
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_weighted_median", oracle=_WMEDIAN_ORACLE, tags=("relational",))
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median — the order statistic Spark has no builtin
+    for (percentile() weights every row equally): the smallest price
+    whose cumulative QUANTITY covers half the group's total quantity.
+
+    One window pass (sort by price within each group, running decimal
+    sum), then ``min(price)`` over the rows past the halfway mark. All
+    comparisons stay in the decimal domain (``2*cum >= total``, no
+    division), so ties and the halfway boundary are exact — the same
+    arithmetic both engines execute bit-identically. Rows tied on
+    price cross the threshold inside their tie block, so the selected
+    VALUE is order-independent even though the cumsum is not. Two
+    exchanges max: the window's hash partitioning is reused by the
+    final same-key groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w_ord = Window.partitionBy("l_returnflag").orderBy(dec2("l_extendedprice")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        dec2("l_extendedprice").alias("price"),
+        F.sum(dec2("l_quantity")).over(w_ord).alias("cum"),
+        F.sum(dec2("l_quantity")).over(w_all).alias("total"),
+    )
+    return (
+        c.where(F.lit(2) * F.col("cum") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.any_value("total").cast("double").alias("total_weight"),
+            F.min("price").cast("double").alias("weighted_median_price"),
+        )
     )

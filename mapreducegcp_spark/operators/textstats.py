@@ -526,3 +526,68 @@ def q_text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("xent_nats"),
         )
     )
+
+
+# --------------------------------------------- trigram-indexed search
+
+_SEARCH_PATTERN = "scan slow fast"
+_SEARCH_TRIGRAMS = sorted(
+    {_SEARCH_PATTERN[i : i + 3] for i in range(len(_SEARCH_PATTERN) - 2)}
+)
+
+_TRIGRAM_SEARCH_ORACLE = f"""
+SELECT doc_id
+FROM documents
+WHERE contains(text, '{_SEARCH_PATTERN}')
+"""
+
+
+@register("search_trigram_index", oracle=_TRIGRAM_SEARCH_ORACLE, tags=("llm-pipeline",))
+def q_search_trigram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search through a character-trigram index — the
+    pg_trgm / code-search layout: candidate docs must contain EVERY
+    trigram of the pattern (no false negatives — any string containing
+    the pattern contains all its trigrams), then an exact ``contains``
+    verify removes coincidental trigram co-occurrence.
+
+    Scale shape: the posting list (doc_id, trigram) is the index a
+    100 TB corpus builds ONCE at ingest (explode + distinct, stored
+    partitioned by trigram); a query then reads only its own
+    trigrams' postings — a |pattern| - 2 key lookup, not a corpus
+    scan — and the exact verify touches candidate docs only. Built
+    inline here (self-contained query), with the trigram filter
+    applied BEFORE the distinct/groupBy so only pattern-relevant
+    postings ever reach the shuffle: O(docs x matched trigrams), not
+    O(total characters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_pat = len(_SEARCH_TRIGRAMS)
+    # substring with a COLUMN start index needs the SQL form (the
+    # Python helper wants plain ints), hence F.expr for the gram slide
+    postings = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.expr(
+                            "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                            " i -> substring(text, i, 3))"
+                        ),
+                        lambda g: g.isin(*_SEARCH_TRIGRAMS),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    cand = (
+        postings.groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+        .where(F.col("n_hit") == n_pat)
+        .select("doc_id")
+    )
+    verified = (
+        docs.join(F.broadcast(cand), "doc_id")
+        .where(F.contains(F.col("text"), F.lit(_SEARCH_PATTERN)))
+        .select("doc_id")
+    )
+    return verified

@@ -90,6 +90,10 @@ SHAPE = [
     # reuses one user_id exchange+sort for both window directions
     ("timeseries_ohlc_downsample", 1, 0, False),
     ("asof_join_nearest", 1, 0, False),
+    # weighted median: window exchange reused by same-key groupBy;
+    # trigram search: posting agg + broadcast candidate verify
+    ("agg_weighted_median", 2, 0, False),
+    ("search_trigram_index", 1, 1, False),
 ]
 
 
