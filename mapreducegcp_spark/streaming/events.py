@@ -543,3 +543,61 @@ def q_stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.value").alias("value"),
         )
     )
+
+
+@register(
+    "stream_ohlc_bars",
+    oracle="""
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS window_start, value,
+         row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close
+FROM b
+GROUP BY event_type, window_start
+""",
+    tags=("streaming",),
+)
+def q_stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars — the batch downsample
+    (timeseries_ohlc_downsample) as a windowed streaming aggregate,
+    proving the bar-building logic is ONE definition across batch and
+    stream: min_by/max_by against the (ts, event_id) struct are
+    order-AGNOSTIC aggregates (the selector key decides, not arrival
+    order), so replaying the log through micro-batches yields the
+    identical bar table the batch plan computes — which is exactly
+    what the oracle asserts. At scale this is the live market-data /
+    metrics rollup: watermark-bounded state per (series, hour),
+    incremental bars in update mode; complete-mode replay here keeps
+    the memory-sink check deterministic."""
+    sdf = events_stream(spark, sf_dir)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
+    return run_to_memory(agg, "complete")

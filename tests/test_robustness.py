@@ -209,3 +209,61 @@ def test_python_sink_empty_input(spark, monkeypatch):
     out = all_queries()["sink_python_datasource"].fn(spark, SF_DIR)
     assert out.count() == 0
     assert [f[0] for f in out.dtypes] == ["event_type", "n", "total_cents"]
+
+
+def test_bloom_prefilter_with_empty_build_side(spark):
+    """An empty dimension side must yield an all-zero bitmap that
+    prunes EVERYTHING (no false 'might contain'), and the downstream
+    join returns no rows rather than throwing."""
+    from mapreducegcp_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    empty = load_table(spark, SF_DIR, "orders").filter(F.lit(False))
+    bitmap = bloom_build(empty, "o_orderkey")
+    assert all(w == 0 for w in bitmap)
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert li.where(bloom_might_contain(bitmap, F.col("l_orderkey"))).count() == 0
+
+
+def test_chunking_short_and_empty_docs(spark, monkeypatch):
+    """Docs shorter than one window produce exactly one (short) chunk;
+    zero-token docs produce none — matching the oracle's WHERE n > 0."""
+    import mapreducegcp_spark.operators.training as tr
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "...!!!")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(tr, "load_table", lambda *a, **k: docs)
+    rows = all_queries()["chunk_text_sliding"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 1 and rows[0]["n_chunk_tokens"] == 3
+
+
+def test_weighted_median_single_row_groups(spark, monkeypatch):
+    """A one-row group's weighted median is its own value (2*cum >=
+    total holds for the only row)."""
+    import mapreducegcp_spark.operators.aggregates as ag
+
+    li = spark.createDataFrame(
+        [("A", 10.0, 5.0), ("B", 7.5, 1.0)],
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    )
+    monkeypatch.setattr(ag, "load_table", lambda *a, **k: li)
+    got = {
+        r["l_returnflag"]: r["weighted_median_price"]
+        for r in all_queries()["agg_weighted_median"].fn(spark, SF_DIR).collect()
+    }
+    assert got == {"A": 10.0, "B": 7.5}
+
+
+def test_trigram_search_no_match(spark, monkeypatch):
+    """A corpus without the pattern returns an empty result through the
+    whole index->verify path (no false positives survive)."""
+    import mapreducegcp_spark.operators.textstats as tx
+
+    docs = spark.createDataFrame(
+        [(1, "nothing relevant here"), (2, "sca n sl ow fa st broken up")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(tx, "load_table", lambda *a, **k: docs)
+    assert all_queries()["search_trigram_index"].fn(spark, SF_DIR).count() == 0
