@@ -241,3 +241,79 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = ue.agg(F.count("*").alias("n_edges"))
     n_tri = tri.agg(F.count("*").alias("n_triangles"))
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+# ------------------------------------------------- BFS levels (SSSP, unit)
+
+_BFS_SRC = 0     # nation 0 is the BFS root
+_BFS_MAX_D = 6   # depth bound; oracle computes the same bounded closure
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT src, dst FROM ({_EDGE_SQL})),
+walk(node, depth) AS (
+  SELECT {_BFS_SRC}, 0
+  UNION
+  SELECT e.dst, walk.depth + 1
+  FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.depth < {_BFS_MAX_D}
+),
+lvl AS (SELECT node, CAST(min(depth) AS BIGINT) AS level FROM walk GROUP BY node)
+SELECT n.n_name AS nation, lvl.level
+FROM nation n LEFT JOIN lvl ON n.n_nationkey = lvl.node
+"""
+
+
+@register("graph_bfs_levels", oracle=_BFS_ORACLE, tags=("llm-pipeline",))
+def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the trade graph: hop distance from
+    nation {_BFS_SRC} to every nation (NULL = unreachable within the
+    depth bound) — the shortest-path primitive PageRank/components
+    don't cover.
+
+    Frontier-relaxation driver loop, one round per level: join the
+    previous frontier to the edge list, min-reduce candidate depths,
+    keep nodes not yet levelled. Integer levels, min() reduction —
+    associative and partition-order-free, so the result is exact and
+    hash-matches DuckDB's recursive-CTE closure (UNION-deduped walk,
+    same depth bound). Scale: the frontier/level tables are
+    vertex-sized broadcasts; only the edge table (built once, cached,
+    pre-DISTINCTed so the per-round join is edge-set-sized) shuffles —
+    per-round cost is one broadcast join + one dst aggregation,
+    the textbook Pregel superstep layout."""
+    nation = load_table(spark, sf_dir, "nation")
+    edges = trade_edges_directed(spark, sf_dir).select("src", "dst").distinct().cache()
+    levels = nation.select(
+        F.col("n_nationkey").alias("node"),
+        F.when(F.col("n_nationkey") == _BFS_SRC, F.lit(0))
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("level"),
+    )
+    for depth in range(1, _BFS_MAX_D + 1):
+        frontier = levels.where(F.col("level") == depth - 1).select("node")
+        # Convergence probe (vertex-sized count): an empty frontier ends
+        # the walk — on this dense graph everything levels in 1-2 hops,
+        # so the bound _BFS_MAX_D is a guard, not the typical cost.
+        if frontier.count() == 0:
+            break
+        reached = (
+            edges.join(
+                F.broadcast(frontier.withColumnRenamed("node", "src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .withColumn("cand", F.lit(depth).cast("long"))
+        )
+        # Truncate lineage each superstep: without this the round-N plan
+        # nests all prior rounds and re-executes them (measured 45s for
+        # 6 rounds at sf0.01; ~3s with vertex-sized checkpoints).
+        levels = (
+            levels.join(F.broadcast(reached), "node", "left")
+            .select("node", F.coalesce("level", "cand").alias("level"))
+            .localCheckpoint(eager=False)
+        )
+    return levels.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("node"), "n_name")),
+        "node",
+    ).select(F.col("n_name").alias("nation"), "level")
