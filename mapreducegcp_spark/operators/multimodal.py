@@ -364,3 +364,136 @@ def q_multimodal_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_md5"),
     )
+
+
+# ------------------------------------------- perceptual-hash near-dup
+
+_PHASH_BITS = 60      # fits signed BIGINT in both engines (simhash precedent)
+_PHASH_BANDS = 12     # 12 bands x 5 bits
+_PHASH_BAND_BITS = _PHASH_BITS // _PHASH_BANDS
+_PHASH_MAX_HAMMING = _PHASH_BANDS - 1  # pigeonhole: hd<=11 -> >=1 band identical
+
+
+def make_phash_udf():
+    """pandas_udf: payload bytes -> 60-bit block-mean perceptual hash.
+
+    Bit k is set iff the mean of byte-block k exceeds the whole-payload
+    mean — compared by INTEGER cross-multiply (block_sum * n_total >
+    total_sum * block_len), so there is no float rounding to diverge
+    between engines. The real-image version swaps byte blocks for DCT
+    coefficients after decode_media(); the plan shape is identical.
+    Closure-local so cloudpickle ships it by value (see
+    make_feature_extractor).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = _PHASH_BITS
+
+    @pandas_udf("long")
+    def phash(payload: pd.Series) -> pd.Series:
+        out = np.zeros(len(payload), dtype="int64")
+        for i, buf in enumerate(payload):
+            arr = np.frombuffer(bytes(buf), dtype=np.uint8).astype("int64")
+            n = arr.size
+            if n == 0:
+                continue
+            csum = np.concatenate(([0], np.cumsum(arr)))
+            total = int(csum[-1])
+            lo = (np.arange(B) * n) // B
+            hi = ((np.arange(B) + 1) * n) // B
+            bsum = csum[hi] - csum[lo]
+            blen = hi - lo
+            bits = (bsum * n) > (total * blen)
+            out[i] = int(np.sum((1 << np.arange(B, dtype="int64"))[bits]))
+        return pd.Series(out)
+
+    return phash
+
+
+_PHASH_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, strlen(text) AS n,
+         list_transform(generate_series(1, strlen(text)), i -> unicode(text[i])) AS bs
+  FROM documents
+),
+blk AS (
+  SELECT doc_id, n, list_sum(bs) AS total,
+         list_transform(generate_series(0, {_PHASH_BITS - 1}),
+            k -> list_sum(list_slice(bs, (k * n) // {_PHASH_BITS} + 1,
+                                         ((k + 1) * n) // {_PHASH_BITS}))) AS bsum,
+         list_transform(generate_series(0, {_PHASH_BITS - 1}),
+            k -> ((k + 1) * n) // {_PHASH_BITS} - (k * n) // {_PHASH_BITS}) AS blen
+  FROM raw
+)
+SELECT doc_id,
+       CAST(coalesce(list_sum(list_transform(generate_series(1, {_PHASH_BITS}),
+          k -> CASE WHEN bsum[k] * n > total * blen[k]
+                    THEN (CAST(1 AS BIGINT) << (k - 1)) ELSE 0 END)), 0) AS BIGINT) AS ph
+FROM blk
+"""
+
+_PHASH_PAIRS_ORACLE = f"""
+WITH h AS ({_PHASH_SQL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ph, b.ph)) <= {_PHASH_MAX_HAMMING}
+"""
+
+
+@register("multimodal_phash_near_dup", oracle=_PHASH_PAIRS_ORACLE, tags=("multimodal",))
+def q_multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate binary payloads by perceptual-hash banding — the
+    image/audio twin of SimHash text dedup: hash every payload to 60
+    bits (block-mean signature), block candidate pairs through 12
+    5-bit BANDS (pigeonhole: any pair within hamming distance 11
+    shares at least one identical band — no false negatives), verify
+    candidates with the exact popcount. Band width trades bucket size
+    against the guaranteed radius: 5-bit keys mean ~n/32 docs per
+    bucket per band, the price of exactness at radius 11 on a 60-bit
+    hash; a production image pipeline uses a 256-bit DCT pHash where
+    16-bit bands give the same radius with far sparser buckets.
+
+    The oracle computes ALL O(n^2) pair distances; the engine never
+    does — the band self-join is the 100 TB path (candidates only,
+    narrow (band, key) shuffle), and the hash-match proves the
+    banded plan loses nothing vs the quadratic scan. Payload bytes
+    are touched once (Arrow batch per partition) and reduced to one
+    long before anything wide."""
+    m = with_payload(load_table(spark, sf_dir, "documents"))
+    hashed = m.select("doc_id", make_phash_udf()(F.col("payload")).alias("ph"))
+    bands = hashed.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright(F.col("ph"), j * _PHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _PHASH_BAND_BITS) - 1))
+                        .alias("key"),
+                    )
+                    for j in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "ph", "bk.band", "bk.key")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("ph").alias("pa"), "band", "key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("ph").alias("pb"), "band", "key"
+    )
+    pairs = (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.expr("CAST(bit_count(pa ^ pb) AS INT)").alias("hamming"),
+    ).where(F.col("hamming") <= _PHASH_MAX_HAMMING)
