@@ -263,3 +263,121 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") >= _CONTAM_THRESHOLD).alias("flagged"),
         )
     )
+
+
+# ----------------------------------- corpus -> training-manifest pipeline
+
+_M_SHARDS = 8
+_M_WINDOW = 64   # chunk tokens (training.CHUNK_WINDOW)
+_M_STRIDE = 48   # chunk stride (training.CHUNK_STRIDE)
+_M_SEQ = 512     # packed-sequence token budget (training.SEQ_BUDGET)
+
+_MANIFEST_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, lang, text, len({_TOKS}) AS n_tokens FROM documents
+),
+kept AS (
+  SELECT * FROM scored WHERE n_tokens >= {MIN_TOKENS} AND lang = 'en'
+),
+dedup AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           ORDER BY doc_id) AS rn
+  FROM kept
+),
+ch AS (
+  SELECT doc_id, source, n_tokens,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % {_M_SHARDS}) AS shard,
+         unnest(generate_series(0, n_tokens - 1, {_M_STRIDE})) AS s
+  FROM dedup WHERE rn = 1 AND n_tokens > 0
+),
+c2 AS (
+  SELECT source, shard, doc_id, s / {_M_STRIDE} AS chunk_id,
+         least(n_tokens - s, {_M_WINDOW}) AS c_tokens
+  FROM ch
+),
+c3 AS (
+  SELECT *, sum(c_tokens) OVER (PARTITION BY source, shard
+             ORDER BY doc_id, chunk_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM c2
+)
+SELECT source, shard,
+       CAST(floor((cum - c_tokens) / {_M_SEQ}.0) AS BIGINT) AS seq_id,
+       count(*) AS n_chunks,
+       CAST(sum(c_tokens) AS BIGINT) AS seq_tokens
+FROM c3
+GROUP BY source, shard, seq_id
+"""
+
+
+@register("pipeline_corpus_to_manifest", oracle=_MANIFEST_ORACLE, tags=("llm-pipeline",))
+def q_pipeline_corpus_to_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL pretraining data path as one declarative plan: quality
+    filter -> language slice -> exact dedup (keep-first on normalized
+    sha256) -> sliding-window chunking (64/48) -> concat-and-pack into
+    512-token sequences per (source, shard) stream -> the manifest a
+    dataloader consumes.
+
+    Composition is the point (SURVEY.md §7): every stage is an
+    operator that also ships standalone (pipeline_corpus_clean,
+    chunk_text_sliding, pack_sequences, shard_assign_fingerprint), and
+    chaining them costs NOTHING extra — Catalyst fuses the filters
+    into the scan and the whole pipeline runs in TWO shuffles (dedup
+    hash, then the per-stream packing window; the manifest rollup
+    rides the window's (source, shard) partitioning — plan-frozen in
+    test_plans.py). The
+    reference needed one full KV-store materialization per stage
+    (Master/Master.py:61-94); a 100 TB run here reads text once and
+    never writes an intermediate."""
+    from mapreducegcp_spark.operators.sampling import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", "lang", "text", F.size(tokens("text")).alias("n_tokens")
+    )
+    kept = scored.filter((F.col("n_tokens") >= MIN_TOKENS) & (F.col("lang") == "en"))
+    norm = F.sha2(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), 256)
+    w = Window.partitionBy(norm).orderBy("doc_id")
+    dedup = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("n_tokens") > 0))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            md5_bucket(F.col("doc_id").cast("string"), _M_SHARDS).alias("shard"),
+        )
+    )
+    ch = dedup.select(
+        "source",
+        "shard",
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_tokens") - 1, F.lit(_M_STRIDE))).alias("s"),
+        "n_tokens",
+    ).select(
+        "source",
+        "shard",
+        "doc_id",
+        (F.col("s") / _M_STRIDE).cast("long").alias("chunk_id"),
+        F.least(F.col("n_tokens") - F.col("s"), F.lit(_M_WINDOW)).alias("c_tokens"),
+    )
+    wp = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c3 = ch.withColumn("cum", F.sum("c_tokens").over(wp))
+    return (
+        c3.select(
+            "source",
+            "shard",
+            F.floor((F.col("cum") - F.col("c_tokens")) / F.lit(_M_SEQ)).alias("seq_id"),
+            "c_tokens",
+        )
+        .groupBy("source", "shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("c_tokens").cast("long").alias("seq_tokens"),
+        )
+    )

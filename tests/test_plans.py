@@ -97,6 +97,9 @@ SHAPE = [
     # phash near-dup: one band-key self-join shuffle pair + distinct;
     # payloads reduce to a 60-bit long before anything wide
     ("multimodal_phash_near_dup", 3, 0, False),
+    # full corpus->manifest pipeline: dedup window + packing window;
+    # the final rollup reuses the packing partitioning
+    ("pipeline_corpus_to_manifest", 2, 0, False),
 ]
 
 
