@@ -668,3 +668,54 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, near).alias("nearest_click_us"),
         F.when(in_tol, F.abs(p_us - near)).alias("dt_us"),
     )
+
+
+# ------------------------------------------------- gaps & islands (runs)
+
+_ISLANDS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+         AS grp
+  FROM events
+)
+SELECT user_id, event_type, grp,
+       CAST(count(*) AS BIGINT) AS run_len,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
+FROM seq
+GROUP BY user_id, event_type, grp
+"""
+
+
+@register("events_run_length_islands", oracle=_ISLANDS_ORACLE, tags=("timeseries",))
+def q_events_run_length_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events
+    per user (the Tabibitosan difference-of-row_numbers trick) — the
+    behavioural run-length encoding behind streak features ("n views
+    in a row before the purchase") that lag/transition operators
+    don't give directly.
+
+    Both row_numbers share the user_id partitioning, so the whole
+    query is ONE Exchange: window pass (two rank functions, one sort
+    covers both since the per-type numbering is a subsequence of the
+    per-user order), then a groupBy that reuses the same hash
+    partitioning. The group id is a derived integer — deterministic
+    given the (ts, event_id) total order, so it hash-matches across
+    engines and across any physical partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    return seq.groupBy("user_id", "event_type", "grp").agg(
+        F.count("*").alias("run_len"),
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
+    )

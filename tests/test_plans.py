@@ -100,6 +100,9 @@ SHAPE = [
     # full corpus->manifest pipeline: dedup window + packing window;
     # the final rollup reuses the packing partitioning
     ("pipeline_corpus_to_manifest", 2, 0, False),
+    # gaps-and-islands: both rank windows + the run rollup share one
+    # user_id exchange
+    ("events_run_length_islands", 1, 0, False),
 ]
 
 
