@@ -267,9 +267,9 @@ FROM nation n LEFT JOIN lvl ON n.n_nationkey = lvl.node
 @register("graph_bfs_levels", oracle=_BFS_ORACLE, tags=("llm-pipeline",))
 def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source BFS over the trade graph: hop distance from
-    nation {_BFS_SRC} to every nation (NULL = unreachable within the
-    depth bound) — the shortest-path primitive PageRank/components
-    don't cover.
+    nation 0 (the _BFS_SRC root) to every nation (NULL = unreachable
+    within the depth bound) — the shortest-path primitive
+    PageRank/components don't cover.
 
     Frontier-relaxation driver loop, one round per level: join the
     previous frontier to the edge list, min-reduce candidate depths,
@@ -282,6 +282,11 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round cost is one broadcast join + one dst aggregation,
     the textbook Pregel superstep layout."""
     nation = load_table(spark, sf_dir, "nation")
+    # Cached for the per-round joins, UNPERSISTED before return (the
+    # final levels are eagerly checkpointed below, so the returned
+    # plan no longer references the edge lineage) — a long-lived
+    # session running the whole catalog must not accrete pinned
+    # storage per query.
     edges = trade_edges_directed(spark, sf_dir).select("src", "dst").distinct().cache()
     levels = nation.select(
         F.col("n_nationkey").alias("node"),
@@ -313,6 +318,10 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.coalesce("level", "cand").alias("level"))
             .localCheckpoint(eager=False)
         )
+    # Materialize the final (vertex-sized) levels so the edge cache can
+    # be released now; the loop was already eager (frontier counts).
+    levels = levels.localCheckpoint(eager=True)
+    edges.unpersist()
     return levels.join(
         F.broadcast(nation.select(F.col("n_nationkey").alias("node"), "n_name")),
         "node",

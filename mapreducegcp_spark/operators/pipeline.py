@@ -52,19 +52,28 @@ GROUP BY source
 """
 
 
-@register("pipeline_corpus_clean", oracle=_PIPELINE_ORACLE, tags=("llm-pipeline",))
-def q_pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-filter (>=20 tokens) -> English slice -> exact dedup on
-    normalized text (keep lowest doc_id) -> per-source corpus stats.
-    One plan, two shuffles (dedup window, final rollup)."""
-    docs = load_table(spark, sf_dir, "documents")
+
+def _cleaned_docs(docs: DataFrame) -> DataFrame:
+    """The shared cleaning prefix of both pipeline queries: token-count
+    scoring, quality floor (>= MIN_TOKENS), English slice, exact dedup
+    keep-first on whitespace-normalized sha256. One definition so the
+    fused pipelines cannot drift from each other (their oracle SQL
+    strings mirror this stage verbatim)."""
     scored = docs.select(
         "doc_id", "source", "lang", "text", F.size(tokens("text")).alias("n_tokens")
     )
     kept = scored.filter((F.col("n_tokens") >= MIN_TOKENS) & (F.col("lang") == "en"))
     norm = F.sha2(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), 256)
     w = Window.partitionBy(norm).orderBy("doc_id")
-    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+
+@register("pipeline_corpus_clean", oracle=_PIPELINE_ORACLE, tags=("llm-pipeline",))
+def q_pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter (>=20 tokens) -> English slice -> exact dedup on
+    normalized text (keep lowest doc_id) -> per-source corpus stats.
+    One plan, two shuffles (dedup window, final rollup)."""
+    deduped = _cleaned_docs(load_table(spark, sf_dir, "documents"))
     return deduped.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -331,17 +340,19 @@ def q_pipeline_corpus_to_manifest(spark: SparkSession, sf_dir: str) -> DataFrame
     (Master/Master.py:61-94); a 100 TB run here reads text once and
     never writes an intermediate."""
     from mapreducegcp_spark.operators.sampling import md5_bucket
-
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id", "source", "lang", "text", F.size(tokens("text")).alias("n_tokens")
+    from mapreducegcp_spark.operators.training import (
+        CHUNK_STRIDE,
+        CHUNK_WINDOW,
+        SEQ_BUDGET,
     )
-    kept = scored.filter((F.col("n_tokens") >= MIN_TOKENS) & (F.col("lang") == "en"))
-    norm = F.sha2(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), 256)
-    w = Window.partitionBy(norm).orderBy("doc_id")
+
+    # Lockstep with the standalone stages (MIN_JACCARD precedent): the
+    # fused pipeline must compute exactly what chunk_text_sliding /
+    # pack_sequences compute.
+    assert (_M_WINDOW, _M_STRIDE, _M_SEQ) == (CHUNK_WINDOW, CHUNK_STRIDE, SEQ_BUDGET)
     dedup = (
-        kept.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("n_tokens") > 0))
+        _cleaned_docs(load_table(spark, sf_dir, "documents"))
+        .filter(F.col("n_tokens") > 0)
         .select(
             "doc_id",
             "source",

@@ -208,7 +208,11 @@ def q_agg_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     word = docs.select(words_of("text").alias("word"))
     exact = word.groupBy("word").agg(F.count("*").alias("exact_cnt"))
-    exact.cache()  # feeds candidates AND the sketch build below
+    # NOT cached: the plan reads `exact` twice (candidates + sketch
+    # build), but a cache pinned here would outlive the query in a
+    # long-lived session (no unpersist hook once the DataFrame is
+    # returned). Recomputing the word count costs one extra scan;
+    # vocabulary-sized storage leaks cost more at the 100 TB posture.
     cand = exact.orderBy(F.desc("exact_cnt"), F.asc("word")).limit(_CMS_TOPK)
 
     seeds = [str(s) for s in range(_CMS_DEPTH)]
