@@ -240,3 +240,16 @@ def test_countmin_sketch_shape(spark):
     tree, _ = _plans(spark, "agg_countmin_heavyhitters")
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_basket_affinity_reuses_cached_baskets(spark):
+    """basket_pair_affinity: the basket table is built once (cached —
+    the naive re-derivation per consumer cost 8 exchanges) and read by
+    all three consumers; frequencies/order-count return as broadcasts,
+    no sort-merge join. Plain Exchange counting overcounts here: the
+    plan STRING inlines the cached subplan once per scan, but runtime
+    executes it once — so assert the InMemoryTableScan reuse instead."""
+    tree, _ = _plans(spark, "basket_pair_affinity")
+    assert tree.count("InMemoryTableScan") >= 3, tree[:1500]
+    assert "SortMergeJoin" not in tree
+    assert tree.count("BroadcastHashJoin") >= 2
