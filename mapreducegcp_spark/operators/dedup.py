@@ -513,6 +513,56 @@ GROUP BY src
 """
 
 
+
+def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    shared engine behind duplicate-cluster resolution (see
+    dedup_connected_components for the full scale argument). Input:
+    undirected pair list (one row per edge, columns ``a``/``b``);
+    output: (node, cluster_id = component min). Nodes with no edge are
+    absent, matching the recursive-CTE oracles."""
+    edges = (
+        pairs.select(F.col(a), F.col(b))
+        .union(pairs.select(F.col(b), F.col(a)))
+        .toDF("a", "b")
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(50):  # hard bound; converges in <= graph diameter
+        neigh = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new = (
+            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            .select(
+                labels["node"],
+                F.least(
+                    labels["cluster_id"],
+                    F.coalesce(neigh["nmin"], labels["cluster_id"]),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 @register("dedup_connected_components", oracle=_CLUSTERS_ORACLE, tags=("llm-pipeline",))
 def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: connected components over the exact
@@ -531,44 +581,9 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle is a recursive-CTE transitive closure.
     """
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("a", "b")
-        .cache()
+    return min_label_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
     )
-    labels = (
-        edges.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    for _ in range(50):  # hard bound; converges in <= graph diameter
-        neigh = (
-            edges.join(labels, edges["b"] == labels["doc_id"])
-            .groupBy("a")
-            .agg(F.min("cluster_id").alias("nmin"))
-        )
-        new = (
-            labels.join(neigh, labels["doc_id"] == neigh["a"], "left")
-            .select(
-                labels["doc_id"],
-                F.least(
-                    labels["cluster_id"],
-                    F.coalesce(neigh["nmin"], labels["cluster_id"]),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
-    return labels
 
 
 @register("dedup_clusters_recursive_sql", oracle=_CLUSTERS_ORACLE, tags=("llm-pipeline",))
@@ -753,4 +768,39 @@ def q_dedup_lines_corpuswide(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "\n",
             )
         ).alias("cleaned_md5"),
+    )
+
+
+_EMB_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+p AS ({_COSINE_DUP_ORACLE}),
+e AS (SELECT vec_a AS a, vec_b AS b FROM p
+      UNION ALL SELECT vec_b, vec_a FROM p),
+nodes AS (SELECT DISTINCT a AS n FROM e),
+reach(src, dst) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+)
+SELECT src AS vec_id, min(dst) AS cluster_id
+FROM reach
+GROUP BY src
+"""
+
+
+@register("dedup_embedding_clusters", oracle=_EMB_CLUSTERS_ORACLE, tags=("llm-pipeline",))
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup clusters: connected components over the
+    embedding-cosine near-dup pair graph — the embedding-space twin of
+    the shingle-based cluster resolution, and the last step of
+    semantic dedup (SemDeDup-style): pairs -> components -> keep one
+    representative (min vec_id) per cluster of semantically-identical
+    items. Reuses the same min-label loop (min_label_components) on a
+    different pair generator — the composition the operator split
+    exists for. Pair generation is the distributed BLAS prefilter +
+    exact re-score (no driver transit); the loop's per-round state is
+    one label per node."""
+    pairs = q_dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    return min_label_components(pairs, "vec_a", "vec_b").select(
+        F.col("node").alias("vec_id"), "cluster_id"
     )
