@@ -763,3 +763,58 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("price").cast("double").alias("weighted_median_price"),
         )
     )
+
+
+# ------------------------------------------------ winsorized statistics
+
+_WINSOR_ORACLE = """
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS lo,
+         quantile_cont(value, 0.99) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN e.value < c.lo OR e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped,
+       CAST(sum(CAST(least(greatest(e.value, c.lo), c.hi) AS DECIMAL(28,10))) AS DOUBLE)
+         / count(*) AS winsorized_mean,
+       any_value(c.lo) AS p01,
+       any_value(c.hi) AS p99
+FROM events e JOIN cuts c ON e.event_type = c.event_type
+GROUP BY e.event_type
+"""
+
+
+@register("events_winsorize", oracle=_WINSOR_ORACLE, tags=("relational", "llm-pipeline"))
+def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p1/p99-clamped) group statistics — the outlier-
+    robust feature-cleaning pass a training pipeline runs before
+    normalization: one exact-percentile pass for the cut points (tiny
+    result, broadcast back), then a map-side clamp and one aggregation.
+    least/greatest are single IEEE ops over the same doubles both
+    engines read; the percentile interpolation is the shared
+    lower+frac*(upper-lower) definition (see agg_quantiles); and the
+    mean folds in the DECIMAL domain (per-row cast, associative bigint
+    sum — the dsum pattern) because a raw double sum is
+    partition-order-dependent and would flake the cross-engine hash. n_clamped makes the clamp itself
+    observable, not just its effect on the mean."""
+    events = load_table(spark, sf_dir, "events")
+    cuts = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("lo"),
+        F.percentile("value", F.lit(0.99)).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    out_of_range = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        events.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(out_of_range.cast("long")).alias("n_clamped"),
+            (F.sum(clamped.cast("decimal(28,10)")).cast("double") / F.count("*")).alias("winsorized_mean"),
+            F.any_value("lo").alias("p01"),
+            F.any_value("hi").alias("p99"),
+        )
+    )

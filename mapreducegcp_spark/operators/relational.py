@@ -15,6 +15,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mapreducegcp_spark.functions.exact import dec2, dsum, o_dec2, o_dsum
 from mapreducegcp_spark.registry import register
@@ -788,4 +789,68 @@ def q_basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("fa").cast("double") * F.col("fb"))
             ).alias("lift"),
         )
+    )
+
+
+# ------------------------------------------------- RFM segmentation
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT *,
+         ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM per_cust
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS segment_value
+FROM scored
+GROUP BY r_score, f_score, m_score
+"""
+
+
+@register("customer_rfm_segments", oracle=_RFM_ORACLE, tags=("relational",))
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quintile scores for recency / frequency /
+    monetary per customer, rolled up to segment sizes and value — the
+    standard customer-analytics cube.
+
+    One orders aggregation, then three ntile windows over the SAME
+    single-partition ordering pass (per-customer table is orders/|avg
+    orders per customer| rows — global ntile needs a total order, so
+    this stage is the one deliberately non-scalable-looking step;
+    at 100 TB the global sort is replaced by quantile-cut scoring
+    (approx or exact percentile boundaries, as events_winsorize does)
+    — the ntile form is kept because its determinism (o_custkey
+    tiebreak) lets BOTH engines agree bucket-for-bucket and
+    hash-check the whole segmentation). Final rollup sums in the
+    decimal domain."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    scored = per_cust.select(
+        "monetary",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double").alias("segment_value"),
     )
