@@ -51,6 +51,22 @@ PROBES = {
     "merge_upsert_orders": {"orders": ["o_orderkey", "o_custkey"]},
     "text_unigram_xent": {"documents": ["doc_id"]},
     "similarity_sq8_topk": {"embeddings": ["vec_id"]},
+    # round-2b operators. phash near-dup is absent for the same reason
+    # as minhash (replication manufactures quadratic duplicate pairs);
+    # the bloom join replicates both sides so selectivity is preserved.
+    "join_bloom_prefilter": {
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+    },
+    "agg_countmin_heavyhitters": {"documents": ["doc_id"]},
+    "chunk_text_sliding": {"documents": ["doc_id"]},
+    "timeseries_ohlc_downsample": {"events": ["event_id", "user_id"]},
+    "asof_join_nearest": {"events": ["event_id", "user_id"]},
+    "events_run_length_islands": {"events": ["event_id", "user_id"]},
+    "agg_weighted_median": {"lineitem": []},
+    "events_winsorize": {"events": ["event_id", "user_id"]},
+    "pipeline_corpus_to_manifest": {"documents": ["doc_id"]},
+    "basket_pair_affinity": {"lineitem": ["l_orderkey"]},
 }
 
 
