@@ -854,3 +854,88 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double").alias("segment_value"),
     )
+
+
+# ------------------------------------------------- snapshot reconciliation
+
+_SNAPDIFF_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders WHERE o_orderkey % 7 != 0
+),
+curr AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice * 2
+                   ELSE o_totalprice END AS DECIMAL(12,2)) AS price
+  FROM orders WHERE o_orderkey % 7 NOT IN (2, 3)
+),
+j AS (
+  SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+         CASE
+           WHEN b.o_orderkey IS NULL THEN 'added'
+           WHEN c.o_orderkey IS NULL THEN 'removed'
+           WHEN b.price != c.price OR b.o_orderstatus != c.o_orderstatus
+             THEN 'changed'
+           ELSE 'unchanged'
+         END AS diff
+  FROM base b FULL OUTER JOIN curr c ON b.o_orderkey = c.o_orderkey
+)
+SELECT diff, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM j
+GROUP BY diff
+"""
+
+
+@register("snapshot_diff_reconcile", oracle=_SNAPDIFF_ORACLE, tags=("relational",))
+def q_snapshot_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version reconciliation: classify every key across two
+    snapshots as added / removed / changed / unchanged and roll up the
+    audit — the validation pass run after any MERGE/CDC apply (its
+    input here is carved deterministically from orders: version B
+    drops key%7∈{2,3}, adds %7=0, doubles prices on %7=1).
+
+    One full-outer equi-join on the key (the only join type that sees
+    both one-sided rows; deliberately sort-merge — broadcast cannot do
+    full outer) and a pure-projection classifier, then a 4-group
+    rollup. Column comparison stays in the decimal domain so 'changed'
+    is exact. At 100 TB both snapshots are bucketed by the key
+    (join_bucketed_colocated's layout) and the diff runs
+    exchange-free; min/max keys per class give the auditor a starting
+    cursor, not just counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderstatus").alias("b_status"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("b_price"),
+    )
+    curr = orders.filter(~(F.col("o_orderkey") % 7).isin(2, 3)).select(
+        F.col("o_orderkey").alias("c_key"),
+        F.col("o_orderstatus").alias("c_status"),
+        F.when(F.col("o_orderkey") % 7 == 1, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .cast("decimal(12,2)")
+        .alias("c_price"),
+    )
+    j = base.join(curr, base["b_key"] == curr["c_key"], "full_outer")
+    diff = (
+        F.when(F.col("b_key").isNull(), "added")
+        .when(F.col("c_key").isNull(), "removed")
+        .when(
+            (F.col("b_price") != F.col("c_price"))
+            | (F.col("b_status") != F.col("c_status")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(F.coalesce("b_key", "c_key").alias("o_orderkey"), diff.alias("diff"))
+        .groupBy("diff")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )

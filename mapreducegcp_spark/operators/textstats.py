@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mapreducegcp_spark.functions.text import TOKEN_ORACLE_EXPR, tokens
 from mapreducegcp_spark.registry import register
@@ -591,3 +592,72 @@ def q_search_trigram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return verified
+
+
+# --------------------------------------------- vocabulary coverage cutoff
+
+_VOCAB_COVER = 0.95  # corpus token mass the vocabulary must cover
+
+_VOCAB_ORACLE = f"""
+WITH w AS (
+  SELECT word, count(*) AS cnt
+  FROM (SELECT unnest({TOKEN_ORACLE_EXPR.format(col='text')}) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+),
+tot AS (SELECT sum(cnt) AS total FROM w),
+ranked AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, word) AS rnk,
+         sum(cnt) OVER (ORDER BY cnt DESC, word
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM w
+)
+SELECT CAST(min(CASE WHEN 100 * cum >= 95 * tot.total THEN rnk END) AS BIGINT)
+         AS vocab_size_95,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(any_value(tot.total) AS BIGINT) AS total_tokens
+FROM ranked CROSS JOIN tot
+"""
+
+
+@register("vocab_coverage_cutoff", oracle=_VOCAB_ORACLE, tags=("llm-pipeline",))
+def q_vocab_coverage_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary sizing for tokenizer training: the smallest
+    frequency-ranked vocabulary covering 95% of corpus token mass,
+    plus distinct-type and total-token counts — the curve every
+    BPE/unigram tokenizer build reads first.
+
+    Frequency table is the wordcount aggregate; the coverage scan is
+    one running integer sum over the frequency-sorted vocabulary with
+    a deterministic (cnt DESC, word) tiebreak, and the 95% test is
+    integer cross-multiplied (100*cum >= 95*total) so no float
+    boundary exists. The global sort is over the VOCABULARY (types,
+    not tokens — Heaps'-law-sized); at larger vocabularies the same
+    cutoff comes from an approx-quantile over the cnt distribution,
+    as agg_approx_quantiles_tol gates."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = w.agg(F.sum("cnt").alias("total"))
+    win = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    ranked = w.select(
+        "cnt",
+        F.row_number().over(win).alias("rnk"),
+        F.sum("cnt").over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            F.when(100 * F.col("cum") >= 95 * F.col("total"), F.col("rnk")).alias("hit"),
+            "total",
+        )
+        .agg(
+            F.min("hit").alias("vocab_size_95"),
+            F.count("*").alias("n_distinct"),
+            F.any_value("total").alias("total_tokens"),
+        )
+    )
