@@ -719,3 +719,53 @@ def q_events_run_length_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("start_us"),
         F.max(F.unix_micros("ts")).alias("end_us"),
     )
+
+
+# ------------------------------------------------- top path trigrams
+
+_PATHS_TOPK = 20
+
+_PATHS_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events
+)
+SELECT e1, e2, e3, n_paths
+FROM (
+  SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths,
+         row_number() OVER (ORDER BY count(*) DESC, e1, e2, e3) AS rnk
+  FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+  GROUP BY e1, e2, e3
+)
+WHERE rnk <= {_PATHS_TOPK}
+"""
+
+
+@register("event_path_trigrams", oracle=_PATHS_ORACLE, tags=("timeseries",))
+def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavioural paths (the Sankey/user-flow query):
+    sliding window of three consecutive events per user, global
+    frequency top-{_PATHS_TOPK} with a deterministic tiebreak —
+    sequence mining one step beyond event_transitions' pairs.
+
+    One user_id exchange for the double-lead window (both leads share
+    the sort), map-side partial counts into a tiny (|types|^3 max)
+    rollup, TakeOrdered for the top-k — no joins at all. Path length
+    generalizes by adding leads, not stages."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    counts = seq.groupBy("e1", "e2", "e3").agg(F.count("*").alias("n_paths"))
+    ranked = counts.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
+        ),
+    )
+    return ranked.where(F.col("rnk") <= _PATHS_TOPK).select("e1", "e2", "e3", "n_paths")

@@ -103,6 +103,8 @@ SHAPE = [
     # gaps-and-islands: both rank windows + the run rollup share one
     # user_id exchange
     ("events_run_length_islands", 1, 0, False),
+    # path trigrams: double-lead window + tiny rollup, no joins
+    ("event_path_trigrams", 2, 0, False),
 ]
 
 
