@@ -363,3 +363,114 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------- join-cardinality estimation (CMS)
+
+_JCE_WIDTH = 256
+_JCE_DEPTH = 4
+
+
+def _jce_bucket_spark(key_col, seed: int):
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("#", key_col.cast("string"), F.lit(str(seed)))), 1, 8),
+        16,
+        10,
+    )
+    return F.pmod(h.cast("long"), F.lit(_JCE_WIDTH)).cast("int")
+
+
+def _jce_bucket_sql(key_sql: str, seed_sql: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key_sql} AS VARCHAR) || '#' || {seed_sql}), 1, 8))"
+        f" AS BIGINT) % {_JCE_WIDTH}"
+    )
+
+
+_JCE_ORACLE = f"""
+WITH seeds AS (SELECT unnest(['0','1','2','3']) AS seed),
+a AS (
+  SELECT seed, {_jce_bucket_sql('l_orderkey', 'seed')} AS bucket, count(*) AS c
+  FROM lineitem CROSS JOIN seeds GROUP BY 1, 2
+),
+b AS (
+  SELECT seed, {_jce_bucket_sql('o_orderkey', 'seed')} AS bucket, count(*) AS c
+  FROM orders CROSS JOIN seeds WHERE o_orderpriority = '1-URGENT' GROUP BY 1, 2
+),
+est AS (
+  SELECT min(dot) AS est_card FROM (
+    SELECT a.seed, sum(a.c * b.c) AS dot
+    FROM a JOIN b ON a.seed = b.seed AND a.bucket = b.bucket
+    GROUP BY a.seed
+  )
+),
+exact AS (
+  SELECT count(*) AS exact_card
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '1-URGENT'
+)
+SELECT CAST(exact.exact_card AS BIGINT) AS exact_card,
+       CAST(est.est_card AS BIGINT) AS est_card,
+       est.est_card >= exact.exact_card AS est_is_upper_bound
+FROM exact CROSS JOIN est
+"""
+
+
+@register("estimate_join_cardinality", oracle=_JCE_ORACLE, tags=("sketch",))
+def q_estimate_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality estimation from count-min sketch algebra:
+    |A ⋈ B| = Σ_k a_k·b_k, estimated by the minimum over d hash rows
+    of the CMS inner product — what a cost-based optimizer computes
+    BEFORE choosing a join strategy, from two constant-size summaries
+    instead of the tables.
+
+    The estimate is a guaranteed upper bound (every counter
+    over-counts, products preserve it; emitted as a checked boolean),
+    and because the hash family is the md5 cross-engine construction,
+    the ESTIMATE ITSELF hash-matches DuckDB — sketch arithmetic, not
+    a tolerance band. Each sketch build is one map-side-combined
+    aggregation to d×w longs; the inner product joins two 1024-row
+    tables. The exact count is computed alongside for the comparison
+    column (at scale it is exactly the join you were trying to avoid)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+
+    def cms(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(str(s)).alias("seed"),
+                                _jce_bucket_spark(F.col(key), s).alias("bucket"),
+                            )
+                            for s in range(_JCE_DEPTH)
+                        ]
+                    )
+                ).alias("sb")
+            )
+            .select("sb.seed", "sb.bucket")
+            .groupBy("seed", "bucket")
+            .agg(F.count("*").alias("c"))
+        )
+
+    a = cms(li, "l_orderkey").withColumnRenamed("c", "ca")
+    b = cms(orders, "o_orderkey").withColumnRenamed("c", "cb")
+    est = (
+        a.join(F.broadcast(b), ["seed", "bucket"])
+        .groupBy("seed")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+        .agg(F.min("dot").alias("est_card"))
+    )
+    exact = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(F.count("*").alias("exact_card"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_card",
+        "est_card",
+        (F.col("est_card") >= F.col("exact_card")).alias("est_is_upper_bound"),
+    )
