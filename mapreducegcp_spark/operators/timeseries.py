@@ -769,3 +769,55 @@ def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.where(F.col("rnk") <= _PATHS_TOPK).select("e1", "e2", "e3", "n_paths")
+
+
+# ------------------------------------------------------ exact EWMA fold
+
+_EWMA_ALPHA = 0.125  # 1/8 — exactly representable in binary
+
+_EWMA_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vs,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, n_events, last_us,
+       list_reduce(vs, (acc, x) -> 0.125 * x + 0.875 * acc) AS ewma
+FROM s
+"""
+
+
+@register("events_ewma_fold", oracle=_EWMA_ORACLE, tags=("timeseries",))
+def q_events_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (alpha = 1/8,
+    seeded with the first observation) — the smoothing state a metrics
+    engine keeps per series, computed EXACTLY: the recurrence
+    ewma = a*x + (1-a)*ewma is a strict left fold over the
+    (ts, event_id)-ordered history, and both engines execute the
+    identical multiply-add sequence in double (alpha is a binary
+    power, no transcendentals), so even this inherently sequential
+    statistic value-hash-matches.
+
+    Shape: one user_id shuffle into sorted per-key arrays, then the
+    fold runs inside a single codegen'd expression per row. A key's
+    history must fit a task (bounded series — fine for per-user
+    streams; unbounded series chunk by time with carried seeds, which
+    is exactly the streaming applyInPandasWithState form in
+    streaming/events.py's user-stats pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("h"),
+        F.count("*").alias("n_events"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    first = F.element_at("h", 1)["value"]
+    tail = F.expr("slice(h, 2, size(h) - 1)")
+    ewma = F.aggregate(
+        tail,
+        first,
+        lambda acc, x: F.lit(_EWMA_ALPHA) * x["value"] + F.lit(1 - _EWMA_ALPHA) * acc,
+    )
+    return s.select("user_id", "n_events", "last_us", ewma.alias("ewma"))

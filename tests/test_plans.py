@@ -105,6 +105,8 @@ SHAPE = [
     ("events_run_length_islands", 1, 0, False),
     # path trigrams: double-lead window + tiny rollup, no joins
     ("event_path_trigrams", 2, 0, False),
+    # EWMA: one user_id shuffle into sorted arrays, fold in codegen
+    ("events_ewma_fold", 1, 0, False),
 ]
 
 
