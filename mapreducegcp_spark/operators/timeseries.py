@@ -821,3 +821,56 @@ def q_events_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: F.lit(_EWMA_ALPHA) * x["value"] + F.lit(1 - _EWMA_ALPHA) * acc,
     )
     return s.select("user_id", "n_events", "last_us", ewma.alias("ewma"))
+
+
+# ---------------------------------------------- interval backlog sweep
+
+_BACKLOG_ORACLE = """
+WITH spans AS (
+  SELECT o.o_orderkey, o.o_orderdate AS opened,
+         max(l.l_shipdate) AS closed
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+deltas AS (
+  SELECT opened AS day, 1 AS d FROM spans
+  UNION ALL
+  SELECT closed + INTERVAL 1 DAY, -1 FROM spans
+),
+daily AS (SELECT day, sum(d) AS delta FROM deltas GROUP BY day)
+SELECT day,
+       CAST(sum(delta) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS open_orders
+FROM daily
+"""
+
+
+@register("orders_open_backlog_sweep", oracle=_BACKLOG_ORACLE, tags=("timeseries",))
+def q_orders_open_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog by sweep-line difference array: each
+    order contributes +1 on its open date and -1 the day after its
+    last shipment; the running sum over the day axis IS the
+    point-in-time open count for every day at once.
+
+    This is the scalable replacement for the interval-stabbing join
+    (calendar × orders WHERE day BETWEEN opened AND closed — O(days ×
+    orders) rows before filtering): deltas are O(2 × orders), the
+    rollup is O(distinct days), and the single ordered running sum is
+    one small window. The span derivation (max shipdate per order) is
+    the only real shuffle; everything after is calendar-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("closed"))
+    )
+    deltas = spans.select(
+        F.col("o_orderdate").alias("day"), F.lit(1).alias("d")
+    ).unionByName(
+        spans.select(F.date_add("closed", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select("day", F.sum("delta").over(w).cast("long").alias("open_orders"))
