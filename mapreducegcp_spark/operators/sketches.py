@@ -474,3 +474,113 @@ def q_estimate_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_card",
         (F.col("est_card") >= F.col("exact_card")).alias("est_is_upper_bound"),
     )
+
+
+# ----------------------------------- KMV sketch set-expression cardinality
+
+_KMV_K = 64
+# md5-derived 48-bit uniform hash of a key: position in [0, 2^48)
+_KMV_SPACE = float(1 << 48)
+
+
+def _kmv_hash_spark(key_col):
+    return F.conv(
+        F.substring(F.md5(key_col.cast("string")), 1, 12), 16, 10
+    ).cast("long")
+
+
+def _kmv_hash_sql(key_sql: str) -> str:
+    return f"CAST(('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 12)) AS BIGINT)"
+
+
+_KMV_ORACLE = f"""
+WITH a_keys AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+b_keys AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+),
+a_h AS (SELECT DISTINCT {_kmv_hash_sql('k')} AS h FROM a_keys),
+b_h AS (SELECT DISTINCT {_kmv_hash_sql('k')} AS h FROM b_keys),
+u_kth AS (
+  SELECT max(h) AS kth, count(*) AS n FROM (
+    SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM a_h UNION SELECT h FROM b_h))
+    ORDER BY h LIMIT {_KMV_K})
+),
+inter AS (
+  SELECT count(*) AS n_inter FROM a_h
+  JOIN b_h USING (h)
+  CROSS JOIN u_kth
+  WHERE a_h.h <= u_kth.kth
+),
+exact AS (
+  SELECT (SELECT count(*) FROM a_keys) AS exact_a,
+         (SELECT count(*) FROM b_keys) AS exact_b,
+         (SELECT count(*) FROM a_keys JOIN b_keys USING (k)) AS exact_inter
+)
+SELECT exact.exact_a, exact.exact_b, exact.exact_inter,
+       CAST(CASE WHEN u_kth.n < {_KMV_K} THEN u_kth.n
+            ELSE CAST(({_KMV_K} - 1) * {_KMV_SPACE} / u_kth.kth AS BIGINT) END AS BIGINT)
+         AS est_union,
+       CAST(inter.n_inter AS BIGINT) AS inter_sample_hits
+FROM exact CROSS JOIN u_kth CROSS JOIN inter
+"""
+
+
+@register("sketch_kmv_set_cardinality", oracle=_KMV_ORACLE, tags=("sketch",))
+def q_sketch_kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / theta) sketch over two customer sets —
+    the mergeable distinct-count summary that, unlike HLL, also
+    supports SET EXPRESSIONS: keep the k smallest hash values per set;
+    the union sketch is the k smallest of the merged sketches, the
+    union estimate is (k-1) * H / kth_min, and intersection members
+    below the union threshold form an unbiased sample whose hit count
+    drives |A∩B| estimation (Theta-sketch a-not-b/intersection
+    algebra).
+
+    Every number here is DETERMINISTIC — order statistics of the md5
+    hash — so estimates hash-match DuckDB exactly (the sketch-family
+    contract: CMS, join-cardinality, and now KMV all carry full value
+    oracles, not tolerance bands). Each sketch is a k-row top-k
+    aggregation (map-side partial TakeOrdered, constant state); the
+    exact counts ride alongside for comparison."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    b = orders.where(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    a_h = a.select(_kmv_hash_spark(F.col("k")).alias("h")).distinct()
+    b_h = b.select(_kmv_hash_spark(F.col("k")).alias("h")).distinct()
+    union_h = a_h.unionByName(b_h).distinct()
+    u_kth = (
+        union_h.orderBy("h")
+        .limit(_KMV_K)
+        .agg(F.max("h").alias("kth"), F.count("*").alias("n"))
+    )
+    inter = (
+        a_h.join(b_h, "h")
+        .crossJoin(F.broadcast(u_kth))
+        .where(F.col("h") <= F.col("kth"))
+        .agg(F.count("*").alias("inter_sample_hits"))
+    )
+    exact = (
+        a.agg(F.count("*").alias("exact_a"))
+        .crossJoin(b.agg(F.count("*").alias("exact_b")))
+        .crossJoin(a.join(b, "k").agg(F.count("*").alias("exact_inter")))
+    )
+    est_union = F.when(F.col("n") < _KMV_K, F.col("n")).otherwise(
+        ((F.lit(_KMV_K - 1) * F.lit(_KMV_SPACE)) / F.col("kth")).cast("long")
+    )
+    return (
+        exact.crossJoin(F.broadcast(u_kth))
+        .crossJoin(F.broadcast(inter))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+            est_union.cast("long").alias("est_union"),
+            F.col("inter_sample_hits").cast("long"),
+        )
+    )
