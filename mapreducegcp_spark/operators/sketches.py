@@ -520,7 +520,7 @@ exact AS (
 )
 SELECT exact.exact_a, exact.exact_b, exact.exact_inter,
        CAST(CASE WHEN u_kth.n < {_KMV_K} THEN u_kth.n
-            ELSE CAST(({_KMV_K} - 1) * {_KMV_SPACE} / u_kth.kth AS BIGINT) END AS BIGINT)
+            ELSE CAST(floor(({_KMV_K} - 1) * {_KMV_SPACE} / u_kth.kth) AS BIGINT) END AS BIGINT)
          AS est_union,
        CAST(inter.n_inter AS BIGINT) AS inter_sample_hits
 FROM exact CROSS JOIN u_kth CROSS JOIN inter

@@ -601,3 +601,93 @@ def q_stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "complete")
+
+
+_KMV_STREAM_K = 64
+_KMV_OUT_SCHEMA = "event_type string, est_users long, n_sketch int"
+
+
+def make_kmv_distinct_fn():
+    """Stateful KMV distinct-count sketch per key (see
+    operators/sketches.py::sketch_kmv_set_cardinality for the math).
+
+    The state is the k smallest md5-derived 48-bit hashes seen — a
+    COMMUTATIVE, idempotent merge, so the estimate is identical
+    however the stream splits into micro-batches or re-orders (unlike
+    a fold statistic, no arrival-order sensitivity). Closure-local for
+    by-value pickling."""
+
+    def update(key, pdf_iter, state):
+        import hashlib  # noqa: PLC0415 (executor-side import)
+
+        import pandas as pd  # noqa: PLC0415
+
+        hs = set(state.get[0]) if state.exists else set()
+        for pdf in pdf_iter:
+            for uid in pdf["user_id"].unique():
+                hs.add(int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16))
+        kept = sorted(hs)[:_KMV_STREAM_K]
+        state.update((kept,))
+        if len(kept) < _KMV_STREAM_K:
+            est = len(kept)
+        else:
+            est = int((_KMV_STREAM_K - 1) * float(1 << 48) / kept[-1])
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "est_users": [est],
+                "n_sketch": [len(kept)],
+            }
+        )
+
+    return update
+
+
+@register(
+    "stream_kmv_distinct",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+  FROM events
+  GROUP BY event_type, user_id
+),
+mins AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rnk
+  FROM (SELECT DISTINCT event_type, hv FROM h)
+)
+SELECT event_type,
+       CAST(CASE WHEN count(*) < {_KMV_STREAM_K} THEN count(*)
+            ELSE CAST(floor(({_KMV_STREAM_K} - 1) * {float(1 << 48)} / max(hv)) AS BIGINT)
+            END AS BIGINT) AS est_users,
+       CAST(count(*) AS INT) AS n_sketch
+FROM mins WHERE rnk <= {_KMV_STREAM_K}
+GROUP BY event_type
+""",
+    tags=("streaming",),
+)
+def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user sketch per event type: a KMV summary
+    held in applyInPandasWithState — constant state per key (k longs)
+    however many users flow past, the streaming twin of the batch
+    theta-sketch operator. Because the sketch merge is commutative and
+    idempotent, the final emission equals the batch-computed KMV
+    EXACTLY (the oracle re-derives it as order statistics in SQL) —
+    a deterministic estimate, not a tolerance band, surviving any
+    micro-batch split of the stream."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sdf = events_stream(spark, sf_dir)
+    sk = (
+        sdf.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            make_kmv_distinct_fn(),
+            outputStructType=_KMV_OUT_SCHEMA,
+            stateStructType="hs array<bigint>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(sk, "update")

@@ -198,3 +198,57 @@ def test_stream_cdc_final_snapshot_across_batches(spark, tmp_path):
     }
     got = {(r.user_id, r.event_id) for r in final.collect()}
     assert got == want
+
+
+def test_stream_kmv_sketch_split_invariant(spark, tmp_path):
+    """KMV's merge is commutative/idempotent, so a two-micro-batch
+    replay must end at EXACTLY the single-batch sketch: the final
+    emission per event_type equals the batch-computed KMV estimate."""
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapreducegcp_spark.streaming.events import (
+        _KMV_OUT_SCHEMA,
+        _KMV_STREAM_K,
+        make_kmv_distinct_fn,
+        run_to_memory,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "event_type", "user_id")
+    half = ev.count() // 2
+    d = tmp_path / "ev_kmv"
+    ev.where(F.col("event_id") < half).coalesce(1).write.parquet(str(d / "a"))
+    ev.where(F.col("event_id") >= half).coalesce(1).write.parquet(str(d / "b"))
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    sk = sdf.groupBy("event_type").applyInPandasWithState(
+        make_kmv_distinct_fn(),
+        outputStructType=_KMV_OUT_SCHEMA,
+        stateStructType="hs array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(sk, "update").toPandas()
+    assert out.groupby("event_type").size().max() > 1  # really multi-batch
+
+    # batch reference: same sketch math in plain python
+    want = {}
+    for r in ev.select("event_type", "user_id").distinct().collect():
+        want.setdefault(r.event_type, set()).add(
+            int(hashlib.md5(str(r.user_id).encode()).hexdigest()[:12], 16)
+        )
+    for et, hs in want.items():
+        kept = sorted(hs)[:_KMV_STREAM_K]
+        est = (
+            len(kept)
+            if len(kept) < _KMV_STREAM_K
+            else int((_KMV_STREAM_K - 1) * float(1 << 48) / kept[-1])
+        )
+        last = out[out.event_type == et].iloc[-1]
+        assert int(last.est_users) == est, et
