@@ -721,7 +721,7 @@ CROSS JOIN n
 @register("basket_pair_affinity", oracle=_BASKET_ORACLE, tags=("relational",))
 def q_basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: support, confidence and lift for
-    part pairs that co-occur in at least {_BASKET_MIN_SUPPORT} orders
+    part pairs that co-occur in at least 3 orders (_BASKET_MIN_SUPPORT)
     — the association-rule primitive behind "bought together".
 
     Shape: distinct (order, part) once, then ONE self-equi-join on the
@@ -742,17 +742,20 @@ def q_basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both explode the basket ARRAY map-side — the naive form (distinct
     # items self-joined + re-aggregated per use) re-derived the same
     # subplan four times and cost 8 exchanges.
-    # Cached: three consumers (pairs, frequencies, order count) would
-    # otherwise each re-run the scan+basket aggregation (measured 7
-    # exchanges vs 3). O(orders) rows of part arrays — at 100 TB this
-    # intermediate is WRITTEN (a materialized basket table reused by
-    # every affinity query), which is the same decision this cache
-    # makes at test scale.
+    # Materialized ONCE (eager localCheckpoint): three consumers
+    # (pairs, frequencies, order count) would otherwise each re-run the
+    # scan+basket aggregation (measured 7 exchanges vs 3). Checkpoint,
+    # not cache(): checkpoint blocks are released by the ContextCleaner
+    # when the query's RDD goes out of scope, while a cache() pinned
+    # here would outlive the query (no unpersist hook — the CMS
+    # heavy-hitters operator documents the same decision). At 100 TB
+    # this intermediate is WRITTEN — a basket table reused by every
+    # affinity query.
     baskets = (
         li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part"))
         .groupBy("okey")
         .agg(F.sort_array(F.collect_set("part")).alias("ps"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     pair_structs = F.expr(
         "flatten(transform(ps, (x, i) ->"

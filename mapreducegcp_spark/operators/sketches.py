@@ -148,16 +148,27 @@ _CMS_WIDTH = 512
 _CMS_TOPK = 20
 
 
-def _cms_bucket_spark(word_col, seed: int):
-    """Row hash for the CMS: first 8 hex chars of md5(word#seed) mod w.
+def md5_sketch_bucket(key_col, seed: int, width: int):
+    """Shared sketch row-hash: first 8 hex chars of md5(key#seed) mod
+    width. md5 is the cross-engine hash family (same trick as MinHash,
+    dedup.py:223-241): DuckDB computes the identical bucket, so sketch
+    estimates themselves — not tolerance bands — are oracle-checked.
+    ONE definition serves the CMS heavy hitters and the join-
+    cardinality estimator; its SQL twin is ``md5_sketch_bucket_sql``.
+    Cast non-string keys to string at the call site."""
+    h = F.conv(F.substring(F.md5(F.concat_ws("#", key_col, F.lit(str(seed)))), 1, 8), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(width)).cast("int")
 
-    md5 is the cross-engine hash family (same trick as MinHash,
-    dedup.py:223-241): DuckDB computes the identical bucket, so the
-    sketch estimate itself — not a tolerance band around it — is
-    oracle-checked.
-    """
-    h = F.conv(F.substring(F.md5(F.concat_ws("#", word_col, F.lit(str(seed)))), 1, 8), 16, 10)
-    return F.pmod(h.cast("long"), F.lit(_CMS_WIDTH)).cast("int")
+
+def md5_sketch_bucket_sql(key_sql: str, seed_sql: str, width: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({key_sql} || '#' || {seed_sql}), 1, 8))"
+        f" AS BIGINT) % {width}"
+    )
+
+
+def _cms_bucket_spark(word_col, seed: int):
+    return md5_sketch_bucket(word_col, seed, _CMS_WIDTH)
 
 
 _CMS_BUCKET_SQL = (
@@ -372,19 +383,11 @@ _JCE_DEPTH = 4
 
 
 def _jce_bucket_spark(key_col, seed: int):
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("#", key_col.cast("string"), F.lit(str(seed)))), 1, 8),
-        16,
-        10,
-    )
-    return F.pmod(h.cast("long"), F.lit(_JCE_WIDTH)).cast("int")
+    return md5_sketch_bucket(key_col.cast("string"), seed, _JCE_WIDTH)
 
 
 def _jce_bucket_sql(key_sql: str, seed_sql: str) -> str:
-    return (
-        f"CAST(('0x' || substr(md5(CAST({key_sql} AS VARCHAR) || '#' || {seed_sql}), 1, 8))"
-        f" AS BIGINT) % {_JCE_WIDTH}"
-    )
+    return md5_sketch_bucket_sql(f"CAST({key_sql} AS VARCHAR)", seed_sql, _JCE_WIDTH)
 
 
 _JCE_ORACLE = f"""

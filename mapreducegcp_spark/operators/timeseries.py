@@ -747,7 +747,7 @@ WHERE rnk <= {_PATHS_TOPK}
 def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top 3-step behavioural paths (the Sankey/user-flow query):
     sliding window of three consecutive events per user, global
-    frequency top-{_PATHS_TOPK} with a deterministic tiebreak —
+    frequency top-20 (_PATHS_TOPK) with a deterministic tiebreak —
     sequence mining one step beyond event_transitions' pairs.
 
     One user_id exchange for the double-lead window (both leads share
@@ -762,13 +762,11 @@ def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type", 2).over(w).alias("e3"),
     ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
     counts = seq.groupBy("e1", "e2", "e3").agg(F.count("*").alias("n_paths"))
-    ranked = counts.withColumn(
-        "rnk",
-        F.row_number().over(
-            Window.orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
-        ),
-    )
-    return ranked.where(F.col("rnk") <= _PATHS_TOPK).select("e1", "e2", "e3", "n_paths")
+    # total ordering -> orderBy+limit plans as TakeOrderedAndProject
+    # (map-side partial top-k), not a single-partition sort window
+    return counts.orderBy(
+        F.col("n_paths").desc(), "e1", "e2", "e3"
+    ).limit(_PATHS_TOPK)
 
 
 # ------------------------------------------------------ exact EWMA fold

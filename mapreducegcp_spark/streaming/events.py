@@ -675,7 +675,12 @@ def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent, the final emission equals the batch-computed KMV
     EXACTLY (the oracle re-derives it as order statistics in SQL) —
     a deterministic estimate, not a tolerance band, surviving any
-    micro-batch split of the stream."""
+    micro-batch split of the stream. The update-mode sink holds one
+    emission PER MICRO-BATCH; the final projection keeps each key's
+    last sketch by its monotone invariants (n_sketch only grows;
+    once full, the kth-min only shrinks so est_users only grows) —
+    the returned TABLE is therefore split-invariant too, not just
+    the final state."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     sdf = events_stream(spark, sf_dir)
@@ -690,4 +695,8 @@ def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return run_to_memory(sk, "update")
+    emissions = run_to_memory(sk, "update")
+    return emissions.groupBy("event_type").agg(
+        F.max("est_users").alias("est_users"),
+        F.max("n_sketch").alias("n_sketch"),
+    )

@@ -247,13 +247,16 @@ def test_countmin_sketch_shape(spark):
 
 
 def test_basket_affinity_reuses_cached_baskets(spark):
-    """basket_pair_affinity: the basket table is built once (cached —
-    the naive re-derivation per consumer cost 8 exchanges) and read by
-    all three consumers; frequencies/order-count return as broadcasts,
-    no sort-merge join. Plain Exchange counting overcounts here: the
-    plan STRING inlines the cached subplan once per scan, but runtime
-    executes it once — so assert the InMemoryTableScan reuse instead."""
+    """basket_pair_affinity: the basket table is materialized once
+    (eager localCheckpoint — the naive re-derivation per consumer cost
+    8 exchanges) and all three consumers read the checkpointed RDD
+    (Scan ExistingRDD), leaving NO hash exchange from the original
+    scan+agg in the final plan; frequencies/order-count return as
+    broadcasts, no sort-merge join."""
     tree, _ = _plans(spark, "basket_pair_affinity")
-    assert tree.count("InMemoryTableScan") >= 3, tree[:1500]
+    assert tree.count("Scan ExistingRDD") >= 3, tree[:1500]
+    # only downstream rollups (pairs, freq, support filter) shuffle;
+    # the basket build's exchange is gone from the plan entirely
+    assert _exchanges(tree) <= 3, tree[:1500]
     assert "SortMergeJoin" not in tree
     assert tree.count("BroadcastHashJoin") >= 2

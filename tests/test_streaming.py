@@ -250,5 +250,6 @@ def test_stream_kmv_sketch_split_invariant(spark, tmp_path):
             if len(kept) < _KMV_STREAM_K
             else int((_KMV_STREAM_K - 1) * float(1 << 48) / kept[-1])
         )
-        last = out[out.event_type == et].iloc[-1]
-        assert int(last.est_users) == est, et
+        # final sketch by monotone invariant (est only grows), not by
+        # sink row order, which the memory sink does not guarantee
+        assert int(out[out.event_type == et]["est_users"].max()) == est, et
