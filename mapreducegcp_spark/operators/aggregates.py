@@ -818,3 +818,64 @@ def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("hi").alias("p99"),
         )
     )
+
+
+# ---------------------------------------------- higher moments (skew/kurt)
+
+_MOM_ORACLE = """
+WITH m AS (
+  SELECT c_mktsegment,
+         count(*) AS n,
+         -- via VARCHAR: DuckDB's direct HUGEINT->DOUBLE cast is off by
+         -- an ulp above 2^53 (two-limb multiply-add), while strtod is
+         -- correctly rounded and matches Spark's BigDecimal path
+         CAST(CAST(sum(c) AS VARCHAR) AS DOUBLE) / count(*) AS mu1,
+         CAST(CAST(sum(c * c) AS VARCHAR) AS DOUBLE) / count(*) AS mu2,
+         CAST(CAST(sum(c * c * c) AS VARCHAR) AS DOUBLE) / count(*) AS mu3,
+         CAST(CAST(sum(c * c * c * c) AS VARCHAR) AS DOUBLE) / count(*) AS mu4
+  FROM (SELECT c_mktsegment, CAST(round(c_acctbal * 100) AS HUGEINT) AS c
+        FROM customer)
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+       mu1 / 100 AS mean_bal,
+       (mu3 - 3 * mu1 * mu2 + 2 * ((mu1 * mu1) * mu1))
+         / ((mu2 - mu1 * mu1) * sqrt(mu2 - mu1 * mu1)) AS skewness,
+       (mu4 - 4 * mu1 * mu3 + 6 * ((mu1 * mu1) * mu2)
+            - 3 * (((mu1 * mu1) * mu1) * mu1))
+         / ((mu2 - mu1 * mu1) * (mu2 - mu1 * mu1)) - 3 AS kurtosis_excess
+FROM m
+"""
+
+
+@register("agg_skew_kurtosis", oracle=_MOM_ORACLE, tags=("relational",))
+def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per segment from EXACT
+    integer power sums — the agg_variance recipe extended to third and
+    fourth moments: balances become exact cents (bigint-in-decimal, no
+    float error), the four raw power sums fold associatively, and the
+    dimensionless statistics are finished by an identical fixed
+    sequence of IEEE double ops in both engines (multiplications
+    written left-associated, one correctly-rounded sqrt — no pow()).
+    Spark's built-in skewness/kurtosis stream doubles and are neither
+    partition-stable nor cross-engine comparable; this form is both.
+    Cents cancel in the ratios, so no unit correction is needed (mean
+    divides back to currency)."""
+    cust = load_table(spark, sf_dir, "customer")
+    c = F.round(F.col("c_acctbal") * 100).cast("decimal(38,0)")
+    n = F.count("*")
+    mu1 = F.sum(c).cast("double") / n
+    mu2 = F.sum(c * c).cast("double") / n
+    mu3 = F.sum(c * c * c).cast("double") / n
+    mu4 = F.sum(c * c * c * c).cast("double") / n
+    m2 = mu2 - mu1 * mu1
+    skew = (mu3 - 3 * mu1 * mu2 + 2 * ((mu1 * mu1) * mu1)) / (m2 * F.sqrt(m2))
+    kurt = (
+        mu4 - 4 * mu1 * mu3 + 6 * ((mu1 * mu1) * mu2) - 3 * (((mu1 * mu1) * mu1) * mu1)
+    ) / (m2 * m2) - 3
+    return cust.groupBy("c_mktsegment").agg(
+        n.alias("n"),
+        (mu1 / 100).alias("mean_bal"),
+        skew.alias("skewness"),
+        kurt.alias("kurtosis_excess"),
+    )
