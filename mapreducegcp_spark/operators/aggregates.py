@@ -879,3 +879,62 @@ def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         skew.alias("skewness"),
         kurt.alias("kurtosis_excess"),
     )
+
+
+# ---------------------------------------------- behavioural entropy
+
+_ENT_SCALE = 1_000_000_000  # nano-nats (text_unigram_xent's quantization)
+
+_ENTROPY_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+t AS (
+  SELECT *, sum(c) OVER (PARTITION BY user_id) AS n FROM c
+),
+q AS (
+  SELECT user_id, c, n,
+         CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * {_ENT_SCALE}) AS BIGINT) AS lq
+  FROM t
+)
+SELECT user_id,
+       CAST(any_value(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       -(CAST(sum(c * lq) AS DOUBLE) / {_ENT_SCALE}) / any_value(n)
+         AS entropy_nats
+FROM q
+GROUP BY user_id
+"""
+
+
+@register("events_behavior_entropy", oracle=_ENTROPY_ORACLE, tags=("relational",))
+def q_events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioural
+    diversity feature (0 = single-action user, ln(5) = uniform over
+    all five types), via the fixed-point-log contract that makes an
+    information-theoretic statistic hash-checkable: ln(p) is quantized
+    to integer nano-nats (round absorbs libm's last-ulp variation —
+    see text_unigram_xent), products and sums stay in bigint, one
+    float division at the end.
+
+    Shape: (user, type) counts, per-user totals from a window over the
+    SAME partitioning (no second shuffle), map-side combine into the
+    per-user rollup. State is O(users x types)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    t = c.withColumn("n", F.sum("c").over(Window.partitionBy("user_id")))
+    lq = F.round(
+        F.log(F.col("c").cast("double") / F.col("n").cast("double")) * _ENT_SCALE
+    ).cast("long")
+    return (
+        t.withColumn("lq", lq)
+        .groupBy("user_id")
+        .agg(
+            F.any_value("n").alias("n_events"),
+            F.count("*").alias("n_types"),
+            (-(F.sum(F.col("c") * F.col("lq")).cast("double") / _ENT_SCALE)
+             / F.any_value("n")).alias("entropy_nats"),
+        )
+    )

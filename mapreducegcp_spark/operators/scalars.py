@@ -245,3 +245,38 @@ def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+_BITWISE_ORACLE = """
+SELECT event_id,
+       user_id & event_id AS b_and,
+       user_id | event_id AS b_or,
+       xor(user_id, event_id) AS b_xor,
+       CAST(bit_count(CAST(user_id AS BIGINT)) AS INT) AS popcount,
+       user_id << 3 AS shl,
+       user_id >> 2 AS shr,
+       CAST((user_id >> 5) & 1 AS INT) AS bit5
+FROM events
+WHERE event_id < 1000
+"""
+
+
+@register("scalar_bitwise", oracle=_BITWISE_ORACLE, tags=("relational",))
+def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function coverage — and/or/xor, popcount, shifts, bit
+    probes — the toolkit behind the engine's own bitmap operators
+    (Bloom membership, SimHash bands, pHash hamming). Two's-complement
+    semantics on BIGINT agree across engines; only the xor SPELLING
+    differs (infix ^ in Spark, xor() in DuckDB)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    u, e = F.col("user_id"), F.col("event_id")
+    return ev.select(
+        "event_id",
+        u.bitwiseAND(e).alias("b_and"),
+        u.bitwiseOR(e).alias("b_or"),
+        u.bitwiseXOR(e).alias("b_xor"),
+        F.bit_count(u).alias("popcount"),
+        F.shiftleft(u, 3).alias("shl"),
+        F.shiftright(u, 2).alias("shr"),
+        F.shiftright(u, 5).bitwiseAND(F.lit(1)).cast("int").alias("bit5"),
+    )
