@@ -804,3 +804,67 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return min_label_components(pairs, "vec_a", "vec_b").select(
         F.col("node").alias("vec_id"), "cluster_id"
     )
+
+
+# --------------------------------------------- asymmetric containment
+
+_CONTAINMENT_THRESHOLD = 0.6
+
+_CONTAIN_ORACLE = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tk
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_small, b.doc_id AS doc_large, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_small, p.doc_large, p.n_common,
+       CAST(p.n_common AS DOUBLE) / ss.sz AS containment
+FROM pairs p
+JOIN sizes ss ON p.doc_small = ss.doc_id
+JOIN sizes sl ON p.doc_large = sl.doc_id
+WHERE ss.sz <= sl.sz
+  AND CAST(p.n_common AS DOUBLE) / ss.sz >= {_CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_containment", oracle=_CONTAIN_ORACLE, tags=("llm-pipeline",))
+def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-subset detection: |A∩B| / |A| for the smaller
+    document of each sharing pair — the measure that catches a doc
+    EMBEDDED in a larger one (quote farms, boilerplate wrappers,
+    copy-with-additions), which symmetric Jaccard structurally
+    under-scores (a 100-shingle doc inside a 10000-shingle doc has
+    jaccard <= 0.01 but containment 1.0; decontaminate_ngram_overlap
+    applies the same insight to train/test leakage).
+
+    Same inverted-index join as dedup_ngram_jaccard — pairs only
+    through shared shingles, never n² — but directional: both (a,b)
+    orientations are counted once and the smaller side (ties by the
+    size table, stable) becomes the containee. Exact integer counts,
+    one double division: hash-stable."""
+    sh = _doc_shingle_ids(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_small"), F.col("b.doc_id").alias("doc_large"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ss = sizes.alias("ss")
+    sl = sizes.alias("sl")
+    cont = F.col("n_common").cast("double") / F.col("ss.sz")
+    return (
+        pairs.join(ss, F.col("doc_small") == F.col("ss.doc_id"))
+        .join(sl, F.col("doc_large") == F.col("sl.doc_id"))
+        .where((F.col("ss.sz") <= F.col("sl.sz")) & (cont >= _CONTAINMENT_THRESHOLD))
+        .select("doc_small", "doc_large", "n_common", cont.alias("containment"))
+    )
