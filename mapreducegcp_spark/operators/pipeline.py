@@ -392,3 +392,96 @@ def q_pipeline_corpus_to_manifest(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("c_tokens").cast("long").alias("seq_tokens"),
         )
     )
+
+
+# ---------------------------------------------- dedup keep/drop manifest
+
+_KEEP_ORACLE = f"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id,
+         sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents
+),
+exact_keep AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS exact_rep FROM norm
+),
+tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({{SHINGLES}}) AS shingle FROM tk),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+jp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+near_pairs AS (
+  SELECT doc_a, doc_b FROM jp
+  JOIN sizes sa ON jp.doc_a = sa.doc_id
+  JOIN sizes sb ON jp.doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+),
+e AS (SELECT doc_a AS a, doc_b AS b FROM near_pairs
+      UNION ALL SELECT doc_b, doc_a FROM near_pairs),
+nodes AS (SELECT DISTINCT a AS n FROM e),
+reach(src, dst) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+),
+clusters AS (SELECT src AS doc_id, min(dst) AS near_rep FROM reach GROUP BY src)
+SELECT x.doc_id,
+       CASE WHEN x.exact_rep != x.doc_id THEN 'exact_dup'
+            WHEN c.near_rep IS NOT NULL AND c.near_rep != x.doc_id THEN 'near_dup'
+            ELSE 'keep' END AS decision,
+       CASE WHEN x.exact_rep != x.doc_id THEN x.exact_rep
+            WHEN c.near_rep IS NOT NULL AND c.near_rep != x.doc_id THEN c.near_rep
+       END AS representative
+FROM exact_keep x LEFT JOIN clusters c ON x.doc_id = c.doc_id
+"""
+
+
+def _keep_oracle() -> str:
+    from mapreducegcp_spark.operators.dedup import _SHINGLES
+
+    return _KEEP_ORACLE.replace("{SHINGLES}", _SHINGLES)
+
+
+@register("dedup_keep_manifest", oracle=_keep_oracle(), tags=("llm-pipeline",))
+def q_dedup_keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family's ACTIONABLE output: one row per document with
+    the keep/drop decision and its representative — exact duplicates
+    drop to the lowest doc_id of their normalized-hash group, near
+    duplicates (shingle Jaccard >= 0.5, resolved through connected
+    components) to their cluster minimum, everything else keeps.
+    Exact wins over near (a doc can be both): the precedence a real
+    pipeline applies, byte-identity being the stronger claim.
+
+    Composition: exact groups are one window over the sha256 hash;
+    near clusters reuse q_dedup_ngram_jaccard + min_label_components;
+    the manifest is a left join of vertex-sized tables. This is what
+    pipeline_corpus_clean's keep-first rule generalizes to when the
+    dedup signal is fuzzy."""
+    from mapreducegcp_spark.operators.dedup import (
+        min_label_components,
+        q_dedup_ngram_jaccard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.sha2(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), 256)
+    exact = docs.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(norm)).alias("exact_rep"),
+    )
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = min_label_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("cluster_id").alias("near_rep")
+    )
+    j = exact.join(clusters, "doc_id", "left")
+    is_exact_dup = F.col("exact_rep") != F.col("doc_id")
+    is_near_dup = F.col("near_rep").isNotNull() & (F.col("near_rep") != F.col("doc_id"))
+    decision = (
+        F.when(is_exact_dup, "exact_dup")
+        .when(is_near_dup, "near_dup")
+        .otherwise("keep")
+    )
+    rep = F.when(is_exact_dup, F.col("exact_rep")).when(is_near_dup, F.col("near_rep"))
+    return j.select("doc_id", decision.alias("decision"), rep.alias("representative"))
