@@ -1,0 +1,344 @@
+"""Physical-layout & global-order operators: distributed global row
+numbering, Z-order clustering, quantile binning from global cutpoints,
+and a bucketed interval join.
+
+Absent from the reference (SURVEY.md §2.2 — the reference has no sorts,
+no total ordering, no layout control; its only partitioner is the
+ord-sum hash at Master/Master.py:146-150). These four implement the
+classic "total order / spatial locality at scale" patterns the naive
+formulations of which collapse on a 1000-executor cluster:
+
+- ``order_global_rownum``: ROW_NUMBER() over an un-partitioned window
+  moves *all* data through one task. The scale-correct form is
+  two-phase: range-partition on the sort key, number rows locally
+  within each sorted partition (map-only, Arrow-batched), then add
+  per-partition offsets computed from a tiny (n_partitions-row) count
+  table broadcast back. No single-task stage ever sees more than one
+  partition of data.
+- ``layout_zorder_cluster``: bit-interleaved Z-values map a 2-D key
+  space onto a 1-D sort order whose ranges have tight per-dimension
+  bounding boxes — the standard lakehouse data-skipping layout. The
+  query computes Z-values with pure integer expressions (codegen, no
+  UDF) and emits per-Z-range zone-map stats (min/max of each dim)
+  proving the locality a writer clustered by z would give the scan
+  pruner.
+- ``feature_quantile_bins``: global discretization without a global
+  sort — exact quartile cutpoints come from one distributed
+  ``percentile`` aggregate (partial per partition, merged), are
+  broadcast as a 1-row plan, and binning is a map-side CASE. The
+  interpolation is done on integer cents so Spark's and DuckDB's
+  (algebraically different but exact-on-integers) formulas agree
+  bit-for-bit.
+- ``interval_bucket_join``: a pure range (interval-overlap) join with
+  no equi key — the naive plan is a broadcast-nested-loop cross
+  product. Bucketing each interval to the fixed-width time buckets it
+  covers (here exactly 2 per 30-min window) turns it into an equi-join
+  on bucket + a cheap residual range filter, with each qualifying pair
+  produced exactly once (a point event lives in exactly one bucket).
+  Shuffle volume is O(events + 2·intervals) instead of O(n²).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from mapreducegcp_spark.registry import register
+from mapreducegcp_spark.sources.catalog import load_table
+
+# --------------------------------------------- global row numbering
+
+_N_RANGE = 16  # range partitions for the two-phase global ordering
+
+
+def _tag_partition_pos(df: DataFrame) -> DataFrame:
+    """Append (pid, pos): the physical partition id and the row's
+    0-based position within it. Map-only (mapInPandas preserves the
+    incoming range partitioning and sort); the per-partition counter
+    carries across Arrow batches."""
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("pid", T.IntegerType()), T.StructField("pos", T.LongType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        pos = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["pid"] = np.int32(pid)
+            pdf["pos"] = np.arange(pos, pos + len(pdf), dtype="int64")
+            pos += len(pdf)
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+_ROWNUM_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS global_rownum
+FROM orders
+"""
+
+
+@register("order_global_rownum", oracle=_ROWNUM_ORACLE, tags=("layout",))
+def q_order_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ROW_NUMBER without the single-partition window.
+
+    Phase 1: repartitionByRange on (o_totalprice DESC, o_orderkey) —
+    partition i holds strictly earlier sort keys than partition i+1 —
+    then sort within partitions and tag each row with (pid, local pos)
+    in one Arrow pass. Phase 2: count rows per pid (a 16-row
+    aggregate), prefix-sum the counts into offsets (window over 16
+    rows — the ONLY driver-scale data in the plan), broadcast the
+    offsets back, and global_rownum = offset + pos + 1.
+
+    The unique o_orderkey tie-break makes the total order — and hence
+    every row's number — independent of where the range sampler placed
+    partition boundaries. At 100 TB this is the only shape that works:
+    the data-sized stages are one range exchange + a map, and the
+    global coordination is n_partitions rows, not n rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ranged = orders.repartitionByRange(
+        _N_RANGE, F.col("o_totalprice").desc(), F.col("o_orderkey")
+    ).sortWithinPartitions(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    tagged = _tag_partition_pos(ranged).persist()
+
+    counts = tagged.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("offset")
+    )
+    return tagged.join(F.broadcast(offsets), "pid").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        (F.col("offset") + F.col("pos") + 1).alias("global_rownum"),
+    )
+
+
+# --------------------------------------------- Z-order clustering
+
+_Z_BITS = 8  # 8 bits per dimension -> 16-bit z-values
+_Z_SHIFT = 10  # keep the top 6 z bits -> 64 z-ranges
+
+
+def _interleave_expr(x: str, y: str, shl, shr) -> str:
+    """Bit-interleave SQL for two ``_Z_BITS``-bit ints: x takes the even
+    output bits, y the odd. ``shl``/``shr`` format engine-specific
+    shifts so one generator yields both the Spark and DuckDB text."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(shl(f"({shr(x, i)} & 1)", 2 * i))
+        terms.append(shl(f"({shr(y, i)} & 1)", 2 * i + 1))
+    return " + ".join(terms)
+
+
+def _spark_shl(e: str, n: int) -> str:
+    return f"shiftleft({e}, {n})" if n else e
+
+
+def _spark_shr(e: str, n: int) -> str:
+    return f"shiftright({e}, {n})" if n else e
+
+
+def _duck_shl(e: str, n: int) -> str:
+    return f"(({e}) << {n})" if n else e
+
+
+def _duck_shr(e: str, n: int) -> str:
+    return f"(({e}) >> {n})" if n else e
+
+
+_ZORDER_ORACLE = f"""
+WITH dims AS (
+  SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS y
+  FROM orders
+), zvals AS (
+  SELECT x, y, ({_interleave_expr("x", "y", _duck_shl, _duck_shr)}) AS z FROM dims
+)
+SELECT CAST(z >> {_Z_SHIFT} AS BIGINT) AS z_range,
+       count(*) AS n,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM zvals GROUP BY 1
+"""
+
+
+@register("layout_zorder_cluster", oracle=_ZORDER_ORACLE, tags=("layout",))
+def q_layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering: interleave the low 8 bits of the
+    customer key with the order date's day number, then emit zone-map
+    stats (count + per-dimension min/max) per Z-range.
+
+    The interleave is pure integer expression work — shiftleft/
+    shiftright/& inside whole-stage codegen, no UDF — and the rollup is
+    one hash aggregate. The point of the output: every Z-range's
+    (x_min..x_max, y_min..y_max) box is a tiny corner of the key
+    space, so a table *written* range-clustered by z serves file-level
+    min/max pruning for predicates on EITHER dimension — the layout
+    trick behind Delta/Iceberg Z-ordering. At 100 TB the same plan is
+    one scan + one exchange on the 64 z-ranges."""
+    orders = load_table(spark, sf_dir, "orders")
+    dims = orders.select(
+        F.pmod(F.col("o_custkey"), F.lit(256)).cast("long").alias("x"),
+        F.pmod(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")),
+            F.lit(256),
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    z = F.expr(_interleave_expr("x", "y", _spark_shl, _spark_shr))
+    return (
+        dims.withColumn("z", z)
+        .groupBy(F.shiftright(F.col("z"), _Z_SHIFT).cast("long").alias("z_range"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+
+
+# --------------------------------------------- global quantile binning
+
+_QBIN_ORACLE = """
+WITH cents AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+), cuts AS (
+  SELECT quantile_cont(c, 0.25) AS q1,
+         quantile_cont(c, 0.50) AS q2,
+         quantile_cont(c, 0.75) AS q3
+  FROM cents
+)
+SELECT CASE WHEN c <= q1 THEN 0 WHEN c <= q2 THEN 1 WHEN c <= q3 THEN 2 ELSE 3 END AS bin,
+       count(*) AS n,
+       CAST(sum(c) AS BIGINT) AS total_cents,
+       min(c) AS c_min, max(c) AS c_max
+FROM cents, cuts
+GROUP BY 1
+"""
+
+
+@register("feature_quantile_bins", oracle=_QBIN_ORACLE, tags=("layout", "llm-pipeline"))
+def q_feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile discretization (feature binning) from GLOBAL cutpoints
+    — the ML-preprocessing step QuantileDiscretizer approximates, done
+    exactly and without a global sort.
+
+    Pass 1 computes the three exact quartiles of integer cents with one
+    distributed ``percentile`` aggregate (per-partition partials, one
+    merge). Pass 2 broadcasts the 1-row cutpoint plan into a map-side
+    CASE and re-aggregates per bin. Cutpoints interpolate between
+    *integers* at quarter fractions, which doubles represent exactly,
+    so Spark's ``lo + (hi-lo)*f`` and DuckDB's ``lo*(1-f) + hi*f``
+    agree bit-for-bit — the reason the bin edges are hash-stable
+    cross-engine. At scale: two scans (or one + cache), no sort, no
+    driver data path; NTILE over an un-partitioned window — the naive
+    form — would funnel the table through one task."""
+    cents = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    cuts = cents.agg(
+        F.expr("percentile(c, array(0.25D, 0.50D, 0.75D))").alias("qs")
+    ).select(
+        F.col("qs")[0].alias("q1"), F.col("qs")[1].alias("q2"), F.col("qs")[2].alias("q3")
+    )
+    binned = cents.crossJoin(F.broadcast(cuts)).select(
+        "c",
+        F.when(F.col("c") <= F.col("q1"), 0)
+        .when(F.col("c") <= F.col("q2"), 1)
+        .when(F.col("c") <= F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("total_cents"),
+        F.min("c").alias("c_min"),
+        F.max("c").alias("c_max"),
+    )
+
+
+# --------------------------------------------- bucketed interval join
+
+_WIN_MIN = 30  # interval length (minutes)
+_BUCKET_US = _WIN_MIN * 60 * 1_000_000
+
+_INTERVAL_ORACLE = f"""
+SELECT p.event_id AS p_id,
+       count(*) AS n_follow,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS follow_cents
+FROM events p
+JOIN events e
+  ON e.ts > p.ts
+ AND e.ts <= p.ts + INTERVAL {_WIN_MIN} MINUTE
+ AND e.event_id != p.event_id
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
+@register("interval_bucket_join", oracle=_INTERVAL_ORACLE, tags=("layout", "timeseries"))
+def q_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join with NO equi key, made shuffle-joinable:
+    activity following each purchase within a 30-minute window, across
+    ALL users.
+
+    A purchase's (ts, ts+30min] window spans exactly two fixed 30-min
+    time buckets (bucket(ts) and bucket(ts)+1), so exploding each
+    interval to those two bucket keys and equi-joining events on their
+    single containing bucket finds every overlapping pair exactly once
+    — then a residual range filter discards the near-misses. The plan
+    is a hash join on bucket instead of the O(n²) broadcast-nested-
+    loop a bare range predicate compiles to.
+
+    Scale: shuffle volume O(events + 2·purchases); bucket keys inherit
+    the time distribution, so hot buckets (flash-sale minutes) are
+    AQE-splittable like any skewed equi-join — none of that exists for
+    a nested-loop range join. The money column folds to integer cents
+    before summing, so the group aggregate is order-exact."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def bucket(ts):
+        # exact integer floor-division: subtract the remainder first so
+        # the double division is by-construction exact (no boundary-
+        # adjacent float rounding)
+        um = F.unix_micros(ts)
+        return ((um - F.pmod(um, F.lit(_BUCKET_US))) / F.lit(_BUCKET_US)).cast("long")
+
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.explode(
+            F.array(bucket(F.col("ts")), bucket(F.col("ts")) + 1)
+        ).alias("bucket"),
+    )
+    points = ev.select(
+        F.col("event_id").alias("e_id"),
+        F.col("ts").alias("e_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        bucket(F.col("ts")).alias("bucket"),
+    )
+    pairs = purchases.join(points, "bucket").filter(
+        (F.col("e_ts") > F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {_WIN_MIN} MINUTES"))
+        & (F.col("e_id") != F.col("p_id"))
+    )
+    return pairs.groupBy("p_id").agg(
+        F.count("*").alias("n_follow"),
+        F.sum("cents").alias("follow_cents"),
+    )

@@ -42,6 +42,7 @@ _OPERATOR_MODULES = [
     "mapreducegcp_spark.operators.timeseries",
     "mapreducegcp_spark.operators.sampling",
     "mapreducegcp_spark.operators.sketches",
+    "mapreducegcp_spark.operators.layout",
     "mapreducegcp_spark.sources.pysource",
     "mapreducegcp_spark.sources.formats",
     "mapreducegcp_spark.streaming.events",

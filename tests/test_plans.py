@@ -107,6 +107,14 @@ SHAPE = [
     ("event_path_trigrams", 2, 0, False),
     # EWMA: one user_id shuffle into sorted arrays, fold in codegen
     ("events_ewma_fold", 1, 0, False),
+    # layout operators: global rownum's only hash exchange is the
+    # 16-row pid count (data rides range partitioning + a broadcast
+    # offset join); z-order and quantile binning are one rollup each;
+    # the interval join equi-joins on bucket (broadcast at sf0.001)
+    ("order_global_rownum", 1, 1, False),
+    ("layout_zorder_cluster", 1, 0, False),
+    ("feature_quantile_bins", 1, 0, False),
+    ("interval_bucket_join", 1, 1, False),
 ]
 
 
