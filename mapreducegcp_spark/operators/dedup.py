@@ -521,16 +521,27 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
     undirected pair list (one row per edge, columns ``a``/``b``);
     output: (node, cluster_id = component min). Nodes with no edge are
     absent, matching the recursive-CTE oracles."""
+    half = pairs.select(F.col(a), F.col(b)).cache()
+    # Size the loop's partitioning to the GRAPH, not the cluster: each
+    # round schedules several jobs over these partitions, and a dup
+    # graph is orders of magnitude smaller than the corpus it came
+    # from (50 edges at sf0.01). One row per ~100k edges, capped at
+    # the session's parallelism — tiny graphs iterate at single-task
+    # latency, billion-edge graphs keep full width.
+    n_edges = 2 * half.count()
+    spark = pairs.sparkSession
+    n_part = int(max(2, min(spark.sparkContext.defaultParallelism, 1 + n_edges // 100_000)))
     edges = (
-        pairs.select(F.col(a), F.col(b))
-        .union(pairs.select(F.col(b), F.col(a)))
+        half.union(half.select(F.col(b), F.col(a)))
         .toDF("a", "b")
+        .repartition(n_part, "b")
         .cache()
     )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("cluster_id", F.col("node"))
+        .repartition(n_part, "node")
         .localCheckpoint()
     )
     for _ in range(50):  # hard bound; converges in <= graph diameter
@@ -539,6 +550,10 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
             .groupBy("a")
             .agg(F.min("cluster_id").alias("nmin"))
         )
+        # carry the previous label through the checkpoint so the
+        # convergence check is a filter over already-materialized rows,
+        # not another join against the old labels (one shuffle less per
+        # round)
         new = (
             labels.join(neigh, labels["node"] == neigh["a"], "left")
             .select(
@@ -547,19 +562,16 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
                     labels["cluster_id"],
                     F.coalesce(neigh["nmin"], labels["cluster_id"]),
                 ).alias("cluster_id"),
+                labels["cluster_id"].alias("prev"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("cluster_id") != F.col("prev")).count()
+        labels = new.select("node", "cluster_id")
         if changed == 0:
             break
     edges.unpersist()
+    half.unpersist()
     return labels
 
 

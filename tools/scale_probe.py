@@ -67,6 +67,14 @@ PROBES = {
     "events_winsorize": {"events": ["event_id", "user_id"]},
     "pipeline_corpus_to_manifest": {"documents": ["doc_id"]},
     "basket_pair_affinity": {"lineitem": ["l_orderkey"]},
+    # layout family. interval_bucket_join is deliberately absent:
+    # replication copies timestamps unchanged, so every purchase gains
+    # 10x followers AND there are 10x purchases — the correct output
+    # grows 100x and the ratio would measure the replication artifact,
+    # not the plan (same reasoning as minhash above).
+    "order_global_rownum": {"orders": ["o_orderkey"]},
+    "layout_zorder_cluster": {"orders": ["o_orderkey", "o_custkey"]},
+    "feature_quantile_bins": {"lineitem": []},
 }
 
 
