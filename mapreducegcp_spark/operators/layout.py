@@ -111,7 +111,11 @@ def q_order_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = orders.repartitionByRange(
         _N_RANGE, F.col("o_totalprice").desc(), F.col("o_orderkey")
     ).sortWithinPartitions(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    tagged = _tag_partition_pos(ranged).persist()
+    # localCheckpoint (not persist): materializes (pid, pos) ONCE so the
+    # count branch and the join branch read the same physical rows —
+    # and unlike a plan-keyed cache it cannot silently serve a previous
+    # invocation's data to a re-built query
+    tagged = _tag_partition_pos(ranged).localCheckpoint()
 
     counts = tagged.groupBy("pid").agg(F.count("*").alias("cnt"))
     w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
