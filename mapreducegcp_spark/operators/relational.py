@@ -942,3 +942,62 @@ def q_snapshot_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_key"),
         )
     )
+
+
+# ------------------------------------------- incremental view maintenance
+
+_IVM_CUTOVER = "2001-01-01"
+
+_IVM_ORACLE = f"""
+SELECT o_custkey,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       max(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register("ivm_incremental_agg", oracle=_IVM_ORACLE, tags=("relational",))
+def q_ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a per-customer order summary:
+    merge a STORED historical aggregate with the partial aggregate of a
+    new-data delta instead of rescanning history — the pattern that
+    keeps a 100 TB materialized view updatable from a 100 GB daily
+    delta.
+
+    The view's aggregates are chosen mergeable: count and integer-cent
+    sums add, max takes max — so merged = re-agg over the union of the
+    two partial tables, and the result is bit-identical to a full
+    recompute (the oracle recomputes from scratch; the hash match IS
+    the IVM correctness proof). The historical side is materialized
+    (localCheckpoint standing in for the stored MV), so the maintenance
+    plan's data-sized inputs are O(historical keys) + O(delta rows),
+    never O(historical rows). Non-mergeable aggregates (median, exact
+    distinct) must instead keep mergeable state (sketches, partials) —
+    see agg_hll_partitioned_union for that variant."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit(_IVM_CUTOVER).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    # the stored MV: everything before the cutover, materialized once
+    historical = partial(orders.filter(F.col("o_orderdate") < cut)).localCheckpoint()
+    delta = partial(orders.filter(F.col("o_orderdate") >= cut))
+    return (
+        historical.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").alias("total_cents"),
+            F.max("last_order").alias("last_order"),
+        )
+    )

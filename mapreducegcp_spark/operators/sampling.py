@@ -224,3 +224,58 @@ def q_dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.selectExpr(
         f"stack({len(checks)}, {stack_args}) AS (constraint_name, n_violations, passed)"
     )
+
+
+# ---------------------------------------------------------- observed metrics
+
+_OBSERVE_ORACLE = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_discount_oob,
+       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_shipdate,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM lineitem
+"""
+
+
+@register("dq_observe_metrics", oracle=_OBSERVE_ORACLE, tags=("llm-pipeline",))
+def q_dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-extra-pass data-quality metrics via ``Dataset.observe`` —
+    Spark's named-accumulator surface: the metric expressions are
+    evaluated inline DURING an action over the observed plan, so a
+    production pipeline gets row counts, domain-violation counts, and
+    control totals for free while writing its real output (no second
+    scan, unlike dq_constraint_check's dedicated aggregation pass).
+
+    Here the observed action is a noop-sink write of the lineitem scan
+    (standing in for the real sink write); the harness-visible result
+    is the captured metrics row. At 100 TB this is the difference
+    between auditing a write and re-reading 100 TB to audit it.
+    Metrics fold in integer cents, so the observed total is exact and
+    cross-engine hash-stable."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+            .otherwise(0)
+        ).alias("n_discount_oob"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)).alias(
+            "n_null_shipdate"
+        ),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_discount_oob"], m["n_null_shipdate"], m["total_cents"])],
+        "n_rows long, n_discount_oob long, n_null_shipdate long, total_cents long",
+    )

@@ -112,6 +112,9 @@ SHAPE = [
     # offset join); z-order and quantile binning are one rollup each;
     # the interval join equi-joins on bucket (broadcast at sf0.001)
     ("order_global_rownum", 1, 1, False),
+    # IVM merge: one delta partial agg + one merge agg (the historical
+    # partial is materialized before the plan under test)
+    ("ivm_incremental_agg", 2, 0, False),
     ("layout_zorder_cluster", 1, 0, False),
     ("feature_quantile_bins", 1, 0, False),
     ("interval_bucket_join", 1, 1, False),
