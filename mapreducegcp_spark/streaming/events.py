@@ -700,3 +700,80 @@ def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("est_users").alias("est_users"),
         F.max("n_sketch").alias("n_sketch"),
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle=f"""
+SELECT time_bucket(INTERVAL 1 DAY, e.ts) AS day, c.c_mktsegment,
+       count(*) AS n, {o_dsum(o_dec2('e.value'))} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY 1, 2
+""",
+    tags=("streaming",),
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the purchase stream joined
+    to the static customer table (broadcast), rolled up per day x
+    market segment — the most common production streaming shape
+    (enrich the fact stream with slowly-changing dims, aggregate).
+
+    Scale: a stream-static broadcast join is stateless — each
+    micro-batch hash-joins against the broadcast dim with NO streaming
+    state and no watermark requirement (unlike the stream-stream join
+    above, which must hold both sides' tails). The dim re-broadcasts
+    per batch, so at 100 TB the dim stays the small side and a daily-
+    refreshed snapshot is picked up on restart. Money folds in the
+    decimal domain; results are micro-batch-split invariant."""
+    sdf = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        sdf.join(F.broadcast(cust), "user_id")
+        .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("day"), "c_mktsegment", "n", "total_value")
+    )
+    return run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_topk_users",
+    oracle="""
+SELECT event_type, user_id, n, rnk
+FROM (
+  SELECT event_type, user_id, count(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC, user_id) AS rnk
+  FROM events
+  GROUP BY event_type, user_id
+)
+WHERE rnk <= 3
+""",
+    tags=("streaming",),
+)
+def q_stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k serving pattern: the STREAM maintains only the
+    commutative per-(type, user) counts (unbounded-window continuous
+    aggregation — mergeable, order-free state); the top-3 ranking runs
+    on the serving read of the continuously-updated result table.
+
+    This split is the scale design, not a shortcut: a global rank
+    inside the stream would need total ordering over all keys per
+    micro-batch (and re-emission of every displaced row), while
+    rank-on-read is one tiny window over the O(keys) aggregate table.
+    Counts are integers and the tie-break is deterministic, so the
+    served top-k is value-hash exact."""
+    from pyspark.sql.window import Window
+
+    sdf = events_stream(spark, sf_dir)
+    counts = sdf.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    tbl = run_to_memory(counts, "complete")
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id"))
+    return (
+        tbl.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "user_id", "n", "rnk")
+    )
