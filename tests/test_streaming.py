@@ -253,3 +253,57 @@ def test_stream_kmv_sketch_split_invariant(spark, tmp_path):
         # final sketch by monotone invariant (est only grows), not by
         # sink row order, which the memory sink does not guarantee
         assert int(out[out.event_type == et]["est_users"].max()) == est, et
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Kill a checkpointed stream mid-replay, restart it from the same
+    checkpoint, and assert the final aggregate equals the batch answer —
+    the exactly-once recovery contract every production stream relies
+    on. The source is split into 4 files with maxFilesPerTrigger=1 so
+    the first run genuinely commits only a prefix of the data."""
+    import time
+    from uuid import uuid4
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    name = f"restart_{uuid4().hex[:8]}"
+    ev = load_table(spark, SF_DIR, "events")
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def start():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = sdf.groupBy("event_type").agg(F.count("*").alias("n"))
+        return (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .start()
+        )
+
+    q = start()
+    try:
+        deadline = time.time() + 60
+        while not q.recentProgress and time.time() < deadline:
+            time.sleep(0.1)
+        assert q.recentProgress, "first batch never committed"
+    finally:
+        q.stop()  # mid-replay kill: later files not yet processed
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {r.event_type: r.n for r in spark.table(name).collect()}
+    expect = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expect
