@@ -485,3 +485,52 @@ def q_dedup_keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = F.when(is_exact_dup, F.col("exact_rep")).when(is_near_dup, F.col("near_rep"))
     return j.select("doc_id", decision.alias("decision"), rep.alias("representative"))
+
+
+# ---------------------------------------------- leakage-safe splitting
+
+def _leakage_split_oracle() -> str:
+    from mapreducegcp_spark.operators.sampling import _o_bucket
+
+    group = "coalesce(m.representative, m.doc_id)"
+    bucket = _o_bucket(f"CAST({group} AS VARCHAR)", 100)
+    return f"""
+WITH manifest AS ({_keep_oracle().strip()})
+SELECT m.doc_id,
+       {group} AS group_key,
+       CASE WHEN {bucket} < 80 THEN 'train'
+            WHEN {bucket} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM manifest m
+"""
+
+
+@register("split_leakage_safe", oracle=_leakage_split_oracle(), tags=("llm-pipeline",))
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split: hash the DEDUP GROUP, not the
+    document, so a document and its exact/near duplicates can never
+    straddle train and test — the leakage failure mode a doc-id-keyed
+    split (split_train_val_test) cannot prevent when the corpus
+    contains near-copies of the same page.
+
+    The group key is the keep-manifest representative (exact-hash group
+    min, else near-dup cluster min, else the doc itself), so membership
+    is still a pure deterministic function of content — stable across
+    runs, engines, and corpus growth. Composition: manifest (vertex-
+    sized) + a map-only md5 bucket; the only data-sized cost was
+    already paid by the dedup pass. Note the grouping follows the
+    manifest's exact-over-near precedence; a chain exact->near->exact
+    collapses per that precedence, not by full transitive closure."""
+    from mapreducegcp_spark.operators.sampling import md5_bucket
+
+    manifest = q_dedup_keep_manifest(spark, sf_dir)
+    group = F.coalesce(F.col("representative"), F.col("doc_id"))
+    bucket = md5_bucket(group.cast("string"), 100)
+    return manifest.select(
+        "doc_id",
+        group.alias("group_key"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -47,3 +47,16 @@ def test_exact_dedup_counts(spark, sf_dir):
     from mapreducegcp_spark.sources.catalog import load_table
 
     assert docs_total == load_table(spark, sf_dir, "documents").count()
+
+
+def test_leakage_safe_split_keeps_dup_groups_together(spark, sf_dir):
+    """No document may land in a different split than its dedup
+    representative — the invariant the operator exists for."""
+    split = {r.doc_id: r.split for r in get_query("split_leakage_safe").fn(spark, sf_dir).collect()}
+    manifest = get_query("dedup_keep_manifest").fn(spark, sf_dir).collect()
+    checked = 0
+    for r in manifest:
+        if r.representative is not None:
+            assert split[r.doc_id] == split[r.representative], r
+            checked += 1
+    assert checked > 0, "fixture has no duplicate groups to check"
