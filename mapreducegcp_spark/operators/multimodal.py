@@ -497,3 +497,74 @@ def q_multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.expr("CAST(bit_count(pa ^ pb) AS INT)").alias("hamming"),
     ).where(F.col("hamming") <= _PHASH_MAX_HAMMING)
+
+
+# ------------------------------------------------ Arrow-native byte stats
+
+_ARROW_STATS_SCHEMA = "doc_id long, n_bytes long, n_lower long, n_digit long, n_space long"
+
+
+def make_arrow_bytestats_fn():
+    """Factory so the function cloudpickles from any caller cwd (see
+    the sources/pysource.py pattern)."""
+
+    def bytestats(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        def per_row_counts(data, starts, ends, cond):
+            cum = np.concatenate([[0], np.cumsum(cond)])
+            return cum[ends] - cum[starts]
+
+        for batch in batches:
+            doc = batch.column(0)
+            arr = batch.column(1)
+            # offsets buffer is shared and may be sliced: index it with
+            # the array's own offset so any batch layout is read
+            # correctly
+            off = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+            starts = off[arr.offset : arr.offset + len(arr)]
+            ends = off[arr.offset + 1 : arr.offset + 1 + len(arr)]
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc,
+                    pa.array((ends - starts).astype("int64")),
+                    pa.array(per_row_counts(data, starts, ends, (data >= 97) & (data <= 122)).astype("int64")),
+                    pa.array(per_row_counts(data, starts, ends, (data >= 48) & (data <= 57)).astype("int64")),
+                    pa.array(per_row_counts(data, starts, ends, data == 32).astype("int64")),
+                ],
+                names=["doc_id", "n_bytes", "n_lower", "n_digit", "n_space"],
+            )
+
+    return bytestats
+
+
+@register(
+    "multimodal_arrow_bytestats",
+    oracle="""
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(strlen(text) - strlen(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS n_lower,
+       CAST(strlen(text) - strlen(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+       CAST(strlen(text) - strlen(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_space
+FROM documents
+""",
+    tags=("multimodal",),
+)
+def q_multimodal_arrow_bytestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload byte statistics via ``mapInArrow`` — the Arrow-NATIVE
+    batch API: RecordBatches flow straight from the scan into numpy
+    views over the Arrow buffers (offsets + values), with no pandas
+    materialization on either side — the lowest-overhead Python escape
+    hatch Spark offers, and the right shape for byte-level media work
+    (histograms, magic-number sniffing, entropy) where pandas object
+    columns would copy every payload.
+
+    Per-row counts come from one cumulative sum over the batch's
+    contiguous byte buffer indexed at the row offsets — O(bytes) per
+    batch, no per-row Python. Map-only: zero exchanges, payloads never
+    leave the executor (the ASCII-corpus payload derivation lets DuckDB
+    recompute every count from the text — same contract as the rest of
+    this module)."""
+    m = with_payload(load_table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    return m.mapInArrow(make_arrow_bytestats_fn(), _ARROW_STATS_SCHEMA)
