@@ -661,3 +661,117 @@ def q_vocab_coverage_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("total").alias("total_tokens"),
         )
     )
+
+
+# ----------------------- bigram LM cross-entropy (add-one, fixed-point)
+
+_BIGRAM_XENT_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+db AS (
+  SELECT doc_id, pair[1] AS w1, pair[2] AS w2, count(*) AS c
+  FROM (
+    SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(toks) - 1),
+             i -> [toks[i], toks[i+1]])) AS pair
+    FROM t WHERE len(toks) >= 2
+  )
+  GROUP BY doc_id, w1, w2
+),
+bc AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cb FROM db GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw FROM bc GROUP BY w1),
+v AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vs
+  FROM (SELECT unnest(toks) AS tok FROM t)
+),
+lnq AS (
+  SELECT bc.w1, bc.w2,
+         CAST(round(ln(CAST(cb + 1 AS DOUBLE) / CAST(cw + vs AS DOUBLE))
+                    * {_LNQ_SCALE}) AS BIGINT) AS lq
+  FROM bc JOIN ctx USING (w1) CROSS JOIN v
+)
+SELECT db.doc_id,
+       CAST(sum(db.c) AS BIGINT) AS n_bigrams,
+       CAST(sum(db.c * lnq.lq) AS BIGINT) AS logprob_q,
+       -(CAST(sum(db.c * lnq.lq) AS DOUBLE) / {_LNQ_SCALE})
+         / CAST(sum(db.c) AS DOUBLE) AS xent_nats
+FROM db JOIN lnq ON db.w1 = lnq.w1 AND db.w2 = lnq.w2
+GROUP BY db.doc_id
+"""
+
+
+@register(
+    "text_bigram_xent",
+    oracle=_BIGRAM_XENT_ORACLE,
+    tags=("text-analysis", "llm-pipeline"),
+)
+def q_text_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an add-one-smoothed corpus
+    bigram LM — the KenLM-style fluency signal (one order up from
+    text_unigram_xent): boilerplate and shuffled-word gibberish have
+    plausible unigrams but implausible bigrams, so this is the filter
+    that actually separates them in training-data pipelines.
+
+    Determinism is the same fixed-point scheme as text_unigram_xent:
+    p(w2|w1) = (c12 + 1) / (c1 + V) is a single correctly-rounded
+    division of exact integers, ln is quantized once per corpus bigram
+    to integer nano-nats, and every per-doc reduction is an exact
+    associative integer sum — partitioning-independent, value-hashable.
+
+    Scale shape: the (doc, bigram) counts aggregate with map-side
+    combine; bigram and context tables scale with the corpus BIGRAM
+    vocabulary, which (unlike the unigram vocab) is too large to
+    broadcast at 100 TB — so the probability join back to doc-bigrams
+    is a plain shuffle join on (w1, w2), already the aggregation key,
+    and AQE coalesces the post-agg side. Only the single-row vocab
+    size broadcasts. A 100 TB run persists the doc-bigram matrix once
+    before deriving the count branches (same Catalyst subtree-sharing
+    note as text_unigram_xent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("toks")).where(F.size("toks") >= 2)
+    # zip_with over shifted slices is O(tokens) per doc; an element_at
+    # over a sequence() of indices would be O(tokens^2) per doc.
+    pairs = F.zip_with(
+        F.expr("slice(toks, 1, size(toks) - 1)"),
+        F.expr("slice(toks, 2, size(toks) - 1)"),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    db = (
+        t.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    bc = db.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
+    ctx = bc.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    vocab = docs.select(F.explode(tokens("text")).alias("tok")).agg(
+        F.count_distinct("tok").alias("vs")
+    )
+    lnq = (
+        bc.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("cb") + 1).cast("double")
+                    / (F.col("cw") + F.col("vs")).cast("double")
+                )
+                * _LNQ_SCALE
+            )
+            .cast("long")
+            .alias("lq"),
+        )
+    )
+    return (
+        db.join(lnq, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("lq")).alias("logprob_q"),
+            (
+                -(F.sum(F.col("c") * F.col("lq")).cast("double") / _LNQ_SCALE)
+                / F.sum("c").cast("double")
+            ).alias("xent_nats"),
+        )
+    )
