@@ -149,20 +149,30 @@ _CMS_TOPK = 20
 
 
 def md5_sketch_bucket(key_col, seed: int, width: int):
-    """Shared sketch row-hash: first 8 hex chars of md5(key#seed) mod
-    width. md5 is the cross-engine hash family (same trick as MinHash,
-    dedup.py:223-241): DuckDB computes the identical bucket, so sketch
-    estimates themselves — not tolerance bands — are oracle-checked.
+    """Shared sketch row-hash: hex chars [8*seed, 8*seed+8) of md5(key)
+    mod width. md5 is the cross-engine hash family (same trick as
+    MinHash, dedup.py:223-241): DuckDB computes the identical bucket,
+    so sketch estimates themselves — not tolerance bands — are
+    oracle-checked. The d hash rows are DISJOINT 32-bit slices of ONE
+    digest (Kirsch–Mitzenmacher style, like the MinHash family) rather
+    than d independent md5(key#seed) digests — one hash per key instead
+    of d cuts the dominant map-side cost of a sketch build ~4x at
+    depth 4, and 32 independent bits per row are far more than the
+    log2(width) consumed. Requires seed in [0, 4) (md5 = 32 hex chars).
     ONE definition serves the CMS heavy hitters and the join-
     cardinality estimator; its SQL twin is ``md5_sketch_bucket_sql``.
     Cast non-string keys to string at the call site."""
-    h = F.conv(F.substring(F.md5(F.concat_ws("#", key_col, F.lit(str(seed)))), 1, 8), 16, 10)
+    if not 0 <= seed < 4:
+        raise ValueError(f"seed {seed} out of md5 slice range [0, 4)")
+    h = F.conv(F.substring(F.md5(key_col), 1 + 8 * seed, 8), 16, 10)
     return F.pmod(h.cast("long"), F.lit(width)).cast("int")
 
 
 def md5_sketch_bucket_sql(key_sql: str, seed_sql: str, width: int) -> str:
+    """SQL twin of ``md5_sketch_bucket``; ``seed_sql`` may be a column
+    reference holding '0'..'3' (the cross-joined seeds relation)."""
     return (
-        f"CAST(('0x' || substr(md5({key_sql} || '#' || {seed_sql}), 1, 8))"
+        f"CAST(('0x' || substr(md5({key_sql}), 1 + 8 * CAST({seed_sql} AS INT), 8))"
         f" AS BIGINT) % {width}"
     )
 
@@ -171,9 +181,7 @@ def _cms_bucket_spark(word_col, seed: int):
     return md5_sketch_bucket(word_col, seed, _CMS_WIDTH)
 
 
-_CMS_BUCKET_SQL = (
-    "CAST(('0x' || substr(md5(word || '#' || seed), 1, 8)) AS BIGINT) % " + str(_CMS_WIDTH)
-)
+_CMS_BUCKET_SQL = md5_sketch_bucket_sql("word", "seed", _CMS_WIDTH)
 
 _CMS_ORACLE = f"""
 WITH toks AS (
@@ -195,7 +203,7 @@ est AS (
   SELECT cand.word, min(cms.c) AS est_cnt
   FROM cand CROSS JOIN seeds
   JOIN cms ON cms.seed = seeds.seed
-          AND cms.bucket = (CAST(('0x' || substr(md5(cand.word || '#' || seeds.seed), 1, 8)) AS BIGINT) % {_CMS_WIDTH})
+          AND cms.bucket = ({md5_sketch_bucket_sql('cand.word', 'seeds.seed', _CMS_WIDTH)})
   GROUP BY cand.word
 )
 SELECT cand.word, cand.exact_cnt, est.est_cnt
@@ -441,21 +449,15 @@ def q_estimate_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def cms(df: DataFrame, key: str) -> DataFrame:
+        # posexplode of a plain int array (seed = position): the d
+        # bucket hashes share one md5 via codegen subexpression
+        # elimination, and the fan-out rows are 2 ints wide — cheaper
+        # than an array of (string, int) structs at 6M+ rows/partition.
+        buckets = F.array(
+            *[_jce_bucket_spark(F.col(key), s) for s in range(_JCE_DEPTH)]
+        )
         return (
-            df.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(str(s)).alias("seed"),
-                                _jce_bucket_spark(F.col(key), s).alias("bucket"),
-                            )
-                            for s in range(_JCE_DEPTH)
-                        ]
-                    )
-                ).alias("sb")
-            )
-            .select("sb.seed", "sb.bucket")
+            df.select(F.posexplode(buckets).alias("seed", "bucket"))
             .groupBy("seed", "bucket")
             .agg(F.count("*").alias("c"))
         )
