@@ -257,3 +257,90 @@ def _register_partition_prune():
 
 
 _register_partition_prune()
+
+
+# ------------------------------------ dynamic partition pruning (DPP)
+
+# Events span 2024-01-01..2024-01-30 at every SF (TESTDATA.md); three
+# mid-range dates keep the dim deterministic with no driver collect.
+_DPP_DATES = ("2024-01-05", "2024-01-12", "2024-01-26")
+_DPP_DECOYS = ("2024-01-02", "2024-01-20")
+
+_DPP_ORACLE = f"""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date, count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+WHERE {" OR ".join(f"CAST(ts AS DATE) = DATE '{d}'" for d in _DPP_DATES)}
+GROUP BY 1
+"""
+# (OR-equality chain, not IN: DuckDB 1.0.0 evaluates
+#  `CAST(ts AS DATE) IN (DATE '...', ...)` to empty on timestamp input)
+
+
+def dpp_probe_plan(spark: SparkSession, sf_dir: str, scratch: str) -> DataFrame:
+    """Build (lazily) the dynamic-partition-pruning probe: a
+    date-partitioned copy of events joined to a small filtered date
+    dim on the PARTITION column.
+
+    Static pruning (source_partition_prune above) needs the literal
+    partition values in the query text; here they arrive through a
+    JOIN, so pruning must happen at RUNTIME: Spark's DPP reuses the
+    broadcast of the filtered dim as a subquery filter on the fact
+    scan, and only the 3 matching date directories of 30 are read.
+    At 100 TB this is THE fact-table access path — `fact JOIN dim
+    WHERE dim.attr = ...` touching only the partitions the dim rows
+    name, without the query author enumerating them.
+    tests/test_formats.py asserts `dynamicpruning` in the scan's
+    partition filters and that the join stays a broadcast.
+
+    The dim carries decoy rows dropped by its `pick` filter so the
+    planner sees a genuinely selective dim-side predicate (a bare
+    unfiltered LocalRelation would not need pruning)."""
+    from pyspark.sql import functions as F
+
+    from mapreducegcp_spark.sources.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("event_date"), "user_id", "value"
+    )
+    write_partitioned(events, scratch, "event_date")
+    fact = spark.read.parquet(scratch)
+    dim = spark.createDataFrame(
+        [(d, 1) for d in _DPP_DATES] + [(d, 0) for d in _DPP_DECOYS],
+        "event_date string, pick int",
+    ).select(F.col("event_date").cast("date").alias("event_date"), "pick")
+    keep = F.broadcast(dim.where(F.col("pick") == 1).select("event_date"))
+    return (
+        fact.join(keep, "event_date")
+        .groupBy(F.date_format("event_date", "yyyy-MM-dd").alias("event_date"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def _register_dynamic_partition_prune():
+    import shutil
+    import tempfile
+
+    from mapreducegcp_spark.registry import register
+
+    @register("source_dynamic_partition_prune", oracle=_DPP_ORACLE, tags=("sources",))
+    def q_source_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Runtime-pruned read of a date-partitioned fact through a dim
+        join — see ``dpp_probe_plan``. Parity-probe shape: eager over a
+        bounded projection so the scratch directory can be reclaimed."""
+        tmp = tempfile.mkdtemp(prefix="dpp_probe_")
+        try:
+            out = dpp_probe_plan(spark, sf_dir, tmp)
+            rows = out.collect()
+            schema = out.schema
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(rows, schema)
+
+
+_register_dynamic_partition_prune()

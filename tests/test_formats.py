@@ -158,3 +158,43 @@ def test_partitioned_read_prunes_directories(spark, tmp_path):
     assert metrics["numPartitions"] == 2, metrics
     n_total_files = len(spark.read.parquet(path).inputFiles())
     assert metrics["numFiles"] < n_total_files, (metrics, n_total_files)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """The DPP probe's fact scan must carry a runtime dynamicpruning
+    partition filter fed by the broadcast dim subquery, and execute
+    touching only the 3 dim-named date partitions of 30."""
+    from mapreducegcp_spark.sources.formats import _DPP_DATES, dpp_probe_plan
+
+    out = dpp_probe_plan(spark, SF_DIR, str(tmp_path / "dpp"))
+    qe = out._jdf.queryExecution()
+    s = qe.toString()
+    assert "dynamicpruning" in s.lower(), s[:2000]
+    rows = {r["event_date"]: r["n_events"] for r in out.collect()}
+    assert set(rows) == set(_DPP_DATES)
+
+    # Runtime scan metrics: only the pruned partitions were listed/read.
+    # AQE hides the scan inside query stages, so walk children AND each
+    # stage's inner plan to reach the parquet FileScan.
+    def walk(node):
+        found = []
+        if "Scan" in node.nodeName() and "parquet" in node.toString().split("\n")[0]:
+            found.append(node)
+        ch = node.children()
+        for i in range(ch.size()):
+            found += walk(ch.apply(i))
+        for attr in ("plan", "executedPlan"):
+            try:
+                found += walk(getattr(node, attr)())
+            except Exception:
+                pass
+        return found
+
+    scans = walk(qe.executedPlan())
+    assert scans, "no parquet scan found in executed plan"
+    metrics = {}
+    it = scans[0].metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        metrics[kv._1()] = kv._2().value()
+    assert metrics.get("numPartitions") == len(_DPP_DATES), metrics
