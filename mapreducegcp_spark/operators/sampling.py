@@ -279,3 +279,41 @@ def q_dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_discount_oob"], m["n_null_shipdate"], m["total_cents"])],
         "n_rows long, n_discount_oob long, n_null_shipdate long, total_cents long",
     )
+
+
+# ------------------------------------------- fixed-size uniform sample
+
+_FIXED_K = 100
+
+_FIXED_K_ORACLE = f"""
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+FROM documents
+ORDER BY h, doc_id
+LIMIT {_FIXED_K}
+"""
+
+
+@register("sample_uniform_fixed_k", oracle=_FIXED_K_ORACLE, tags=("llm-pipeline",))
+def q_sample_uniform_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k uniform sample in one pass: keep the k smallest
+    md5(doc_id) values. Fraction-based universe sampling (above) can't
+    hit a row budget ("give me 100k eval docs") without knowing the
+    table size; ordering by a uniform hash makes any prefix of the
+    order a uniform sample, so the k-smallest ARE a fixed-size sample
+    — deterministic, reproducible, and stable under re-partitioning.
+
+    Scale shape: Catalyst turns orderBy().limit(k) into
+    TakeOrderedAndProject — each task keeps a k-row heap over its
+    partition and the driver merges P heaps of k; nothing resembling
+    a global sort of 100 TB happens, and the sample never exceeds
+    k*(P+1) rows in memory anywhere (the same reservoir-merge shape a
+    hand-written distributed reservoir sampler would use, for free
+    from the optimizer — asserted in tests/test_plans.py). The md5
+    tiebreak column doubles as the resume cursor: 'the next k' is a
+    WHERE h > last_h scan, the keyset-pagination move."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(_FIXED_K)
+    )

@@ -271,3 +271,11 @@ def test_basket_affinity_reuses_cached_baskets(spark):
     assert _exchanges(tree) <= 3, tree[:1500]
     assert "SortMergeJoin" not in tree
     assert tree.count("BroadcastHashJoin") >= 2
+
+
+def test_fixed_k_sample_is_takeordered(spark):
+    """The exactly-k hash sample must compile to TakeOrderedAndProject
+    (per-partition k-heaps + driver merge), never a global Sort."""
+    tree, _ = _plans(spark, "sample_uniform_fixed_k")
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "Sort [" not in tree, tree
