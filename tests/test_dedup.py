@@ -60,3 +60,60 @@ def test_leakage_safe_split_keeps_dup_groups_together(spark, sf_dir):
             assert split[r.doc_id] == split[r.representative], r
             checked += 1
     assert checked > 0, "fixture has no duplicate groups to check"
+
+
+# ---------------- property: min-label components == union-find oracle
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-attach keeps every root the component minimum
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_min_label_components_matches_union_find(spark, edges):
+    """The iterative min-label loop (shared by 4 cluster-resolution
+    queries) must agree with a sequential union-find on arbitrary
+    graphs — chains, stars, cycles, disjoint blobs, whatever
+    hypothesis shrinks to."""
+    from mapreducegcp_spark.operators.dedup import min_label_components
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "a long, b long"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in min_label_components(pairs, "a", "b").collect()
+    }
+    assert got == _union_find_components(edges)
