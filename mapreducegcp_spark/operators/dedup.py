@@ -880,3 +880,111 @@ def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("ss.sz") <= F.col("sl.sz")) & (cont >= _CONTAINMENT_THRESHOLD))
         .select("doc_small", "doc_large", "n_common", cont.alias("containment"))
     )
+
+
+# ---------------- two-phase components (large-star / small-star)
+
+
+def two_phase_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round engine min_label_components'
+    docstring points to for billion-edge / high-diameter graphs, where
+    diameter-round label propagation is the latency bottleneck.
+
+    Each round rewrites the edge set toward stars centered at
+    component minima:
+
+    - large-star: per node u, every LARGER neighbor is re-linked to
+      m(u) = min(N(u) ∪ {u});
+    - small-star: per node h over its smaller neighbors L(h), all of
+      L(h) ∪ {h} link to min(L(h)).
+
+    Both are one groupBy + one join over the canonical (lo, hi) edge
+    list — edge-proportional shuffles, one label-free edge set as the
+    only state, localCheckpoint truncating lineage per round. The
+    fixed point is one star per component; labels read directly off
+    the final edges. Same contract as min_label_components: nodes
+    without edges are absent; self-pairs ignored; output (node,
+    cluster_id = component min)."""
+    spark = pairs.sparkSession
+    half = pairs.select(F.col(a).alias("x"), F.col(b).alias("y")).where(
+        F.col(a) != F.col(b)
+    )
+    canon = (
+        half.select(F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi"))
+        .distinct()
+    )
+    n_edges = canon.count()
+    n_part = int(
+        max(2, min(spark.sparkContext.defaultParallelism, 1 + n_edges // 100_000))
+    )
+    C = canon.repartition(n_part, "hi").localCheckpoint()
+
+    def _sig(df: DataFrame) -> tuple:
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(lo, hi))").alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    sig = _sig(C)
+    for _ in range(50):  # fixed point in O(log n) alternations
+        S = C.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            C.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mins = S.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("u", "mv").alias("m"))
+        # repartition BEFORE distinct: HashPartitioning(hi) satisfies the
+        # (lo, hi) clustering requirement (subset rule), so the dedup
+        # reuses the exchange instead of adding a second one. The
+        # large-star result is consumed once within the round — no
+        # checkpoint; lineage is truncated once per round at `small`.
+        large = (
+            S.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .where(F.col("lo") != F.col("hi"))
+            .repartition(n_part, "hi")
+            .distinct()
+        )
+        g = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        linked = large.join(g, "hi")
+        small = (
+            linked.select(F.col("lo").alias("x"), F.col("m").alias("y"))
+            .union(linked.select(F.col("hi").alias("x"), F.col("m").alias("y")))
+            .where(F.col("x") != F.col("y"))
+            .select(F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi"))
+            .repartition(n_part, "hi")
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _sig(small)
+        C = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    roots = C.select(F.col("lo").alias("node"), F.col("lo").alias("cluster_id"))
+    members = C.select(F.col("hi").alias("node"), F.col("lo").alias("cluster_id"))
+    return roots.union(members).distinct()
+
+
+@register("dedup_clusters_twophase", oracle=_CLUSTERS_ORACLE, tags=("llm-pipeline",))
+def q_dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution via the two-phase large-star /
+    small-star algorithm — third execution path for the same result as
+    dedup_connected_components (diameter-round label loop) and
+    dedup_clusters_recursive_sql (in-engine recursion), same DuckDB
+    recursive-CTE oracle.
+
+    When to choose which at 100 TB: label propagation pays rounds =
+    graph DIAMETER (fine for clique-like dup clusters); the recursive
+    CTE materializes full reachability (fine for tiny components);
+    two-phase pays O(log n) rounds regardless of diameter with
+    edge-proportional rounds — the right engine when near-dup chains
+    get LONG (template pages, boilerplate gradients) and diameter is
+    unbounded."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return two_phase_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )

@@ -117,3 +117,46 @@ def test_min_label_components_matches_union_find(spark, edges):
         for r in min_label_components(pairs, "a", "b").collect()
     }
     assert got == _union_find_components(edges)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_two_phase_components_matches_union_find(spark, edges):
+    """large-star/small-star must agree with sequential union-find on
+    arbitrary graphs — including long chains, where its O(log n)
+    rounds are the reason it exists."""
+    from mapreducegcp_spark.operators.dedup import two_phase_components
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "a long, b long"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in two_phase_components(pairs, "a", "b").collect()
+    }
+    assert got == _union_find_components(edges)
+
+
+def test_two_phase_components_long_chain(spark):
+    """A 40-node path (diameter 39) — the shape that takes label
+    propagation 39 rounds — must resolve to one component."""
+    from mapreducegcp_spark.operators.dedup import two_phase_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "a long, b long"
+    )
+    out = two_phase_components(pairs, "a", "b").collect()
+    assert {r["node"] for r in out} == set(range(40))
+    assert {r["cluster_id"] for r in out} == {0}
