@@ -570,6 +570,15 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
         labels = new.select("node", "cluster_id")
         if changed == 0:
             break
+    else:
+        # fail LOUDLY: labels short of the fixed point are silently
+        # wrong cluster ids, and a >50-diameter graph means the caller
+        # picked the wrong engine for its shape
+        raise RuntimeError(
+            "min_label_components did not converge in 50 rounds "
+            "(graph diameter > 50); use two_phase_components, whose "
+            "round count is logarithmic in component size"
+        )
     edges.unpersist()
     half.unpersist()
     return labels

@@ -160,3 +160,18 @@ def test_two_phase_components_long_chain(spark):
     out = two_phase_components(pairs, "a", "b").collect()
     assert {r["node"] for r in out} == set(range(40))
     assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_min_label_components_raises_past_diameter_cap(spark):
+    """A 60-node path exceeds the 50-round diameter bound — the loop
+    must raise (silently-unconverged labels would be wrong), naming
+    the two-phase engine as the fix."""
+    import pytest
+
+    from mapreducegcp_spark.operators.dedup import min_label_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="two_phase_components"):
+        min_label_components(pairs, "a", "b").collect()

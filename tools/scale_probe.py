@@ -174,16 +174,55 @@ def skew_probe(spark: SparkSession, sf_dir: str, hot_share_pct: int = 50) -> Non
             conf.set(k, v)
 
 
+
+def chain_probe(spark: SparkSession, n_nodes: int = 10_000) -> None:
+    """Connected components on a PATH graph — diameter = n_nodes - 1.
+
+    Label propagation pays one round per diameter hop (50-round cap ->
+    it refuses this graph); the two-phase large-star/small-star engine
+    converges in O(log n) alternations. This probe is the empirical
+    round-complexity receipt behind shipping both engines."""
+    from mapreducegcp_spark.operators.dedup import (
+        min_label_components,
+        two_phase_components,
+    )
+
+    pairs = spark.range(n_nodes - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    t0 = time.time()
+    out = two_phase_components(pairs, "a", "b")
+    roots = out.agg(
+        F.countDistinct("cluster_id").alias("n_comp"),
+        F.count("*").alias("n_nodes"),
+    ).first()
+    dt = time.time() - t0
+    print(
+        f"two_phase_components: path of {n_nodes} nodes "
+        f"(diameter {n_nodes - 1}) -> {roots['n_comp']} component, "
+        f"{roots['n_nodes']} nodes labelled, {dt:.1f}s"
+    )
+    try:
+        min_label_components(pairs.limit(2_000), "a", "b").count()
+        print("min_label_components: UNEXPECTEDLY converged")
+    except RuntimeError as exc:
+        print(f"min_label_components on the same shape: {exc}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--skew", action="store_true", help="run the skew-join probe only")
+    ap.add_argument("--chain", action="store_true", help="run the long-chain components probe only")
     args = ap.parse_args()
 
     spark = get_spark("scale-probe")
     if args.skew:
         skew_probe(spark, args.sf_dir)
+        return
+    if args.chain:
+        chain_probe(spark)
         return
     from mapreducegcp_spark.registry import all_queries
     import mapreducegcp_spark.sources.catalog as catalog
