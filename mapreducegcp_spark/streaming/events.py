@@ -777,3 +777,151 @@ def q_stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("event_type", "user_id", "n", "rnk")
     )
+
+
+# --------------------------- streaming MinHash-LSH bucket index
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a streaming DataFrame (file-source
+    replay) — the corpus arriving as a feed, the shape of continuous
+    ingest dedup."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    # same move as events_stream: the file source wants a directory,
+    # so glob-scope it to the documents file
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _lsh_index_oracle() -> str:
+    from mapreducegcp_spark.operators.dedup import (
+        _MOD,
+        _SHINGLES,
+        _TOKS,
+        LSH_BANDS,
+        MINHASH_K,
+    )
+
+    r = MINHASH_K // LSH_BANDS
+    mins = ", ".join(
+        f"MIN((h1 + {i}*h2) % {_MOD}) AS m{i}" for i in range(MINHASH_K)
+    )
+    banded = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, concat("
+        + ", ',', ".join(f"m{b * r + j}" for j in range(r))
+        + ") AS bucket FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tk),
+hh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+  FROM sh
+),
+sig AS (SELECT doc_id, {mins} FROM hh GROUP BY doc_id),
+banded AS ({banded})
+SELECT band, bucket, MIN(doc_id) AS first_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM banded
+GROUP BY band, bucket
+HAVING COUNT(*) >= 2
+"""
+
+
+@register(
+    "stream_lsh_bucket_index",
+    oracle=_lsh_index_oracle(),
+    tags=("streaming", "llm-pipeline"),
+)
+def q_stream_lsh_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup INDEX maintenance: documents arrive as a
+    stream, each row maps to its 8 MinHash band buckets statelessly,
+    and one streaming aggregation maintains (band, bucket) ->
+    (first_doc, n_docs). Collision buckets (n_docs >= 2) ARE the
+    near-dup candidate index — the continuous-ingest half of
+    dedup_minhash_lsh, whose batch self-join becomes 'new doc joins
+    the serving index' at ingest time.
+
+    The signature must be computed WITHOUT the batch path's
+    per-shingle groupBy (operators/dedup.py minhash_signatures):
+    chaining two streaming aggregations is unsupported, so the k mins
+    fold per-ROW over the document's own shingle array (higher-order
+    transform + array_min — interpreted per element, the price of
+    keeping the stream single-stateful; one md5 per shingle feeds all
+    k permutations exactly like batch). State is O(distinct buckets),
+    min/count are order-commutative, so the replayed result is
+    deterministic and hash-matches the batch oracle. The >= 2 filter
+    runs on the serving read (rank-on-read pattern, see
+    stream_topk_users), keeping sink state exactly the index.
+
+    Scale: per document the stream carries 8 (band, bucket) rows
+    into the stateful exchange — constant per doc, independent of
+    document size; at 100 TB/day ingest the same plan runs on a Kafka
+    source with the memory sink swapped for the serving store."""
+    from mapreducegcp_spark.functions.text import tokens
+    from mapreducegcp_spark.operators.dedup import (
+        _MOD,
+        LSH_BANDS,
+        MINHASH_K,
+        shingles,
+    )
+
+    r = MINHASH_K // LSH_BANDS
+    docs = documents_stream(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", shingles(tokens("text")).alias("sh")
+    ).where(F.size("sh") > 0)
+    # one md5 per shingle -> (h1, h2); all k permutations derive from it
+    hh = sh.select(
+        "doc_id",
+        F.transform(
+            "sh",
+            lambda s: F.struct(
+                F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+                .cast("long")
+                .alias("h1"),
+                F.conv(F.substring(F.md5(s), 9, 8), 16, 10)
+                .cast("long")
+                .alias("h2"),
+            ),
+        ).alias("hh"),
+    )
+    # closure factory, NOT `lambda x, i=i`: pyspark reads lambda ARITY
+    # to decide whether to pass (element) or (element, index) — a
+    # defaulted second parameter silently becomes the array index
+    def _perm(i: int):
+        return lambda x: (x["h1"] + F.lit(i) * x["h2"]) % F.lit(_MOD)
+
+    sig = hh.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("hh", _perm(i))).alias(f"m{i}")
+            for i in range(MINHASH_K)
+        ],
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"m{b * r + j}").cast("string") for j in range(r)]
+                ).alias("bucket"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    index = banded.groupBy("band", "bucket").agg(
+        F.min("doc_id").alias("first_doc"), F.count("*").alias("n_docs")
+    )
+    tbl = run_to_memory(index, "complete")
+    return tbl.where(F.col("n_docs") >= 2)
