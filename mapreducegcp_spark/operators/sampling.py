@@ -317,3 +317,47 @@ def q_sample_uniform_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h", "doc_id")
         .limit(_FIXED_K)
     )
+
+
+# --------------------------------------------------- k-anonymity gate
+
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS group_size,
+       count(*) < {_KANON_K} AS needs_suppression
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+@register("dq_k_anonymity", oracle=_KANON_ORACLE, tags=("llm-pipeline",))
+def q_dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    privacy gate a training-data release runs before shipping
+    user-derived records: any (nation, segment) group with fewer than
+    k members is re-identifiable and must be suppressed or
+    generalized. Emits every group with its size and the suppression
+    flag, so the release pipeline can subtract flagged rows and the
+    audit log keeps the evidence.
+
+    Scale shape: one map-side-combined groupBy on the quasi-identifier
+    (dimension joined by broadcast) — the audit costs one aggregation
+    at any corpus size, and the flag threshold is a plan literal, not
+    a second pass."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment")
+        )
+        .agg(F.count("*").alias("group_size"))
+        .select(
+            "nation",
+            "segment",
+            "group_size",
+            (F.col("group_size") < _KANON_K).alias("needs_suppression"),
+        )
+    )

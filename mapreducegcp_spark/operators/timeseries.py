@@ -149,6 +149,65 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NATIVE_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL {_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) + {_GAP_MIN * 60 * 1_000_000} AS end_us,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@register(
+    "sessionize_native_window", oracle=_NATIVE_SESSION_ORACLE, tags=("timeseries",)
+)
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window aggregate —
+    same semantics as the lag/running-sum decomposition above, one
+    operator instead of three: groupBy(user_id, session_window(ts,
+    gap)) merges overlapping [ts, ts+gap) intervals in a single
+    pass (internally: partial session merge map-side, final merge
+    after one user_id exchange — the same single-shuffle shape, with
+    the merge logic in the engine instead of the query).
+
+    Two semantic deltas vs the manual version, mirrored in the
+    oracle: the native window's END is last_event + gap (the manual
+    one reports last event), and an event exactly gap after its
+    predecessor starts a NEW session (native end-exclusive >= vs the
+    manual strict >). Both variants ship because the decomposition is
+    the portable form (ANSI window functions) while session_window is
+    the engine-native form the streaming path (stream_session_windows)
+    shares."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{_GAP_MIN} minutes").alias("sw")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("start_us"),
+            F.unix_micros("sw.end").alias("end_us"),
+            "n_events",
+        )
+    )
+
+
 # -------------------------------------------------- calendar gap fill
 
 _GAP_FILL_ORACLE = """
