@@ -361,3 +361,47 @@ def q_dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_size") < _KANON_K).alias("needs_suppression"),
         )
     )
+
+
+# -------------------------------------- fixed-k sample per stratum
+
+_GROUP_K = 20
+
+_GROUP_K_ORACLE = f"""
+SELECT lang, doc_id, rnk
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rnk
+  FROM documents
+)
+WHERE rnk <= {_GROUP_K}
+"""
+
+
+@register("sample_fixed_k_per_group", oracle=_GROUP_K_ORACLE, tags=("llm-pipeline",))
+def q_sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k-per-stratum sample ("20 eval docs per language"):
+    rank by uniform hash within each group, keep rank <= k. The
+    per-group twin of sample_uniform_fixed_k — fraction-based
+    stratified sampling (sample_stratified) needs per-group
+    populations to hit a budget; hash-rank doesn't.
+
+    Scale shape: one hash-partitioned window per group — state per
+    task is a streaming rank over its groups, and the skew ceiling is
+    the largest single GROUP (languages: bounded, safe; for a
+    high-cardinality stratum swap in the two-phase TakeOrdered shape).
+    Deterministic: md5 is unique per doc_id and the tiebreak total-
+    orders equal hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= _GROUP_K)
+    )
