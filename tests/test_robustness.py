@@ -267,3 +267,38 @@ def test_trigram_search_no_match(spark, monkeypatch):
     )
     monkeypatch.setattr(tx, "load_table", lambda *a, **k: docs)
     assert all_queries()["search_trigram_index"].fn(spark, SF_DIR).count() == 0
+
+
+def test_bigram_xent_on_short_docs(spark, monkeypatch):
+    """Docs with <2 tokens produce no bigrams and must be ABSENT from
+    the LM scoring output (not crash, not emit nulls); multi-token
+    docs still score."""
+    import mapreducegcp_spark.operators.textstats as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one"),
+            (2, ""),
+            (3, "two tokens here and more words follow"),
+            (4, "two tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(tx, "load_table", lambda *a, **k: docs)
+    out = tx.q_text_bigram_xent(spark, SF_DIR).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == {3, 4}
+    assert by_id[4]["n_bigrams"] == 1
+    assert all(r["xent_nats"] > 0 for r in out)
+
+
+def test_two_phase_components_empty_and_self_pairs(spark):
+    """Self-pairs are ignored; an empty pair set yields empty labels."""
+    from mapreducegcp_spark.operators.dedup import two_phase_components
+
+    selfs = spark.createDataFrame([(7, 7), (1, 2)], "a long, b long")
+    out = two_phase_components(selfs, "a", "b").collect()
+    assert {(r["node"], r["cluster_id"]) for r in out} == {(1, 1), (2, 1)}
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert two_phase_components(empty, "a", "b").count() == 0
