@@ -75,6 +75,19 @@ PROBES = {
     "order_global_rownum": {"orders": ["o_orderkey"]},
     "layout_zorder_cluster": {"orders": ["o_orderkey", "o_custkey"]},
     "feature_quantile_bins": {"lineitem": []},
+    # round-2d operators. The LM scorers replicate documents, which
+    # copies every text 10x — the bigram VOCABULARY stays constant
+    # while doc-bigram volume grows 10x, exactly the production shape
+    # (vocab grows sublinearly in corpus size).
+    "text_bigram_xent": {"documents": ["doc_id"]},
+    "sample_uniform_fixed_k": {"documents": ["doc_id"]},
+    "sample_fixed_k_per_group": {"documents": ["doc_id"]},
+    "dq_k_anonymity": {"customer": ["c_custkey"]},
+    "sessionize_native_window": {"events": ["event_id", "user_id"]},
+    "estimate_join_cardinality": {
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+    },
 }
 
 
