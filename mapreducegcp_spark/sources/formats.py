@@ -344,3 +344,85 @@ def _register_dynamic_partition_prune():
 
 
 _register_dynamic_partition_prune()
+
+
+# ---------------------------- corrupt-tolerant JSONL ingest (PERMISSIVE)
+
+_CORRUPT_EVERY = 37  # orders with o_orderkey % 37 == 0 get truncated lines
+
+_CORRUPT_ORACLE = f"""
+SELECT CAST(count(*) FILTER (WHERE o_orderkey % {_CORRUPT_EVERY} <> 0) AS BIGINT) AS n_good,
+       CAST(count(*) FILTER (WHERE o_orderkey % {_CORRUPT_EVERY} = 0) AS BIGINT) AS n_corrupt,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+              FILTER (WHERE o_orderkey % {_CORRUPT_EVERY} <> 0) AS DOUBLE) AS good_total
+FROM orders
+"""
+
+
+def _register_corrupt_jsonl():
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreducegcp_spark.functions.exact import dec2
+    from mapreducegcp_spark.registry import register
+    from mapreducegcp_spark.sources.catalog import load_table
+
+    @register("source_jsonl_corrupt_tolerant", oracle=_CORRUPT_ORACLE, tags=("sources",))
+    def q_source_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PERMISSIVE JSONL ingest over a feed with malformed lines —
+        the shape of real web-scale ingest, where a crawler's output
+        always contains truncated/garbled records and FAILFAST would
+        kill a 100 TB job on the first one.
+
+        A deterministic 1-in-{_CORRUPT_EVERY} of serialized order rows
+        is truncated mid-object; the read-back schema carries a
+        ``columnNameOfCorruptRecord`` column, so bad lines surface AS
+        DATA (null fields + the raw line) instead of as exceptions —
+        countable, quarantinable, and the good rows' aggregate is
+        unaffected. The oracle recomputes both populations from the
+        clean table, proving the parser dropped exactly the corrupted
+        lines and nothing else.
+
+        Parity-probe shape (eager over a scratch dir) like the
+        partition-prune probes above."""
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", dec2("o_totalprice").cast("double").alias("o_totalprice")
+        )
+        line = F.to_json(F.struct("o_orderkey", "o_totalprice"))
+        corrupted = F.when(
+            F.col("o_orderkey") % _CORRUPT_EVERY == 0,
+            F.substring(line, 1, F.length(line) - 5),
+        ).otherwise(line)
+        tmp = tempfile.mkdtemp(prefix="jsonl_corrupt_")
+        try:
+            orders.select(corrupted.alias("value")).write.mode("overwrite").text(tmp)
+            back = (
+                spark.read.schema(
+                    "o_orderkey long, o_totalprice double, _bad string"
+                )
+                .option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", "_bad")
+                .json(tmp)
+            )
+            out = back.agg(
+                F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_good"),
+                F.count(F.when(F.col("_bad").isNotNull(), 1)).alias("n_corrupt"),
+                F.sum(
+                    F.when(
+                        F.col("_bad").isNull(),
+                        F.col("o_totalprice").cast("decimal(18,2)"),
+                    )
+                )
+                .cast("double")
+                .alias("good_total"),
+            )
+            rows = out.collect()
+            schema = out.schema
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(rows, schema)
+
+
+_register_corrupt_jsonl()
