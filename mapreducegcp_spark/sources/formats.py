@@ -426,3 +426,69 @@ def _register_corrupt_jsonl():
 
 
 _register_corrupt_jsonl()
+
+
+# ------------------------------- schema evolution (mergeSchema read)
+
+_EVOLVE_ORACLE = """
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY 1
+"""
+
+
+def _register_schema_evolution():
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreducegcp_spark.functions.exact import dec2
+    from mapreducegcp_spark.registry import register
+    from mapreducegcp_spark.sources.catalog import load_table
+
+    @register("source_schema_evolution", oracle=_EVOLVE_ORACLE, tags=("sources",))
+    def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Schema evolution across parquet batches: an early writer
+        emitted (o_orderkey, o_totalprice); a later one added
+        o_orderpriority. ``mergeSchema`` unifies the footers at read
+        time — old files surface the new column as NULL, no rewrite of
+        historical data — the additive-evolution contract every
+        long-lived 100 TB table depends on (a table format keeps the
+        merged schema in metadata; on raw parquet the read pays one
+        footer scan to derive it, which is why it is opt-in).
+
+        Even-keyed rows land in the OLD batch, odd-keyed in the NEW, so
+        the oracle reconstructs exactly which rows must carry NULL.
+        The aggregate over the merged read proves no rows were lost,
+        duplicated, or mis-defaulted by the merge."""
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            dec2("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        tmp = tempfile.mkdtemp(prefix="schema_evolve_")
+        try:
+            old = orders.where(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority")
+            new = orders.where(F.col("o_orderkey") % 2 != 0)
+            old.write.mode("overwrite").parquet(f"{tmp}/batch=1")
+            new.write.mode("overwrite").parquet(f"{tmp}/batch=2")
+            back = spark.read.option("mergeSchema", "true").parquet(tmp)
+            out = back.groupBy(
+                F.col("o_orderpriority").alias("priority")
+            ).agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+            rows = out.collect()
+            schema = out.schema
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(rows, schema)
+
+
+_register_schema_evolution()
