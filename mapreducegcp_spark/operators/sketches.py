@@ -589,3 +589,114 @@ def q_sketch_kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("inter_sample_hits").cast("long"),
         )
     )
+
+
+# ----------------------- native approx_top_k (Spark 4 sketch function)
+
+_ATK_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({TOKEN_ORACLE_EXPR.format(col='text')}) AS word FROM documents
+)
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM toks WHERE word <> ''
+GROUP BY word
+ORDER BY cnt DESC, word
+LIMIT 10
+"""
+
+
+@register("agg_approx_topk", oracle=_ATK_ORACLE, tags=("sketch",))
+def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through Spark 4's NATIVE approx_top_k sketch —
+    the built-in counterpart of the hand-rolled count-min pipeline
+    above (agg_countmin_heavyhitters): one aggregate call, mergeable
+    sketch state, no explicit bucket algebra.
+
+    The corpus vocabulary is far below maxItemsTracked, so the sketch
+    runs in its exact regime and the result is value-hash-checkable
+    against plain SQL (the sketch's tie order is unspecified, so the
+    query over-fetches and re-sorts by the deterministic (cnt, word)
+    order before the cut — same move as the CMS query). The ERROR
+    bound of the approximate regime is gated separately by the CMS
+    family; this query freezes the native-function integration."""
+    docs = load_table(spark, sf_dir, "documents")
+    word = docs.select(words_of("text").alias("word"))
+    sk = word.agg(F.expr("approx_top_k(word, 25, 10000)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("word"), F.col("e.count").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(10)
+    )
+
+
+# --------------------- native theta sketch set algebra (datasketches)
+
+_THETA_TOL = 0.05  # 3 sigma of the default lgK theta sketch
+
+_THETA_ORACLE = """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+     b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)) AS exact_union,
+  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)) AS exact_intersect,
+  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)) AS exact_diff,
+  TRUE AS union_within_tol, TRUE AS intersect_within_tol, TRUE AS diff_within_tol
+"""
+
+
+@register("sketch_theta_setops", oracle=_THETA_ORACLE, tags=("sketch",))
+def q_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-expression cardinalities via Spark 4's NATIVE Apache
+    DataSketches theta integration — union, intersection, AND
+    difference from two constant-size sketches (the operation HLL
+    cannot do: HLL unions only; the hand-rolled KMV above
+    (sketch_kmv_set_cardinality) is the from-scratch version of
+    exactly this). Each side sketches its customer set once; all
+    three set cardinalities then come from sketch algebra, no
+    re-scan, mergeable across partitions.
+
+    Gate pattern per agg_approx_distinct_tol: emit the EXACT counts
+    plus a within-tolerance boolean for each estimate, so the driver
+    hash-checks a full row and the tolerance is the only approximate
+    claim."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    high = orders.where(F.col("o_orderpriority") == "2-HIGH")
+    a = urgent.agg(F.expr("theta_sketch_agg(o_custkey)").alias("s")).alias("a")
+    b = high.agg(F.expr("theta_sketch_agg(o_custkey)").alias("s")).alias("b")
+    est = a.crossJoin(b).select(
+        F.expr("theta_sketch_estimate(theta_union(a.s, b.s))").alias("est_u"),
+        F.expr("theta_sketch_estimate(theta_intersection(a.s, b.s))").alias("est_i"),
+        F.expr("theta_sketch_estimate(theta_difference(a.s, b.s))").alias("est_d"),
+    )
+    ua = urgent.select("o_custkey").union(high.select("o_custkey")).distinct()
+    ex = (
+        ua.agg(F.count("*").alias("exact_union"))
+        .crossJoin(
+            urgent.select("o_custkey")
+            .intersect(high.select("o_custkey"))
+            .agg(F.count("*").alias("exact_intersect"))
+        )
+        .crossJoin(
+            urgent.select("o_custkey")
+            .distinct()
+            .subtract(high.select("o_custkey"))
+            .agg(F.count("*").alias("exact_diff"))
+        )
+    )
+
+    def within(est_col: str, exact_col: str):
+        return (
+            F.abs(F.col(est_col) - F.col(exact_col))
+            <= F.col(exact_col).cast("double") * _THETA_TOL
+        )
+
+    return ex.crossJoin(F.broadcast(est)).select(
+        "exact_union",
+        "exact_intersect",
+        "exact_diff",
+        within("est_u", "exact_union").alias("union_within_tol"),
+        within("est_i", "exact_intersect").alias("intersect_within_tol"),
+        within("est_d", "exact_diff").alias("diff_within_tol"),
+    )
