@@ -797,6 +797,63 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _make_doc_minhash_udf(k_perms: int, mod: int):
+    """Arrow-vectorized text -> k-min MinHash signature (or null for
+    sub-3-token docs): tokenize (the reference contract — lower,
+    [^a-z]+ to space, split, drop empties), distinct 3-shingles, md5
+    per shingle, Kirsch–Mitzenmacher g_i = (h1 + i*h2) mod 2^32 as one
+    (shingles x k) numpy outer product + column min.
+
+    Why Python here when the batch path is columnar (operators/
+    dedup.py minhash_signatures): the batch fold needs a groupBy —
+    a SECOND streaming aggregation the engine forbids — and the pure
+    higher-order-function per-row form keeps the whole tokenize/
+    shingle tree inside one collapsed Project where Catalyst
+    re-substitutes the tokenizer into every lambda element (measured
+    34s at sf0.1 vs ~4s for this Arrow batch form). hashlib md5 of
+    the same bytes is byte-identical to Spark/DuckDB md5, so the
+    signatures still hash-match the batch oracle. h2*k < 2^37 keeps
+    the arithmetic far from int64 overflow."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as SF
+    from pyspark.sql.types import ArrayType, LongType
+
+    ks = np.arange(k_perms, dtype=np.int64)
+    pat = _re.compile("[^a-z]+")
+
+    def doc_sig(text):
+        out = []
+        for t in text:
+            toks = pat.sub(" ", (t or "").lower()).split()
+            if len(toks) < 3:
+                out.append(None)
+                continue
+            sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            hs = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                    for s in sh
+                ),
+                dtype=np.uint64,
+                count=len(sh),
+            )
+            h1 = (hs >> np.uint64(32)).astype(np.int64)
+            h2 = (hs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            M = (h1[:, None] + h2[:, None] * ks[None, :]) % mod
+            out.append(M.min(axis=0))
+        return pd.Series(out)
+
+    # real type objects, not strings: this module's `from __future__
+    # import annotations` would stringify inline hints and break
+    # pandas_udf's eval-type inference
+    doc_sig.__annotations__ = {"text": pd.Series, "return": pd.Series}
+    return SF.pandas_udf(doc_sig, ArrayType(LongType()))
+
+
 def _lsh_index_oracle() -> str:
     from mapreducegcp_spark.operators.dedup import (
         _MOD,
@@ -865,46 +922,22 @@ def q_stream_lsh_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the stateful exchange — constant per doc, independent of
     document size; at 100 TB/day ingest the same plan runs on a Kafka
     source with the memory sink swapped for the serving store."""
-    from mapreducegcp_spark.functions.text import tokens
-    from mapreducegcp_spark.operators.dedup import (
-        _MOD,
-        LSH_BANDS,
-        MINHASH_K,
-        shingles,
-    )
+    from mapreducegcp_spark.operators.dedup import _MOD, LSH_BANDS, MINHASH_K
 
     r = MINHASH_K // LSH_BANDS
     docs = documents_stream(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", shingles(tokens("text")).alias("sh")
-    ).where(F.size("sh") > 0)
-    # one md5 per shingle -> (h1, h2); all k permutations derive from it
-    hh = sh.select(
-        "doc_id",
-        F.transform(
-            "sh",
-            lambda s: F.struct(
-                F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
-                .cast("long")
-                .alias("h1"),
-                F.conv(F.substring(F.md5(s), 9, 8), 16, 10)
-                .cast("long")
-                .alias("h2"),
-            ),
-        ).alias("hh"),
+    # Whole signature stage as ONE Arrow pandas_udf (factory-scoped so
+    # cloudpickle doesn't drag this module to the workers — see
+    # .claude/skills/verify): tokenize, shingle, md5, k-min fold per
+    # batch in numpy. See _make_doc_minhash_udf for why the columnar
+    # batch formulation can't be used inside a stream.
+    doc_sig = _make_doc_minhash_udf(MINHASH_K, _MOD)
+    folded = docs.select("doc_id", doc_sig("text").alias("sig")).where(
+        F.col("sig").isNotNull()
     )
-    # closure factory, NOT `lambda x, i=i`: pyspark reads lambda ARITY
-    # to decide whether to pass (element) or (element, index) — a
-    # defaulted second parameter silently becomes the array index
-    def _perm(i: int):
-        return lambda x: (x["h1"] + F.lit(i) * x["h2"]) % F.lit(_MOD)
-
-    sig = hh.select(
+    sig = folded.select(
         "doc_id",
-        *[
-            F.array_min(F.transform("hh", _perm(i))).alias(f"m{i}")
-            for i in range(MINHASH_K)
-        ],
+        *[F.element_at("sig", i + 1).alias(f"m{i}") for i in range(MINHASH_K)],
     )
     bands = F.array(
         *[
