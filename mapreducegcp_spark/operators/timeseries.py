@@ -931,3 +931,60 @@ def q_orders_open_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = deltas.groupBy("day").agg(F.sum("d").alias("delta"))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return daily.select("day", F.sum("delta").over(w).cast("long").alias("open_orders"))
+
+
+# ------------------------- sequence pattern matching (MATCH_RECOGNIZE)
+
+_SEQ_PATTERN = "v+c+p"  # views, then clicks, then a purchase — consecutive
+
+_SEQ_ORACLE = f"""
+WITH j AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(journey) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(journey, '{_SEQ_PATTERN}')) AS BIGINT) AS n_funnels
+FROM j
+WHERE len(regexp_extract_all(journey, '{_SEQ_PATTERN}')) >= 1
+"""
+
+
+@register("events_pattern_match", oracle=_SEQ_ORACLE, tags=("timeseries",))
+def q_events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-pattern matching, which Spark lacks
+    natively: encode each user's (ts, event_id)-ordered event types as
+    a one-char-per-event journey string, then count CONSECUTIVE
+    view+ click+ purchase runs with a regex — stricter than the
+    anything-in-between funnel (funnel_view_click_purchase), which
+    this complements: a 'vcsvp' user funnels there but not here.
+
+    Both engines use greedy non-overlapping regex scanning, so match
+    counts agree exactly; the struct array_sort gives a deterministic
+    total order under ts ties. Scale shape: one groupBy(user) whose
+    state is the user's OWN journey (bounded by per-user activity, the
+    same bound sessionization carries); the regex runs once per user
+    on a short string — no joins, no window over the full stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("code")
+    )
+    j = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "code"))),
+                lambda x: x["code"],
+            ),
+        ).alias("journey")
+    )
+    n_funnels = F.size(F.regexp_extract_all("journey", F.lit(_SEQ_PATTERN), 0))
+    return (
+        j.select(
+            "user_id",
+            F.length("journey").cast("long").alias("n_events"),
+            n_funnels.cast("long").alias("n_funnels"),
+        )
+        .where(F.col("n_funnels") >= 1)
+    )
