@@ -938,6 +938,8 @@ def two_phase_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
         return (r["n"], r["h"])
 
     sig = _sig(C)
+    from pyspark.sql import Observation
+
     for _ in range(50):  # fixed point in O(log n) alternations
         S = C.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
             C.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
@@ -959,6 +961,9 @@ def two_phase_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
         )
         g = large.groupBy("hi").agg(F.min("lo").alias("m"))
         linked = large.join(g, "hi")
+        # the convergence signature rides the checkpoint materialization
+        # via observe() — no separate re-read of the edge set per round
+        obs = Observation()
         small = (
             linked.select(F.col("lo").alias("x"), F.col("m").alias("y"))
             .union(linked.select(F.col("hi").alias("x"), F.col("m").alias("y")))
@@ -966,9 +971,15 @@ def two_phase_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
             .select(F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi"))
             .repartition(n_part, "hi")
             .distinct()
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(lo, hi))").alias("h"),
+            )
             .localCheckpoint()
         )
-        new_sig = _sig(small)
+        m = obs.get
+        new_sig = (m["n"], m["h"])
         C = small
         if new_sig == sig:
             break
