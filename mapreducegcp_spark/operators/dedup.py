@@ -544,16 +544,19 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
         .repartition(n_part, "node")
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     for _ in range(50):  # hard bound; converges in <= graph diameter
         neigh = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        # carry the previous label through the checkpoint so the
-        # convergence check is a filter over already-materialized rows,
-        # not another join against the old labels (one shuffle less per
-        # round)
+        # the changed-count rides the checkpoint materialization via
+        # observe() — no separate convergence job per round (and no
+        # join against the old labels: the previous label is carried
+        # through as a column)
+        obs = Observation()
         new = (
             labels.join(neigh, labels["node"] == neigh["a"], "left")
             .select(
@@ -564,9 +567,15 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
                 ).alias("cluster_id"),
                 labels["cluster_id"].alias("prev"),
             )
+            .observe(
+                obs,
+                F.count(F.when(F.col("cluster_id") != F.col("prev"), 1)).alias(
+                    "changed"
+                ),
+            )
             .localCheckpoint()
         )
-        changed = new.filter(F.col("cluster_id") != F.col("prev")).count()
+        changed = obs.get["changed"]
         labels = new.select("node", "cluster_id")
         if changed == 0:
             break
