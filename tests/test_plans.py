@@ -279,3 +279,43 @@ def test_fixed_k_sample_is_takeordered(spark):
     tree, _ = _plans(spark, "sample_uniform_fixed_k")
     assert "TakeOrderedAndProject" in tree, tree
     assert "Sort [" not in tree, tree
+
+
+def test_k_anonymity_broadcasts_dim_single_shuffle(spark):
+    """The audit is one aggregation: nation broadcast, exactly one
+    hash exchange (the quasi-identifier groupBy)."""
+    tree, fmt = _plans(spark, "dq_k_anonymity")
+    assert "BroadcastHashJoin" in tree, tree
+    assert _exchanges(tree) == 1, tree
+
+
+def test_native_session_window_single_shuffle(spark):
+    """session_window aggregation = partial merge map-side + one
+    user_id exchange — no window-function sort cascade."""
+    tree, _ = _plans(spark, "sessionize_native_window")
+    assert _exchanges(tree) == 1, tree
+
+
+def test_pattern_match_single_shuffle(spark):
+    """Journey building + regex count is one groupBy(user) — a single
+    exchange, no joins."""
+    tree, _ = _plans(spark, "events_pattern_match")
+    assert _exchanges(tree) == 1, tree
+    assert "Join" not in tree, tree
+
+
+def test_bigram_xent_no_forced_broadcast_of_bigram_table(spark):
+    """The bigram probability table scales with the corpus, so the
+    query must NOT pin it with a broadcast hint — the only hint
+    allowed is the 1-row vocab count. (At test scale Catalyst still
+    auto-broadcasts from size estimates, which is correct adaptivity;
+    the invariant is that the PLANNER stays free to pick a shuffle
+    join when the estimate exceeds the threshold at real scale.)"""
+    from mapreducegcp_spark.registry import all_queries
+
+    df = all_queries()["text_bigram_xent"].fn(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    import re as _re
+
+    hints = _re.findall(r"ResolvedHint \(strategy=broadcast\)", analyzed)
+    assert len(hints) == 1, analyzed[:3000]
