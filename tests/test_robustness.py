@@ -302,3 +302,56 @@ def test_two_phase_components_empty_and_self_pairs(spark):
 
     empty = spark.createDataFrame([], "a long, b long")
     assert two_phase_components(empty, "a", "b").count() == 0
+
+
+def test_arrow_minhash_udf_matches_columnar_batch_path(spark):
+    """The streaming LSH's Python/Arrow signature stage (hashlib md5 +
+    numpy fold) must produce BIT-IDENTICAL signatures to the JVM
+    columnar path (md5 expr + groupBy min fold) — the cross-engine
+    hash-family contract; short/empty/null docs yield null."""
+    from mapreducegcp_spark.operators.dedup import (
+        _MOD,
+        MINHASH_K,
+        minhash_signatures,
+        shingles,
+    )
+    from mapreducegcp_spark.functions.text import tokens
+    from mapreducegcp_spark.streaming.events import _make_doc_minhash_udf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "to be"),          # < 3 tokens -> null
+            (3, ""),               # empty -> null
+            (4, None),             # null -> null
+            (5, "numbers 123 split tokens here so shingling still works fine"),
+        ],
+        "doc_id long, text string",
+    )
+    udf_sig = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id", _make_doc_minhash_udf(MINHASH_K, _MOD)("text").alias("sig")
+        ).collect()
+    }
+    assert udf_sig[2] is None and udf_sig[3] is None and udf_sig[4] is None
+
+    sh = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.explode(shingles("toks")).alias("shingle")
+    )
+    jvm_sig = {
+        r["doc_id"]: [r[f"m{i}"] for i in range(MINHASH_K)]
+        for r in minhash_signatures(sh).collect()
+    }
+    for doc_id in (1, 5):
+        assert list(udf_sig[doc_id]) == jvm_sig[doc_id], doc_id
+
+
+def test_fixed_k_samples_on_empty_corpus(spark, monkeypatch):
+    """Both exactly-k samplers degrade to zero rows on an empty table."""
+    import mapreducegcp_spark.operators.sampling as sp
+
+    empty = _empty_docs(spark)
+    monkeypatch.setattr(sp, "load_table", lambda *a, **k: empty)
+    assert sp.q_sample_uniform_fixed_k(spark, SF_DIR).count() == 0
+    assert sp.q_sample_fixed_k_per_group(spark, SF_DIR).count() == 0
