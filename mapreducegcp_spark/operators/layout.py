@@ -346,3 +346,70 @@ def q_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_follow"),
         F.sum("cents").alias("follow_cents"),
     )
+
+
+# ---------------------------------------------- codec tradeoff probe
+
+_CODEC_ORACLE = """
+SELECT codec, CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows,
+       TRUE AS bytes_positive, TRUE AS roundtrip_exact
+FROM (SELECT unnest(['snappy', 'zstd']) AS codec)
+ORDER BY codec
+"""
+
+
+def _register_codec_probe():
+    import os
+    import shutil
+    import tempfile
+
+    @register("layout_codec_tradeoff", oracle=_CODEC_ORACLE, tags=("layout",))
+    def q_layout_codec_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Compression-codec tradeoff probe: the same table written
+        with snappy (decode-speed default) and zstd (ratio). At 100 TB
+        the codec choice IS a top-line cost lever — zstd commonly cuts
+        cold-storage and scan-I/O bytes 20-40% over snappy for the CPU
+        price of heavier encode — and because the footprint numbers are
+        machine-local facts, the oracle-checked row carries the
+        engine-portable invariants (row count preserved per codec,
+        nonzero bytes, bit-exact roundtrip) while the measured sizes
+        ship in the bytes columns for the probe's own log (excluded
+        from the value hash by being deterministic only per filesystem:
+        they are NOT emitted; see SCALE.md for a recorded run)."""
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_shipdate", "l_returnflag"
+        )
+
+        def sig(df):
+            # order-insensitive multiset signature: one agg pass, no
+            # exceptAll double-shuffle
+            r = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(*))").alias("h"),
+            ).collect()[0]
+            return (r["n"], r["h"])
+
+        src_sig = sig(li)
+        out = []
+        tmp = tempfile.mkdtemp(prefix="codec_probe_")
+        try:
+            for codec in ("snappy", "zstd"):
+                path = os.path.join(tmp, codec)
+                li.write.mode("overwrite").option("compression", codec).parquet(path)
+                back = spark.read.parquet(path)
+                back_sig = sig(back)
+                nbytes = sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _, fs in os.walk(path)
+                    for f in fs
+                    if f.endswith(".parquet")
+                )
+                out.append((codec, back_sig[0], nbytes > 0, back_sig == src_sig))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(
+            out, "codec string, n_rows long, bytes_positive boolean, roundtrip_exact boolean"
+        ).orderBy("codec")
+
+
+_register_codec_probe()

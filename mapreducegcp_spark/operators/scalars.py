@@ -280,3 +280,54 @@ def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(u, 2).alias("shr"),
         F.shiftright(u, 5).bitwiseAND(F.lit(1)).cast("int").alias("bit5"),
     )
+
+
+# ------------------------------------------------ URL function family
+
+_URL_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/corpus/' || lang
+           || '/doc?id=' || CAST(doc_id AS VARCHAR) || '&v=2' AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       regexp_extract(url, '[?&]id=([^&]*)', 1) AS id_param
+FROM u
+"""
+
+
+@register("scalar_url", oracle=_URL_ORACLE, tags=("scalars",))
+def q_scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — the first transform of every web-corpus
+    pipeline (host for per-domain quality priors and robots rules,
+    path/query for canonicalization before URL dedup). Spark's native
+    parse_url runs per component JVM-side; URLs are synthesized
+    deterministically from documents columns (the corpus has no real
+    ones), and the oracle re-derives each component with regexes, so
+    the check pins Spark's parse_url semantics on these shapes to the
+    grammar, not to another engine's URL parser."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/corpus/"),
+        F.col("lang"),
+        F.lit("/doc?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&v=2"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.lower(F.parse_url("url", F.lit("PROTOCOL"))).alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("id_param"),
+    )
