@@ -938,3 +938,86 @@ def q_events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.any_value("n")).alias("entropy_nats"),
         )
     )
+
+
+# ----------------------- grouped-Arrow exact OLS (applyInArrow)
+
+_OLS_ORACLE = """
+WITH pts AS (
+  SELECT event_type,
+         CAST(hour(ts) AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         AS slope_cents_per_hour,
+       (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents
+FROM s
+"""
+
+
+def make_ols_arrow_fn():
+    """Factory for the grouped-Arrow OLS kernel (local scope so
+    cloudpickle ships only the function, not this module — see
+    .claude/skills/verify)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def ols(table: "pa.Table") -> "pa.Table":
+        x = table.column("x").to_numpy(zero_copy_only=False).astype("int64")
+        y = table.column("y").to_numpy(zero_copy_only=False).astype("int64")
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy, sxx = int((x * y).sum()), int((x * x).sum())
+        denom = n * sxx - sx * sx
+        slope = float(n * sxy - sx * sy) / float(denom)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": pa.array([n], type=pa.int64()),
+                "slope_cents_per_hour": pa.array([slope], type=pa.float64()),
+                "intercept_cents": pa.array([intercept], type=pa.float64()),
+            }
+        )
+
+    return ols
+
+
+@register("agg_ols_slope_arrow", oracle=_OLS_ORACLE, tags=("relational",))
+def q_agg_ols_slope_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit (value-cents vs hour of
+    day) through ``groupBy().applyInArrow`` — the grouped-Arrow entry
+    point (no pandas materialization; the kernel reads Arrow buffers
+    into numpy directly), completing the Arrow API surface beside
+    mapInArrow (multimodal byte stats) and the pandas UDAF.
+
+    Determinism: all five sufficient statistics are exact int64 sums
+    of integer-scaled inputs (hours 0-23, per-row-rounded cents) —
+    associative, partition-order-free — and the slope/intercept are
+    the same two IEEE expressions on identical operands in both
+    engines. The cross products stay ~1e14 here; at corpora where
+    n*Sxy approaches 2^63 the same kernel upgrades the products to
+    python ints (arbitrary precision) before the final division —
+    the reduction stays exact at any scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    return ev.groupBy("event_type").applyInArrow(
+        make_ols_arrow_fn(),
+        schema="event_type string, n long, slope_cents_per_hour double, intercept_cents double",
+    )
