@@ -405,3 +405,81 @@ def q_sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", "doc_id", F.row_number().over(w).alias("rnk"))
         .where(F.col("rnk") <= _GROUP_K)
     )
+
+
+# ------------------------------------------------ hash-split A/B lift
+
+_AB_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         {_o_bucket("CAST(user_id AS VARCHAR)", 2)} AS arm,
+         max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS converted
+  FROM events
+  GROUP BY user_id
+),
+s AS (
+  SELECT CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+         CAST(sum(converted) FILTER (WHERE arm = 0) AS BIGINT) AS conv_a,
+         CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+         CAST(sum(converted) FILTER (WHERE arm = 1) AS BIGINT) AS conv_b
+  FROM u
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_diff,
+       (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z_score
+FROM s
+"""
+
+
+@register("events_ab_lift", oracle=_AB_ORACLE, tags=("relational",))
+def q_events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B analysis over a deterministic hash split:
+    users land in arm A/B by md5 bucket (the same universe-split
+    machinery as train/val/test — reproducible membership, no rand()),
+    conversion = any HIGH-VALUE purchase (> $180 — every user has
+    some purchase, so the interesting rate needs a bar), and the
+    two-proportion z-statistic
+    comes out of exact integer counts. Every float is a fixed chain of
+    correctly-rounded IEEE ops on identical operands (divisions and one
+    sqrt), so even the test statistic value-hashes across engines.
+
+    Scale shape: one groupBy(user) for per-user conversion (map-side
+    combinable max), then a constant-size conditional aggregate —
+    experiment readouts at 100 TB cost one pass regardless of arms."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 180), 1
+            ).otherwise(0)
+        ).alias(
+            "converted"
+        )
+    )
+    u = u.select(
+        md5_bucket(F.col("user_id").cast("string"), 2).alias("arm"), "converted"
+    )
+    s = u.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted"))).alias("conv_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted"))).alias("conv_b"),
+    )
+    pa_ = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    pb_ = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (pa_ - pb_) / F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a").cast("double") + F.lit(1.0) / F.col("n_b").cast("double"))
+    )
+    return s.select(
+        "n_a", "conv_a", "n_b", "conv_b", (pa_ - pb_).alias("rate_diff"), z.alias("z_score")
+    )
