@@ -12,6 +12,10 @@ Each query executes end-to-end through the ``noop`` sink so the full
 physical plan runs (scan -> shuffle -> agg) without driver-side collect
 overhead distorting the numbers. A warmup query amortizes JVM/codegen
 startup out of the per-query timings.
+
+Breadth timings (every non-headline registered query, one pass each)
+go to stderr and ``BENCH_BREADTH.json`` — stdout stays one compact
+line so a bounded tail capture always parses the headline number.
 """
 
 from __future__ import annotations
@@ -56,9 +60,20 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def _run(rq, spark, sf_dir) -> float:
+def _raw_overrides() -> dict:
+    """Headline plans timed by their RAW implementation where the
+    registered query is a correctness wrapper: similarity_ann_ivf's
+    registry entry is now the recall gate (ANN + exact + semi-join,
+    so the driver gets a hash row), but the cross-round bench anchor
+    is the physical ANN plan itself."""
+    from mapreducegcp_spark.operators.similarity import q_similarity_ann_ivf
+
+    return {"similarity_ann_ivf": q_similarity_ann_ivf}
+
+
+def _run(fn, spark, sf_dir) -> float:
     t0 = time.perf_counter()
-    rq.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
@@ -75,6 +90,7 @@ def main() -> None:
 
     # Warmup: run the cheapest query once to pay JVM + codegen startup.
     catalog["wordcount"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    raw = _raw_overrides()
 
     # Headliners get best-of-2: the first run can pay lazy codegen/
     # broadcast warmup that belongs to the JVM, not the plan — min is
@@ -83,24 +99,38 @@ def main() -> None:
     # these 18 — the cross-round trend anchor.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        rq = catalog.get(name)
-        if rq is None:  # a renamed headliner must not abort the whole bench
+        fn = raw.get(name) or (catalog[name].fn if name in catalog else None)
+        if fn is None:  # a renamed headliner must not abort the whole bench
             print(f"bench: headline query {name!r} not registered", file=sys.stderr)
             continue
-        timings[name] = round(min(_run(rq, spark, sf_dir) for _ in range(2)), 3)
+        timings[name] = round(min(_run(fn, spark, sf_dir) for _ in range(2)), 3)
     headline_total = round(sum(timings.values()), 3)
 
     # Breadth: every other registered query, one pass each, so a
     # regression in a non-headline operator is visible round over round.
+    # Breadth timings go to a SIDE ARTIFACT (BENCH_BREADTH.json) plus
+    # stderr — NOT stdout. Round 2 lost its headline number because the
+    # single stdout JSON line grew past the driver's tail capture; the
+    # final stdout line must stay the compact headline object so
+    # whatever tail window the driver keeps always parses.
     if not headline_only:
+        breadth: dict[str, float] = {}
         for name in sorted(catalog):
             if name in timings:
                 continue
             try:
-                timings[name] = round(_run(catalog[name], spark, sf_dir), 3)
+                breadth[name] = round(_run(catalog[name].fn, spark, sf_dir), 3)
             except Exception as e:  # noqa: BLE001 — a broken query must not hide the rest
-                timings[name] = -1.0
+                breadth[name] = -1.0
                 print(f"bench error {name}: {e}", file=sys.stderr)
+        breadth_doc = {"metric": "breadth_sec", "queries": breadth, "sf": _sf_of(sf_dir)}
+        print(json.dumps(breadth_doc), file=sys.stderr)
+        try:
+            Path(__file__).resolve().parent.joinpath("BENCH_BREADTH.json").write_text(
+                json.dumps(breadth_doc, indent=1) + "\n"
+            )
+        except OSError as e:
+            print(f"bench: could not write BENCH_BREADTH.json: {e}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -109,7 +139,6 @@ def main() -> None:
                 "value": headline_total,
                 "unit": "sec",
                 "queries": timings,
-                "headline_queries": HEADLINE,
                 "sf": _sf_of(sf_dir),
             }
         )

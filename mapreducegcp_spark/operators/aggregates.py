@@ -93,12 +93,13 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", tags=("relational", "rows-only"))
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate. Rows-only check: DuckDB's
+    """HyperLogLog++ distinct estimate (raw plan, unregistered: DuckDB's
     approx_count_distinct uses a different sketch, so values can't
-    hash-match; the scale story (constant memory per group vs exact
-    distinct's shuffle of every key) is the point of the operator."""
+    hash-match — the REGISTERED agg_approx_distinct_tol below runs this
+    sketch against the exact count and leaves the hash-checkable row).
+    The scale story (constant memory per group vs exact distinct's
+    shuffle of every key) is the point of the operator."""
     orders = load_table(spark, sf_dir, "orders")
     # rsd 0.025 ≈ 2^14 HLL registers per group — the sketch-size sweet
     # spot (rsd 0.01 forces the dense 2^17-register encoding, ~26 KB per
@@ -735,25 +736,34 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     for (percentile() weights every row equally): the smallest price
     whose cumulative QUANTITY covers half the group's total quantity.
 
-    One window pass (sort by price within each group, running decimal
-    sum), then ``min(price)`` over the rows past the halfway mark. All
-    comparisons stay in the decimal domain (``2*cum >= total``, no
-    division), so ties and the halfway boundary are exact — the same
-    arithmetic both engines execute bit-identically. Rows tied on
-    price cross the threshold inside their tie block, so the selected
-    VALUE is order-independent even though the cumsum is not. Two
-    exchanges max: the window's hash partitioning is reused by the
-    final same-key groupBy."""
+    Two passes: (1) collapse to one row per (group, DISTINCT price)
+    with its summed weight — a map-side-combinable aggregation, so the
+    shuffle and the downstream sort scale with price cardinality, not
+    row count (the round-2 shape windowed over raw rows: its one-task-
+    per-group sort was the scale ceiling; group size grew 100x ->
+    sort grew 100x); (2) a window cumsum over the collapsed rows,
+    then ``min(price)`` past the halfway mark. All comparisons stay in
+    the decimal domain (``2*cum >= total``, no division), so ties and
+    the halfway boundary are exact — the same arithmetic both engines
+    execute bit-identically; collapsing ties changes nothing because
+    the selected price is read at its tie-block END in both shapes.
+    Two exchanges: hash(group, price) for the collapse, hash(group)
+    for the window, which the final same-key groupBy reuses."""
     li = load_table(spark, sf_dir, "lineitem")
-    w_ord = Window.partitionBy("l_returnflag").orderBy(dec2("l_extendedprice")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    per_price = li.groupBy(
+        "l_returnflag", dec2("l_extendedprice").alias("price")
+    ).agg(F.sum(dec2("l_quantity")).alias("w"))
+    w_ord = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy("l_returnflag")
-    c = li.select(
+    c = per_price.select(
         "l_returnflag",
-        dec2("l_extendedprice").alias("price"),
-        F.sum(dec2("l_quantity")).over(w_ord).alias("cum"),
-        F.sum(dec2("l_quantity")).over(w_all).alias("total"),
+        "price",
+        F.sum("w").over(w_ord).alias("cum"),
+        F.sum("w").over(w_all).alias("total"),
     )
     return (
         c.where(F.lit(2) * F.col("cum") >= F.col("total"))
@@ -982,8 +992,14 @@ def make_ols_arrow_fn():
         sx, sy = int(x.sum()), int(y.sum())
         sxy, sxx = int((x * y).sum()), int((x * x).sum())
         denom = n * sxx - sx * sx
-        slope = float(n * sxy - sx * sy) / float(denom)
-        intercept = (float(sy) - slope * float(sx)) / float(n)
+        if denom == 0:
+            # all x equal (or n == 1): the slope is undefined. DuckDB's
+            # double division by zero yields NULL, so emit NULL for
+            # both fitted values to stay bit-compatible with the oracle.
+            slope = intercept = None
+        else:
+            slope = float(n * sxy - sx * sy) / float(denom)
+            intercept = (float(sy) - slope * float(sx)) / float(n)
         return pa.table(
             {
                 "event_type": [table.column("event_type")[0].as_py()],
@@ -1008,10 +1024,12 @@ def q_agg_ols_slope_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     of integer-scaled inputs (hours 0-23, per-row-rounded cents) —
     associative, partition-order-free — and the slope/intercept are
     the same two IEEE expressions on identical operands in both
-    engines. The cross products stay ~1e14 here; at corpora where
-    n*Sxy approaches 2^63 the same kernel upgrades the products to
-    python ints (arbitrary precision) before the final division —
-    the reduction stays exact at any scale."""
+    engines; a degenerate group (all x equal) yields NULL in both.
+    The cross products stay ~1e14 here, far inside int64; a corpus
+    where n*Sxy approached 2^63 would need the kernel's products
+    promoted to python ints (arbitrary precision) WITH a matching
+    oracle change, since cast-then-divide and exact-divide round
+    differently past 2^53."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.hour("ts").cast("long").alias("x"),

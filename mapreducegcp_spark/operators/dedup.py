@@ -546,50 +546,55 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
     )
     from pyspark.sql import Observation
 
-    for _ in range(50):  # hard bound; converges in <= graph diameter
-        neigh = (
-            edges.join(labels, edges["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("cluster_id").alias("nmin"))
-        )
-        # the changed-count rides the checkpoint materialization via
-        # observe() — no separate convergence job per round (and no
-        # join against the old labels: the previous label is carried
-        # through as a column)
-        obs = Observation()
-        new = (
-            labels.join(neigh, labels["node"] == neigh["a"], "left")
-            .select(
-                labels["node"],
-                F.least(
-                    labels["cluster_id"],
-                    F.coalesce(neigh["nmin"], labels["cluster_id"]),
-                ).alias("cluster_id"),
-                labels["cluster_id"].alias("prev"),
+    try:
+        for _ in range(50):  # hard bound; converges in <= graph diameter
+            neigh = (
+                edges.join(labels, edges["b"] == labels["node"])
+                .groupBy("a")
+                .agg(F.min("cluster_id").alias("nmin"))
             )
-            .observe(
-                obs,
-                F.count(F.when(F.col("cluster_id") != F.col("prev"), 1)).alias(
-                    "changed"
-                ),
+            # the changed-count rides the checkpoint materialization via
+            # observe() — no separate convergence job per round (and no
+            # join against the old labels: the previous label is carried
+            # through as a column)
+            obs = Observation()
+            new = (
+                labels.join(neigh, labels["node"] == neigh["a"], "left")
+                .select(
+                    labels["node"],
+                    F.least(
+                        labels["cluster_id"],
+                        F.coalesce(neigh["nmin"], labels["cluster_id"]),
+                    ).alias("cluster_id"),
+                    labels["cluster_id"].alias("prev"),
+                )
+                .observe(
+                    obs,
+                    F.count(F.when(F.col("cluster_id") != F.col("prev"), 1)).alias(
+                        "changed"
+                    ),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
-        changed = obs.get["changed"]
-        labels = new.select("node", "cluster_id")
-        if changed == 0:
-            break
-    else:
-        # fail LOUDLY: labels short of the fixed point are silently
-        # wrong cluster ids, and a >50-diameter graph means the caller
-        # picked the wrong engine for its shape
-        raise RuntimeError(
-            "min_label_components did not converge in 50 rounds "
-            "(graph diameter > 50); use two_phase_components, whose "
-            "round count is logarithmic in component size"
-        )
-    edges.unpersist()
-    half.unpersist()
+            changed = obs.get["changed"]
+            labels = new.select("node", "cluster_id")
+            if changed == 0:
+                break
+        else:
+            # fail LOUDLY: labels short of the fixed point are silently
+            # wrong cluster ids, and a >50-diameter graph means the caller
+            # picked the wrong engine for its shape
+            raise RuntimeError(
+                "min_label_components did not converge in 50 rounds "
+                "(graph diameter > 50); use two_phase_components, whose "
+                "round count is logarithmic in component size"
+            )
+    finally:
+        # labels is checkpointed, so releasing the inputs here is safe
+        # on every exit path — including the non-convergence raise,
+        # which previously leaked both caches in a long-lived session
+        edges.unpersist()
+        half.unpersist()
     return labels
 
 
@@ -993,6 +998,15 @@ def two_phase_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
         if new_sig == sig:
             break
         sig = new_sig
+    else:
+        # mirror min_label_components: a capped-out run means the edge
+        # set never reached its fixed point, and labels read off it
+        # would be silently wrong cluster ids — fail loudly instead
+        raise RuntimeError(
+            "two_phase_components did not converge in 50 alternations; "
+            "O(log n) rounds should never need this many — the input "
+            "edge list is pathological or the round cap needs raising"
+        )
     roots = C.select(F.col("lo").alias("node"), F.col("lo").alias("cluster_id"))
     members = C.select(F.col("hi").alias("node"), F.col("lo").alias("cluster_id"))
     return roots.union(members).distinct()

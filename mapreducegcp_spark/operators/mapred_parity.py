@@ -260,3 +260,51 @@ def q_mapred_generic_python_app(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = json.loads(out)
     rows = sorted((k, int(v)) for k, v in payload.items())
     return spark.createDataFrame(rows, "letter string, cnt long")
+
+
+_LIFECYCLE_ORACLE = f"""
+SELECT
+  CAST(2 AS BIGINT) AS jobs_live_after_init,
+  CAST(0 AS BIGINT) AS jobs_live_after_destroy,
+  TRUE AS destroy_idempotent,
+  TRUE AS run_after_destroy_rejected,
+  (SELECT count(*) FROM (SELECT unnest({_TOKENS_OF_LITERAL}) AS word)
+   WHERE word = 'fox') AS fox_cnt
+"""
+
+
+@register("mapred_lifecycle", oracle=_LIFECYCLE_ORACLE, tags=("reference-parity",))
+def q_mapred_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster lifecycle contract: init -> run -> destroy semantics.
+
+    Reference: ``init_cluster`` mints a uuid job handle and
+    ``destroy_cluster`` forgets it (Master/Master.py:25-58, 17-21 — the
+    reference's destroy is a stub that frees nothing; here it drops the
+    handle so a subsequent run is rejected). The probe asserts the
+    whole contract in one hash-checkable row: two live handles after
+    two inits, zero after destroys, destroy is idempotent, running
+    against a destroyed handle raises, and the job that DID run between
+    init and destroy produced the right counts (the 'fox' count from
+    the literal corpus, re-derived by the oracle from the same string).
+    """
+    eng = MapReduceEngine(spark)
+    uid1 = eng.init_cluster(number_of_mappers=2, number_of_reducers=2)
+    uid2 = eng.init_cluster(number_of_mappers=4, number_of_reducers=1)
+    jobs_after_init = len(eng._jobs)
+    out = eng.run_mapred(uid1, _LITERAL, "WordCountMapper", "WordCountReducer")
+    eng.destroy_cluster(uid1)
+    eng.destroy_cluster(uid2)
+    jobs_after_destroy = len(eng._jobs)
+    eng.destroy_cluster(uid1)  # second destroy of the same handle: no-op
+    destroy_idempotent = len(eng._jobs) == jobs_after_destroy
+    try:
+        eng.run_mapred(uid1, _LITERAL, "WordCountMapper", "WordCountReducer")
+        run_rejected = False
+    except KeyError:
+        run_rejected = True
+    fox_cnt = int(json.loads(out).get("fox", 0))
+    return spark.createDataFrame(
+        [(jobs_after_init, jobs_after_destroy, destroy_idempotent, run_rejected, fox_cnt)],
+        "jobs_live_after_init long, jobs_live_after_destroy long, "
+        "destroy_idempotent boolean, run_after_destroy_rejected boolean, fox_cnt long",
+    )

@@ -222,14 +222,15 @@ def _band_bucket_udf(planes: list[list[float]], n_bands: int):
     return buckets
 
 
-@register("similarity_ann_lsh", tags=("llm-pipeline", "rows-only"))
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH.
+    """Approximate top-k via random-hyperplane LSH (raw plan).
 
     64 sign bits -> 16 bands of 4 bits; corpus vectors join the (broadcast)
     query signatures on any matching band, exact cosine re-ranks the
-    candidates, window takes top-k. Rows-only (band pruning is
-    approximate); tests assert recall >= 0.85 against the brute-force
+    candidates, window takes top-k. The output is approximate (band
+    pruning), so the REGISTERED ``similarity_ann_lsh`` query wraps this
+    plan in the recall gate (``_recall_query``) whose single row IS
+    hash-checkable; tests assert recall >= 0.85 against the brute-force
     baseline (measured 0.94 at sf0.01).
 
     Scale: corpus-side work per vector is 64 dot products + band keys —
@@ -436,7 +437,12 @@ def _recall_query(ann_fn, floor: float):
     the approximate operator leaves a full value-hash CORRECTNESS row:
     the oracle re-derives n_expected from the data and states TRUE for
     the gate — the hash matches iff Spark's measured recall clears the
-    floor. No collect; the single output row is the aggregate."""
+    floor. No collect; the single output row is the aggregate.
+
+    This wrapper IS the registered ``similarity_ann_*`` query (round 3
+    folded the former rows-only raw registration and its ``_recall``
+    companion into one oracle-checked entry — the raw top-k plans stay
+    public as ``q_similarity_ann_{lsh,ivf,pq}`` for tests and bench)."""
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact = q_similarity_topk(spark, sf_dir).select("query_id", "vec_id")
@@ -461,20 +467,21 @@ _RECALL_ORACLE = f"""
 SELECT count(*) AS n_expected, TRUE AS recall_ok FROM ({_TOPK_ORACLE.strip()})
 """
 
-register("similarity_ann_lsh_recall", oracle=_RECALL_ORACLE, tags=("llm-pipeline",))(
+register("similarity_ann_lsh", oracle=_RECALL_ORACLE, tags=("llm-pipeline",))(
     _recall_query(q_similarity_ann_lsh, LSH_RECALL_FLOOR)
 )
 
 
-@register("similarity_ann_ivf", tags=("llm-pipeline", "rows-only"))
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via IVF (inverted-file) coarse quantization.
+    """Approximate top-k via IVF (inverted-file) coarse quantization (raw plan).
 
     Load the k=16 cosine k-means quantizer (trained offline by 3
     distributed Lloyd rounds — see ivf_centroids / train_ivf_centroids),
     assign every corpus vector to its nearest centroid (its inverted
     list), probe the 6 nearest lists per query, exact-cosine re-rank the
-    candidates, window top-k. Rows-only (pruning is approximate); tests
+    candidates, window top-k. The output is approximate, so the
+    REGISTERED ``similarity_ann_ivf`` query wraps this plan in the
+    hash-checkable recall gate (``_recall_query``); tests
     assert recall >= 0.6 against brute force (measured 0.74 at sf0.001 —
     the driver's embeddings are near-uniform random, which is the
     adversarial case for IVF; clustered real-world embeddings do far
@@ -519,7 +526,7 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
 
-register("similarity_ann_ivf_recall", oracle=_RECALL_ORACLE, tags=("llm-pipeline",))(
+register("similarity_ann_ivf", oracle=_RECALL_ORACLE, tags=("llm-pipeline",))(
     _recall_query(q_similarity_ann_ivf, IVF_RECALL_FLOOR)
 )
 
@@ -924,9 +931,8 @@ def _pq_lut_udf(CB):
     return lut
 
 
-@register("similarity_ann_pq", tags=("llm-pipeline", "rows-only"))
 def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via product quantization + exact re-rank.
+    """Approximate top-k via product quantization + exact re-rank (raw plan).
 
     The billion-vector memory layout FAISS calls IVF-less PQ/ADC: each
     corpus vector is stored as m=8 5-bit codes (5 packed bytes instead of 256
@@ -939,8 +945,9 @@ def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is PURE Catalyst — the per-query LUT is a broadcast column
     and the code-indexed sum is a higher-order fold over the 8 codes —
     so the hot scan stays in whole-stage codegen reading 4-byte codes,
-    exactly the bandwidth story PQ exists for. Rows-only; the recall
-    gate below leaves the driver-checkable row.
+    exactly the bandwidth story PQ exists for. The output is
+    approximate; the REGISTERED ``similarity_ann_pq`` query wraps this
+    plan in the hash-checkable recall gate below.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     CB = pq_codebooks(spark, sf_dir)
@@ -987,6 +994,6 @@ def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_RECALL_FLOOR = 0.70  # measured 0.88 at sf0.01, 0.82 at sf0.001 (uniform vectors = worst case)
 
-register("similarity_ann_pq_recall", oracle=_RECALL_ORACLE, tags=("llm-pipeline",))(
+register("similarity_ann_pq", oracle=_RECALL_ORACLE, tags=("llm-pipeline",))(
     _recall_query(q_similarity_ann_pq, PQ_RECALL_FLOOR)
 )

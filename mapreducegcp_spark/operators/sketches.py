@@ -632,7 +632,7 @@ def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------- native theta sketch set algebra (datasketches)
 
-_THETA_TOL = 0.05  # 3 sigma of the default lgK theta sketch
+_THETA_K = 1 << 12  # theta_sketch_agg default lgNomEntries = 12
 
 _THETA_ORACLE = """
 WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
@@ -659,7 +659,15 @@ def q_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gate pattern per agg_approx_distinct_tol: emit the EXACT counts
     plus a within-tolerance boolean for each estimate, so the driver
     hash-checks a full row and the tolerance is the only approximate
-    claim."""
+    claim. The tolerance is DERIVED per estimate, not a flat band:
+    a theta intersection/difference samples its members at rate
+    theta ~ k/|union|, so the estimate is ~Binomial(E, theta)/theta
+    with std <= sqrt(E * |union| / k) — the gate allows 3 of those
+    sigmas (for E = |union| this reduces to the familiar union RSE
+    3*U/sqrt(k); in the exact regime, union <= k, estimates are
+    exact and any non-negative band passes). A flat 5% band would
+    flake once |union|/|intersection| outgrows k/9 at larger scale
+    factors or more disjoint priority sets."""
     orders = load_table(spark, sf_dir, "orders")
     urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
     high = orders.where(F.col("o_orderpriority") == "2-HIGH")
@@ -687,10 +695,12 @@ def q_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def within(est_col: str, exact_col: str):
-        return (
-            F.abs(F.col(est_col) - F.col(exact_col))
-            <= F.col(exact_col).cast("double") * _THETA_TOL
+        sigma = F.sqrt(
+            F.col(exact_col).cast("double")
+            * F.col("exact_union").cast("double")
+            / F.lit(float(_THETA_K))
         )
+        return F.abs(F.col(est_col) - F.col(exact_col)) <= 3.0 * sigma
 
     return ex.crossJoin(F.broadcast(est)).select(
         "exact_union",

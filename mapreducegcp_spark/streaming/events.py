@@ -908,15 +908,16 @@ def q_stream_lsh_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The signature must be computed WITHOUT the batch path's
     per-shingle groupBy (operators/dedup.py minhash_signatures):
-    chaining two streaming aggregations is unsupported, so the k mins
-    fold per-ROW over the document's own shingle array (higher-order
-    transform + array_min — interpreted per element, the price of
-    keeping the stream single-stateful; one md5 per shingle feeds all
-    k permutations exactly like batch). State is O(distinct buckets),
-    min/count are order-commutative, so the replayed result is
-    deterministic and hash-matches the batch oracle. The >= 2 filter
-    runs on the serving read (rank-on-read pattern, see
-    stream_topk_users), keeping sink state exactly the index.
+    chaining two streaming aggregations is unsupported, so the whole
+    signature stage runs as ONE Arrow ``pandas_udf`` over the text
+    column (``_make_doc_minhash_udf``: tokenize, shingle, md5 and the
+    k-min fold vectorized in numpy per batch — one md5 per shingle
+    feeds all k permutations exactly like batch), keeping the stream
+    single-stateful. State is O(distinct buckets), min/count are
+    order-commutative, so the replayed result is deterministic and
+    hash-matches the batch oracle. The >= 2 filter runs on the
+    serving read (rank-on-read pattern, see stream_topk_users),
+    keeping sink state exactly the index.
 
     Scale: per document the stream carries 8 (band, bucket) rows
     into the stateful exchange — constant per doc, independent of

@@ -231,10 +231,15 @@ def test_bloom_prefilter_reaches_scan_stage(spark):
 
 
 def test_pq_adc_scan_is_jvm_side(spark):
-    """similarity_ann_pq: encode/LUT are the only Arrow stages; the ADC
+    """PQ raw plan: encode/LUT are the only Arrow stages; the ADC
     candidate scoring itself (aggregate over codes) must be pure
-    Catalyst — no row-at-a-time Python, queries broadcast, no SMJ."""
-    tree, _ = _plans(spark, "similarity_ann_pq")
+    Catalyst — no row-at-a-time Python, queries broadcast, no SMJ.
+    (Asserted on the raw plan — the registered similarity_ann_pq is
+    the recall gate wrapping it.)"""
+    from mapreducegcp_spark.operators.similarity import q_similarity_ann_pq
+
+    df = q_similarity_ann_pq(spark, SF_DIR)
+    tree = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in tree
     assert "SortMergeJoin" not in tree
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree

@@ -1,0 +1,72 @@
+"""Empirical scaling ratios, frozen as an opt-in test.
+
+SCALE.md's 1x/10x probe table is committed prose; this file makes the
+invariant executable so a future quadratic regression FAILS a run
+instead of silently aging a document. Opt-in (slow: every probe runs
+its query at 1x and at 10x replicated volume):
+
+    RUN_SCALE_PROBE=1 python -m pytest tests/test_scale_probe.py -q
+
+The bound mirrors the probe's acceptance rule: wall clock at 10x the
+input must stay under 10x the 1x wall clock, with an absolute grace
+floor so fixed per-query overhead (session, planning, tiny inputs) on
+sub-second timings can't fail the linearity claim on noise. A plan
+hiding an O(n^2) step shows ~100x and clears neither term.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from scale_probe import PROBES, replicate  # noqa: E402
+
+RUN = os.environ.get("RUN_SCALE_PROBE") == "1"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+FACTOR = 10
+GRACE_SEC = 2.0  # absolute slack for fixed overheads on short timings
+
+pytestmark = pytest.mark.skipif(
+    not RUN, reason="slow 1x/10x probe; set RUN_SCALE_PROBE=1 to run"
+)
+
+
+def _timed(df) -> float:
+    t = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t
+
+
+@pytest.mark.parametrize("name", sorted(PROBES))
+def test_ratio_stays_linear(spark, name):
+    import mapreducegcp_spark.sources.catalog as catalog
+    from mapreducegcp_spark.registry import all_queries
+
+    q = all_queries()[name]
+    tables = PROBES[name]
+    mod = sys.modules[q.fn.__module__]
+    base_load = catalog.load_table
+
+    t1 = min(_timed(q.fn(spark, SF_DIR)) for _ in range(2))
+
+    def scaled_load(spark_, sf_dir_, table_):
+        df = base_load(spark_, sf_dir_, table_)
+        return replicate(df, tables[table_], FACTOR) if table_ in tables else df
+
+    mod.load_table = scaled_load
+    try:
+        tN = min(_timed(q.fn(spark, SF_DIR)) for _ in range(2))
+    finally:
+        mod.load_table = base_load
+
+    limit = max(FACTOR * t1, t1 + GRACE_SEC)
+    assert tN <= limit, (
+        f"{name}: {t1:.2f}s at 1x -> {tN:.2f}s at {FACTOR}x "
+        f"(limit {limit:.2f}s) — super-linear scaling"
+    )

@@ -1,5 +1,10 @@
 from __future__ import annotations
 
+from mapreducegcp_spark.operators.similarity import (
+    q_similarity_ann_ivf,
+    q_similarity_ann_lsh,
+    q_similarity_ann_pq,
+)
 from mapreducegcp_spark.registry import get_query
 
 
@@ -25,7 +30,7 @@ def test_ann_lsh_recall_against_bruteforce(spark, sf_dir):
     most of the exact top-10.  Deterministic planes (splitmix64 mix), so
     the measured 0.94 recall at sf0.01 is stable; assert a safe floor."""
     exact = _pairs(get_query("similarity_topk_bruteforce").fn(spark, sf_dir))
-    ann = _pairs(get_query("similarity_ann_lsh").fn(spark, sf_dir))
+    ann = _pairs(q_similarity_ann_lsh(spark, sf_dir))
     recall = len(exact & ann) / len(exact)
     assert recall >= 0.85, f"ANN recall too low: {recall}"
 
@@ -36,7 +41,7 @@ def test_ann_ivf_recall_against_bruteforce(spark, sf_dir):
     still recovers most of the exact top-10 (measured 0.74 at
     sf0.001; deterministic init, so stable). Assert a safe floor."""
     exact = _pairs(get_query("similarity_topk_bruteforce").fn(spark, sf_dir))
-    ivf = _pairs(get_query("similarity_ann_ivf").fn(spark, sf_dir))
+    ivf = _pairs(q_similarity_ann_ivf(spark, sf_dir))
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.6, f"IVF recall too low: {recall}"
 
@@ -55,6 +60,6 @@ def test_ann_pq_recall_against_bruteforce(spark, sf_dir):
     most of the exact top-10 (measured 0.82 at sf0.001 / 0.88 at
     sf0.01; deterministic codebook init, so stable)."""
     exact = _pairs(get_query("similarity_topk_bruteforce").fn(spark, sf_dir))
-    pq = _pairs(get_query("similarity_ann_pq").fn(spark, sf_dir))
+    pq = _pairs(q_similarity_ann_pq(spark, sf_dir))
     recall = len(exact & pq) / len(exact)
     assert recall >= 0.7, f"PQ recall too low: {recall}"
