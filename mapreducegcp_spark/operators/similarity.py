@@ -997,3 +997,55 @@ PQ_RECALL_FLOOR = 0.70  # measured 0.88 at sf0.01, 0.82 at sf0.001 (uniform vect
 register("similarity_ann_pq", oracle=_RECALL_ORACLE, tags=("llm-pipeline",))(
     _recall_query(q_similarity_ann_pq, PQ_RECALL_FLOOR)
 )
+
+
+# --------------------------------------- k-NN majority-vote classification
+
+_KNN_CLASSIFY_ORACLE = f"""
+WITH tk AS ({_TOPK_ORACLE.strip()}),
+votes AS (
+  SELECT t.query_id, e.label, CAST(count(*) AS BIGINT) AS votes
+  FROM tk t JOIN embeddings e ON t.vec_id = e.vec_id
+  GROUP BY t.query_id, e.label
+)
+SELECT query_id, label AS predicted_label, votes
+FROM (
+  SELECT query_id, label, votes,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY votes DESC, label
+         ) AS rn
+  FROM votes
+)
+WHERE rn = 1
+"""
+
+
+@register("similarity_knn_classify", oracle=_KNN_CLASSIFY_ORACLE, tags=("llm-pipeline",))
+def q_similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction: majority vote over each query vector's
+    exact cosine top-k's ``label`` column (ties break to the smaller
+    label — deterministic). The evaluation harness half of similarity
+    search: given labeled embeddings, this is how retrieval quality
+    (and label propagation for weakly-supervised data curation) gets
+    scored.
+
+    Scale: the expensive part IS the top-k (one corpus scan, see
+    q_similarity_topk); everything after operates on k rows per query
+    — the k-bounded result set BROADCASTS back onto the corpus for
+    the label join (map-side, no corpus shuffle), and the vote rollup
+    touches k*queries rows. Swap the exact top-k for any ANN variant
+    above and the classification layer is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = q_similarity_topk(spark, sf_dir).select("query_id", "vec_id")
+    votes = (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(topk), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )

@@ -775,3 +775,71 @@ def q_text_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("xent_nats"),
         )
     )
+
+
+# ------------------------------------------- corpus n-gram novelty
+
+# The token/shingle SQL twins live beside their Spark builders in
+# dedup.py; import at module scope would be circular-safe but the
+# format call needs them here.
+def _novelty_oracle() -> str:
+    from mapreducegcp_spark.operators.dedup import _SHINGLES, _TOKS
+
+    return _NOVELTY_ORACLE_TMPL.format(toks=_TOKS, shingles=_SHINGLES)
+
+
+_NOVELTY_ORACLE_TMPL = """
+WITH tk AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest({shingles}) AS shingle FROM tk
+),
+firsts AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS novelty
+FROM sh s JOIN firsts f ON s.shingle = f.shingle
+GROUP BY s.doc_id
+"""
+
+
+@register("text_ngram_novelty", oracle=_novelty_oracle(), tags=("llm-pipeline",))
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct 3-token shingles that appear in NO earlier document
+    (earlier = smaller doc_id — ingestion order). The streaming-corpus
+    quality signal behind "is this document adding anything new":
+    boilerplate and template pages score near 0, fresh content near 1;
+    a training pipeline uses it to down-weight late crawl copies that
+    exact/near dedup kept (below their similarity thresholds).
+
+    Plan shape: the dedup family's shingle explode (distinct within
+    doc, map-side), ONE shuffle on shingle for the global
+    min(doc_id)-per-shingle rollup, whose hash partitioning the
+    shingle-equi join then reuses (no second exchange on the big
+    side), and one final doc_id rollup. The same inverted-index
+    economics as dedup_ngram_jaccard: shuffle rows = total distinct
+    (doc, shingle) pairs, no pairwise blow-up anywhere. At 100 TB the
+    min-per-shingle table is the only corpus-wide state and it is
+    bounded by vocabulary growth (sublinear in corpus bytes).
+    """
+    from mapreducegcp_spark.operators.dedup import _doc_shingles
+
+    sh = _doc_shingles(spark, sf_dir)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel_flag = F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel_flag).alias("n_novel"),
+            (F.sum(novel_flag).cast("double") / F.count("*")).alias("novelty"),
+        )
+    )

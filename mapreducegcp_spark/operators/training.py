@@ -432,3 +432,132 @@ def q_chunk_text_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
+
+
+# ------------------------------------- curriculum phases by length
+
+_CURRICULUM_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, lang, len({_TOKS}) AS n_tokens FROM documents
+),
+cuts AS (
+  SELECT lang,
+         quantile_cont(n_tokens, 0.25) AS q1,
+         quantile_cont(n_tokens, 0.50) AS q2,
+         quantile_cont(n_tokens, 0.75) AS q3
+  FROM tk GROUP BY lang
+)
+SELECT t.doc_id, t.lang, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN t.n_tokens <= c.q1 THEN 1
+            WHEN t.n_tokens <= c.q2 THEN 2
+            WHEN t.n_tokens <= c.q3 THEN 3
+            ELSE 4 END AS phase
+FROM tk t JOIN cuts c ON t.lang = c.lang
+"""
+
+
+@register("curriculum_length_phases", oracle=_CURRICULUM_ORACLE, tags=("llm-pipeline",))
+def q_curriculum_length_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum assignment: each document gets a phase
+    1-4 from its token count's quartile WITHIN its language — the
+    short-to-long schedule curriculum training consumes, balanced per
+    language so high-resource languages don't define the global cuts.
+
+    Scale shape (the feature_quantile_bins pattern, per group): phase
+    boundaries come from one distributed grouped ``percentile``
+    aggregate (partial per partition, merged — NO per-language window
+    sort, which would funnel each language through one task), the
+    n_langs-row cutpoint table broadcasts back, and assignment is a
+    map-side CASE. Equal-length ties land in the same phase by
+    construction — the property a curriculum wants, and what makes the
+    output independent of any sort order. Cutpoints interpolate
+    between integers at quarter fractions (exact in doubles), so both
+    engines' interpolation formulas agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", "lang", F.size(tokens("text")).alias("n_tokens"))
+    cuts = tk.groupBy("lang").agg(
+        F.expr("percentile(n_tokens, array(0.25D, 0.50D, 0.75D))").alias("qs")
+    ).select(
+        "lang",
+        F.col("qs")[0].alias("q1"),
+        F.col("qs")[1].alias("q2"),
+        F.col("qs")[2].alias("q3"),
+    )
+    return tk.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.when(F.col("n_tokens") <= F.col("q1"), 1)
+        .when(F.col("n_tokens") <= F.col("q2"), 2)
+        .when(F.col("n_tokens") <= F.col("q3"), 3)
+        .otherwise(4)
+        .alias("phase"),
+    )
+
+
+# --------------------------------- temperature-scaled mixture weights
+
+_TEMP_ORACLE = f"""
+WITH src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+denom AS (
+  SELECT list_reduce(
+           list_transform(
+             list_sort(list(struct_pack(source := source, n_tokens := n_tokens))),
+             r -> sqrt(CAST(r.n_tokens AS DOUBLE))
+           ),
+           (a, b) -> a + b
+         ) AS d
+  FROM src
+)
+SELECT s.source, s.n_docs, s.n_tokens,
+       CAST(s.n_tokens AS DOUBLE)
+         / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM src) AS raw_share,
+       sqrt(CAST(s.n_tokens AS DOUBLE)) / (SELECT d FROM denom) AS temp_weight
+FROM src s
+"""
+
+
+@register("sample_temperature", oracle=_TEMP_ORACLE, tags=("llm-pipeline",))
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights (alpha = 0.5): each source's
+    training probability is proportional to sqrt(its token mass),
+    normalized — the standard multilingual/multi-source rebalancing
+    (raw token share flattens toward uniform as alpha -> 0) computed
+    FROM the corpus instead of hand-configured like
+    sample_mixture_weights' fixed recipe. alpha = 0.5 is exactly sqrt,
+    which is IEEE-correctly-rounded in both engines — the reason this
+    alpha is hash-stable where an arbitrary pow() exponent would not
+    be.
+
+    Determinism: token masses are exact bigint sums; the normalizer
+    folds sqrt terms in SOURCE ORDER over a sorted collected array (a
+    strict left fold, same order in both engines — a plain SUM would
+    accumulate in partition order and drift in the last ulp). The
+    collected array is one row per SOURCE — bounded model-size state,
+    not data — so the fold is driver-scale-free at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("source", F.size(tokens("text")).alias("nt")).groupBy(
+        "source"
+    ).agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    totals = src.agg(
+        F.sum("n_tokens").alias("tok_total"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "n_tokens"))),
+            F.lit(0.0),
+            lambda acc, r: acc + F.sqrt(r["n_tokens"].cast("double")),
+        ).alias("d"),
+    )
+    return src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("tok_total").cast("double")).alias(
+            "raw_share"
+        ),
+        (F.sqrt(F.col("n_tokens").cast("double")) / F.col("d")).alias("temp_weight"),
+    )

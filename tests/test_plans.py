@@ -324,3 +324,36 @@ def test_bigram_xent_no_forced_broadcast_of_bigram_table(spark):
 
     hints = _re.findall(r"ResolvedHint \(strategy=broadcast\)", analyzed)
     assert len(hints) == 1, analyzed[:3000]
+
+
+def test_curriculum_cutpoints_not_window(spark):
+    """curriculum_length_phases: phase assignment must come from the
+    broadcast grouped-percentile cutpoints, NEVER a per-language
+    window sort (which funnels each language through one task). No
+    Window node, cutpoints broadcast, no SMJ."""
+    tree, _ = _plans(spark, "curriculum_length_phases")
+    assert "Window" not in tree, tree[:1500]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_ngram_novelty_single_shingle_exchange(spark):
+    """text_ngram_novelty: the min-per-shingle rollup and the shingle
+    join must share ONE hash partitioning on shingle (exchange reuse),
+    plus the final doc rollup — at most 3 hash exchanges total, and
+    the shingle join must not degrade to a broadcast of the
+    corpus-sized firsts table... it may auto-broadcast at test scale,
+    so assert only the exchange budget and no Python eval."""
+    tree, _ = _plans(spark, "text_ngram_novelty")
+    assert _exchanges(tree) <= 3, tree[:1500]
+    assert "BatchEvalPython" not in tree
+
+
+def test_temperature_fold_is_bounded_state(spark):
+    """sample_temperature: the sqrt normalizer folds over a
+    collect_list bounded by source cardinality; the corpus-sized
+    stages are one partial-aggregated rollup. Assert the final
+    cross join is a broadcast (1-row totals), no SMJ anywhere."""
+    tree, _ = _plans(spark, "sample_temperature")
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
