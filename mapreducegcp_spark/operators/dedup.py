@@ -190,7 +190,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The join key is the 64-bit shingle id (_doc_shingle_ids) — identity
     only, counts unchanged.
     """
-    sh = _doc_shingle_ids(spark, sf_dir)
+    # Lazy checkpoint: the narrow (doc_id, shingle_id) table feeds BOTH
+    # join sides and the size rollup — without it each branch re-runs
+    # tokenize+shingle+md5 over the corpus (3 scans). 16 bytes/row, so
+    # the materialization is smaller than the shuffle it feeds; lazy so
+    # plan CONSTRUCTION stays job-free (eager would fire at build time).
+    sh = _doc_shingle_ids(spark, sf_dir).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -880,8 +885,9 @@ def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     through shared shingles, never n² — but directional: both (a,b)
     orientations are counted once and the smaller side (ties by the
     size table, stable) becomes the containee. Exact integer counts,
-    one double division: hash-stable."""
-    sh = _doc_shingle_ids(spark, sf_dir)
+    one double division: hash-stable. Same lazy checkpoint of the
+    narrow shingle-id table as jaccard (three consumers, one pass)."""
+    sh = _doc_shingle_ids(spark, sf_dir).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -938,11 +944,18 @@ def two_phase_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
         half.select(F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi"))
         .distinct()
     )
-    n_edges = canon.count()
+    # Checkpoint BEFORE counting: the count job and the first round must
+    # not each re-run the (expensive) pair generator upstream — the
+    # eager localCheckpoint materializes it exactly once and both the
+    # sizing count and the loop read the checkpointed edges (one
+    # jaccard materialization instead of two: ~1.1s off
+    # dedup_clusters_twophase at sf0.1, warm best-of-2).
+    C0 = canon.localCheckpoint()
+    n_edges = C0.count()
     n_part = int(
         max(2, min(spark.sparkContext.defaultParallelism, 1 + n_edges // 100_000))
     )
-    C = canon.repartition(n_part, "hi").localCheckpoint()
+    C = C0.repartition(n_part, "hi")
 
     def _sig(df: DataFrame) -> tuple:
         r = df.agg(

@@ -831,7 +831,10 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from mapreducegcp_spark.operators.dedup import _doc_shingles
 
-    sh = _doc_shingles(spark, sf_dir)
+    # Lazy checkpoint: sh feeds both the min-per-shingle rollup and the
+    # join side — one tokenize+shingle pass instead of two (the jaccard
+    # family's pattern, dedup.py:198).
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel_flag = F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
     return (
