@@ -1,0 +1,74 @@
+"""Registry rotation: the driver-evidence ordering must hold.
+
+The driver checks ~50 catalog queries per round in iteration order;
+``all_queries()`` orders by evidence age (never-checked first, then
+least-recently-checked) so the window advances every round. A silent
+regression here would stall the correctness-evidence union — worth a
+plain unit test (no Spark needed)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from mapreducegcp_spark import registry
+
+
+@pytest.fixture
+def fake_artifacts(tmp_path, monkeypatch):
+    """Point the registry at a synthetic artifact dir and reset its cache."""
+    monkeypatch.setattr(registry, "_REPO_ROOT", tmp_path)
+    monkeypatch.setattr(registry, "_LAST_CHECKED", None)
+    yield tmp_path
+    registry._LAST_CHECKED = None  # do not leak fake evidence to other tests
+
+
+def _write(tmp_path, rnd: int, rows: dict) -> None:
+    (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(json.dumps(rows))
+
+
+def test_never_checked_queries_iterate_first(fake_artifacts):
+    reg = {n: registry.RegisteredQuery(n, fn=None) for n in ("a", "b", "c", "d")}
+    _write(fake_artifacts, 1, {"b": {"err": None}, "d": {"err": None}})
+    assert list(registry._evidence_rotation(reg)) == ["a", "c", "b", "d"]
+
+
+def test_stalest_round_breaks_ties_before_registration_order(fake_artifacts):
+    reg = {n: registry.RegisteredQuery(n, fn=None) for n in ("a", "b", "c")}
+    _write(fake_artifacts, 1, {"c": {"err": None}})
+    _write(fake_artifacts, 2, {"a": {"err": None}})
+    # b never checked -> first; c checked r1 -> before a (checked r2)
+    assert list(registry._evidence_rotation(reg)) == ["b", "c", "a"]
+
+
+def test_err_rows_are_not_evidence(fake_artifacts):
+    reg = {n: registry.RegisteredQuery(n, fn=None) for n in ("a", "b")}
+    _write(fake_artifacts, 1, {"a": {"err": "no_oracle"}, "b": {"err": None}})
+    # a's row carried an err -> still round 0 -> iterates first
+    assert list(registry._evidence_rotation(reg)) == ["a", "b"]
+
+
+def test_malformed_artifact_is_skipped(fake_artifacts):
+    reg = {n: registry.RegisteredQuery(n, fn=None) for n in ("a", "b")}
+    (fake_artifacts / "CORRECTNESS_r01.json").write_text("{not json")
+    _write(fake_artifacts, 2, {"a": {"err": None}})
+    assert list(registry._evidence_rotation(reg)) == ["b", "a"]
+
+
+def test_real_catalog_front_has_no_stale_evidence():
+    """Against the real committed artifacts: every query in the front-50
+    window must be no more recently checked than anything after it —
+    the monotone property the driver budget depends on."""
+    last = registry._last_checked_round()
+    names = list(registry.all_queries())
+    ages = [last.get(n, 0) for n in names]
+    assert ages == sorted(ages)
+
+
+def test_oracle_and_query_key_sets_match():
+    """Driver contract: every catalog entry needs BOTH a queries() and
+    an oracle_sql() entry (zero rows-only since round 3)."""
+    qs = registry.query_fns()
+    os_ = registry.oracle_sqls()
+    assert set(qs) == set(os_)

@@ -88,6 +88,14 @@ PROBES = {
         "lineitem": ["l_orderkey"],
         "orders": ["o_orderkey", "o_custkey"],
     },
+    # round-3 operators. text_ngram_novelty is deliberately absent:
+    # replicating documents manufactures exact copies whose shingles
+    # all first-occur in the original, so the (correct!) output is
+    # zero novelty for every copy — the ratio would measure the
+    # replication artifact, not the plan (same reasoning as minhash).
+    "curriculum_length_phases": {"documents": ["doc_id"]},
+    "sample_temperature": {"documents": ["doc_id"]},
+    "similarity_knn_classify": {"embeddings": ["vec_id"]},
 }
 
 
@@ -228,6 +236,11 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--skew", action="store_true", help="run the skew-join probe only")
     ap.add_argument("--chain", action="store_true", help="run the long-chain components probe only")
+    ap.add_argument(
+        "--only",
+        help="comma-separated probe names (or i:j slice of the table) — "
+        "lets a bounded-walltime harness run the table in chunks",
+    )
     args = ap.parse_args()
 
     spark = get_spark("scale-probe")
@@ -243,9 +256,18 @@ def main() -> None:
     qs = all_queries()
     base_load = catalog.load_table
 
+    probes = PROBES
+    if args.only:
+        if ":" in args.only and args.only.replace(":", "").isdigit():
+            i, j = (int(x) for x in args.only.split(":"))
+            keys = list(PROBES)[i:j]
+        else:
+            keys = [k.strip() for k in args.only.split(",")]
+        probes = {k: PROBES[k] for k in keys}
+
     print(f"| query | t_1x (s) | t_{args.factor}x (s) | ratio |")
     print("|---|---|---|---|")
-    for name, tables in PROBES.items():
+    for name, tables in probes.items():
         q = qs[name]
         mod = sys.modules[q.fn.__module__]
 
