@@ -228,6 +228,37 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming",),
+)
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    evicts a key's dedup state once the watermark passes its event
+    time + delay — the 100 TB form of stream_dedup_keys, whose plain
+    ``dropDuplicates`` holds every key seen FOREVER (exact, but state
+    grows with key cardinality for the stream's lifetime). Within the
+    watermark window the semantics are identical; a duplicate arriving
+    later than the delay re-emits, which is the documented contract
+    (at-least-once dedup under bounded state) and the trade every
+    production pipeline makes.
+
+    On this finite single-file replay all rows share one micro-batch,
+    so no state is evicted mid-stream and the result equals the batch
+    DISTINCT — the oracle checks the exact-regime semantics while the
+    plan carries the eviction machinery (EventTimeWatermark +
+    DropDuplicatesWithinWatermark nodes)."""
+    sdf = events_stream(spark, sf_dir)
+    deduped = (
+        sdf.withWatermark("ts", WATERMARK_DELAY)
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(deduped, "append")
+
+
+@register(
     "stream_watermark_append",
     oracle=f"""
 WITH agg AS (
