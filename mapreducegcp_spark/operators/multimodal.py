@@ -462,7 +462,13 @@ def q_multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are touched once (Arrow batch per partition) and reduced to one
     long before anything wide."""
     m = with_payload(load_table(spark, sf_dir, "documents"))
-    hashed = m.select("doc_id", make_phash_udf()(F.col("payload")).alias("ph"))
+    # Lazy checkpoint the narrow (doc_id, 64-bit ph) table: it feeds
+    # BOTH sides of the band self-join, and without it each side
+    # re-runs the Arrow phash UDF over every payload (the jaccard
+    # family's multi-consumer pattern, dedup.py).
+    hashed = m.select(
+        "doc_id", make_phash_udf()(F.col("payload")).alias("ph")
+    ).localCheckpoint(eager=False)
     bands = hashed.select(
         "doc_id",
         "ph",
