@@ -846,3 +846,65 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(novel_flag).cast("double") / F.count("*")).alias("novelty"),
         )
     )
+
+
+# ------------------------------------ BPE merge-candidate pair counts
+
+_BPE_TOP = 20
+
+_BPE_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(list_filter({{toks}}, t -> t <> '')) AS word FROM documents
+),
+vocab AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY word
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(word)), i -> substr(word, i, 2))) AS pair, c
+  FROM vocab WHERE len(word) >= 2
+)
+SELECT pair, CAST(sum(c) AS BIGINT) AS weight
+FROM pairs
+GROUP BY pair
+ORDER BY weight DESC, pair
+LIMIT {_BPE_TOP}
+"""
+
+
+def _bpe_oracle() -> str:
+    return _BPE_ORACLE.format(toks=TOKEN_ORACLE_EXPR.format(col="text"))
+
+
+@register("bpe_pair_counts", oracle=_bpe_oracle(), tags=("llm-pipeline",))
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration: corpus-weighted adjacent-character
+    pair counts — the statistic a byte-pair-encoding tokenizer trainer
+    maximizes each round (the top pair IS the next merge). Top-{_BPE_TOP}
+    with a deterministic (weight desc, pair) order.
+
+    Scale shape — the reason BPE training is feasible on a 100 TB
+    corpus at all: pair counting collapses to the WORD VOCABULARY
+    first (one map-side-combinable rollup; vocabulary grows sublinearly
+    in corpus bytes), and the character-pair explode then runs over
+    distinct words × their length, independent of corpus size. A full
+    trainer iterates: apply the merge to the vocab (a map), recount —
+    every round is this same vocab-sized plan, never a corpus re-scan.
+    Two shuffles (word rollup, pair rollup) + a TakeOrdered top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = vocab.where(F.length("word") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("pair"))
+        .limit(_BPE_TOP)
+    )

@@ -561,3 +561,42 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.sqrt(F.col("n_tokens").cast("double")) / F.col("d")).alias("temp_weight"),
     )
+
+
+# ---------------------------------------- hashing-trick term frequencies
+
+FEATURE_DIM = 64  # hashed feature space (modulo buckets)
+
+_HASHTF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+)
+SELECT doc_id,
+       {_o_bucket('tok', FEATURE_DIM)} AS feature,
+       CAST(count(*) AS BIGINT) AS tf
+FROM tok
+GROUP BY doc_id, {_o_bucket('tok', FEATURE_DIM)}
+"""
+
+
+@register("feature_hashing_tf", oracle=_HASHTF_ORACLE, tags=("llm-pipeline",))
+def q_feature_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick term-frequency features (HashingTF): each token
+    maps to one of {FEATURE_DIM} buckets by a stable hash and the
+    document's feature value is the bucket's token count — fixed-width
+    vectorization with NO vocabulary pass, the property that makes it
+    the streaming/embarrassingly-parallel featurizer (sklearn
+    HashingVectorizer / Spark MLlib HashingTF). Emitted in sparse
+    (doc, feature, tf) triples — the layout a trainer consumes and the
+    one that stays shuffle-light when dim >> nonzeros.
+
+    The hash is the md5 universe bucket (sampling.md5_bucket), not
+    murmur: bit-identical in DuckDB, so unlike MLlib's this featurizer
+    is value-oracle-checked. Scale: explode -> one
+    map-side-combinable rollup on (doc, feature); no global state of
+    any kind."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    return tok.groupBy(
+        "doc_id", md5_bucket(F.col("tok"), FEATURE_DIM).alias("feature")
+    ).agg(F.count("*").alias("tf"))

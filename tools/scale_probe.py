@@ -96,6 +96,8 @@ PROBES = {
     "curriculum_length_phases": {"documents": ["doc_id"]},
     "sample_temperature": {"documents": ["doc_id"]},
     "similarity_knn_classify": {"embeddings": ["vec_id"]},
+    "feature_hashing_tf": {"documents": ["doc_id"]},
+    "bpe_pair_counts": {"documents": ["doc_id"]},
 }
 
 
