@@ -1,0 +1,117 @@
+"""Edge-case semantics for the round-3 training-pipeline operators.
+
+The oracle harness proves cross-engine equality on the driver corpus;
+these pin the DEGENERATE inputs the corpus doesn't contain: a language
+with one document, a single-source corpus, an all-duplicates corpus.
+Tables are injected by patching the operator module's ``load_table``
+(the scale-probe harness's mechanism)."""
+
+from __future__ import annotations
+
+import pytest
+
+import mapreducegcp_spark.operators.textstats as textstats_mod
+import mapreducegcp_spark.operators.training as training_mod
+from mapreducegcp_spark.registry import all_queries
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _patch(monkeypatch, mod, df):
+    monkeypatch.setattr(mod, "load_table", lambda spark, sf_dir, name: df)
+
+
+def test_curriculum_single_doc_language_is_phase_1(spark, monkeypatch):
+    """One document in a language: all three quartile cuts equal its
+    token count, so <=q1 fires and the document lands in phase 1 —
+    not 4, and not an error."""
+    docs = spark.createDataFrame(
+        [(1, "one two three", "xx", "s", 13), (2, "a b", "yy", "s", 3), (3, "c d e f", "yy", "s", 7)],
+        DOC_SCHEMA,
+    )
+    _patch(monkeypatch, training_mod, docs)
+    rows = {r.doc_id: r for r in all_queries()["curriculum_length_phases"].fn(spark, "ignored").collect()}
+    assert rows[1].phase == 1
+    # two-doc language: shorter doc phase 1; longer lands above the median
+    assert rows[2].phase == 1 and rows[3].phase > 1
+
+
+def test_temperature_single_source_weight_is_one(spark, monkeypatch):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "xx", "only", 10), (2, "gamma", "xx", "only", 5)],
+        DOC_SCHEMA,
+    )
+    _patch(monkeypatch, training_mod, docs)
+    rows = all_queries()["sample_temperature"].fn(spark, "ignored").collect()
+    assert len(rows) == 1
+    assert rows[0].raw_share == 1.0 and rows[0].temp_weight == 1.0
+
+
+def test_temperature_flattens_toward_uniform(spark, monkeypatch):
+    """sqrt scaling must pull the dominant source's weight BELOW its
+    raw token share and lift the minority's above it."""
+    big = " ".join(["tok"] * 90)
+    small = " ".join(["tok"] * 10)
+    docs = spark.createDataFrame(
+        [(1, big, "xx", "crawl", 0), (2, small, "xx", "books", 0)], DOC_SCHEMA
+    )
+    _patch(monkeypatch, training_mod, docs)
+    rows = {r.source: r for r in all_queries()["sample_temperature"].fn(spark, "ignored").collect()}
+    assert rows["crawl"].temp_weight < rows["crawl"].raw_share
+    assert rows["books"].temp_weight > rows["books"].raw_share
+    assert abs(rows["crawl"].temp_weight + rows["books"].temp_weight - 1.0) < 1e-12
+
+
+def test_novelty_all_duplicates(spark, monkeypatch):
+    """Identical documents: the smallest doc_id owns every shingle
+    (novelty 1.0), every copy scores 0.0."""
+    text = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(i, text, "xx", "s", len(text)) for i in (7, 3, 9)], DOC_SCHEMA
+    )
+    import mapreducegcp_spark.operators.dedup as dedup_mod
+
+    _patch(monkeypatch, dedup_mod, docs)
+    rows = {r.doc_id: r for r in all_queries()["text_ngram_novelty"].fn(spark, "ignored").collect()}
+    assert rows[3].novelty == 1.0
+    assert rows[7].novelty == 0.0 and rows[9].novelty == 0.0
+
+
+def test_novelty_short_docs_absent(spark, monkeypatch):
+    """Documents under 3 tokens contribute no shingles and are absent
+    from the result (matching the oracle), not zero-rows."""
+    docs = spark.createDataFrame(
+        [(1, "just two", "xx", "s", 8), (2, "one two three four", "xx", "s", 18)],
+        DOC_SCHEMA,
+    )
+    import mapreducegcp_spark.operators.dedup as dedup_mod
+
+    _patch(monkeypatch, dedup_mod, docs)
+    rows = {r.doc_id for r in all_queries()["text_ngram_novelty"].fn(spark, "ignored").collect()}
+    assert rows == {2}
+
+
+def test_bpe_single_char_words_excluded(spark, monkeypatch):
+    """Single-character words produce no pairs; pair weights are
+    vocabulary counts weighted by word frequency."""
+    docs = spark.createDataFrame(
+        [(1, "a a a ab ab b", "xx", "s", 0)], DOC_SCHEMA
+    )
+    _patch(monkeypatch, textstats_mod, docs)
+    rows = {r.pair: r.weight for r in all_queries()["bpe_pair_counts"].fn(spark, "ignored").collect()}
+    assert rows == {"ab": 2}
+
+
+def test_hashing_tf_total_mass_equals_token_count(spark, monkeypatch):
+    """The hashed features partition the token stream: per-doc sum of
+    tf equals the doc's token count regardless of collisions."""
+    docs = spark.createDataFrame(
+        [(1, "w x y z w", "xx", "s", 0), (2, "", "xx", "s", 0)], DOC_SCHEMA
+    )
+    _patch(monkeypatch, training_mod, docs)
+    out = all_queries()["feature_hashing_tf"].fn(spark, "ignored").collect()
+    by_doc: dict[int, int] = {}
+    for r in out:
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, 0) + r.tf
+        assert 0 <= r.feature < training_mod.FEATURE_DIM
+    assert by_doc == {1: 5}  # empty doc contributes nothing
