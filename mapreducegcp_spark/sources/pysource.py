@@ -275,7 +275,11 @@ def q_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/mapreducegcp_spark_jsonl_sink/{sf_tag}"
     shutil.rmtree(out, ignore_errors=True)
-    agg.write.format("jsonl_sink").option("path", out).mode("append").save()
+    # coalesce(1): the aggregate is a handful of rows, but each write
+    # partition spins up a Python worker for the sink — 32 empty-ish
+    # tasks cost ~2s of pure startup (measured). Size the write
+    # parallelism to the DATA; a corpus-sized write keeps full width.
+    agg.coalesce(1).write.format("jsonl_sink").option("path", out).mode("append").save()
     return spark.read.schema("event_type string, n bigint, total_cents bigint").json(
         out
     )
