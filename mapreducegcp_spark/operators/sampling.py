@@ -483,3 +483,109 @@ def q_events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n_a", "conv_a", "n_b", "conv_b", (pa_ - pb_).alias("rate_diff"), z.alias("z_score")
     )
+
+
+# ----------------------------------- distribution drift (chi-square)
+
+_DRIFT_ORACLE = f"""
+WITH tagged AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+         {_o_bucket("(CAST(event_id AS VARCHAR) || ':drift')", 100)} < 50 AS is_ref
+  FROM events
+),
+cuts AS (
+  SELECT quantile_cont(c, 0.25) AS q1,
+         quantile_cont(c, 0.50) AS q2,
+         quantile_cont(c, 0.75) AS q3
+  FROM tagged WHERE is_ref
+),
+binned AS (
+  SELECT CASE WHEN c <= q1 THEN 0 WHEN c <= q2 THEN 1
+              WHEN c <= q3 THEN 2 ELSE 3 END AS bin,
+         is_ref
+  FROM tagged, cuts
+),
+counts AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref, CAST(sum(n_cur) AS BIGINT) AS t_cur
+  FROM counts
+)
+SELECT bin, n_ref, n_cur,
+       ((CAST(n_cur AS DOUBLE)
+          - CAST(t_cur AS DOUBLE) * (CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)))
+        * (CAST(n_cur AS DOUBLE)
+          - CAST(t_cur AS DOUBLE) * (CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE))))
+       / (CAST(t_cur AS DOUBLE) * (CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)))
+         AS chi2_term
+FROM counts, tot
+"""
+
+
+@register("dq_distribution_drift", oracle=_DRIFT_ORACLE, tags=("llm-pipeline",))
+def q_dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift check between a reference slice and a
+    current slice (two-sample chi-square over reference-quartile
+    bins) — the monitor a training pipeline runs before trusting a
+    new data batch: bin edges come from the REFERENCE distribution
+    (the deployed binning), the current slice's bin counts are
+    compared to their expected mass, and each bin reports its
+    chi-square contribution ((observed - expected)^2 / expected).
+    Chi-square instead of PSI/KL deliberately: the statistic is pure
+    rational arithmetic on exact integer counts — no logarithm — so
+    unlike a PSI the result value-hash-matches cross-engine bit for
+    bit.
+
+    The two slices here are a deterministic md5 half-split of events
+    (so the oracle can re-derive membership); in production they are
+    yesterday's table and today's batch. Scale: one pass tags and
+    bins every row map-side (cutpoints broadcast from one distributed
+    percentile over the reference), one 4-row rollup, totals join
+    broadcast — no data-sized state."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        (
+            md5_bucket(
+                F.concat(F.col("event_id").cast("string"), F.lit(":drift")), 100
+            )
+            < 50
+        ).alias("is_ref"),
+    )
+    cuts = (
+        ev.where("is_ref")
+        .agg(F.expr("percentile(c, array(0.25D, 0.50D, 0.75D))").alias("qs"))
+        .select(
+            F.col("qs")[0].alias("q1"),
+            F.col("qs")[1].alias("q2"),
+            F.col("qs")[2].alias("q3"),
+        )
+    )
+    binned = ev.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("c") <= F.col("q1"), 0)
+        .when(F.col("c") <= F.col("q2"), 1)
+        .when(F.col("c") <= F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bin"),
+        "is_ref",
+    )
+    # Lazy checkpoint: counts (4 rows) feeds both the result and the
+    # totals branch — without it the totals crossJoin re-runs the
+    # whole scan+bin pipeline a second time.
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    ).localCheckpoint(eager=False)
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    expected = F.col("t_cur").cast("double") * (
+        F.col("n_ref").cast("double") / F.col("t_ref").cast("double")
+    )
+    diff = F.col("n_cur").cast("double") - expected
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin", "n_ref", "n_cur", ((diff * diff) / expected).alias("chi2_term")
+    )

@@ -247,3 +247,56 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec2("value")).over(w).cast("double").alias("trailing_value"),
         F.count("*").over(w).alias("n_trailing"),
     )
+
+
+# --------------------------------------- running distinct count per key
+
+_CUMDISTINCT_ORACLE = """
+WITH flagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id
+              ) = 1 THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(first_seen) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS distinct_types_so_far
+FROM flagged
+"""
+
+
+@register("window_cumulative_distinct", oracle=_CUMDISTINCT_ORACLE, tags=("relational",))
+def q_window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per user over event time — the window
+    SQL cannot express directly (DISTINCT is illegal in a running
+    frame) and engines answer with the classic two-window
+    decomposition: flag each (user, type)'s FIRST occurrence with a
+    row_number, then a running sum of flags over the user's timeline.
+    Exact, streaming-friendly (both windows are append-order), and
+    the per-row state is one bit — vs the naive collect_set-per-frame,
+    whose state and comparison cost grow with the distinct count.
+
+    Scale: two exchanges — hash(user, type) for the first-seen flag,
+    hash(user) for the running sum (the rollup any per-user timeline
+    analysis pays); both sorts are in-partition. Ties break on
+    event_id so every row's running value is total-order deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first_seen = F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    return (
+        ev.select("event_id", "user_id", "ts", "event_type")
+        .withColumn("first_seen", first_seen)
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
+        )
+    )

@@ -118,6 +118,10 @@ SHAPE = [
     ("layout_zorder_cluster", 1, 0, False),
     ("feature_quantile_bins", 1, 0, False),
     ("interval_bucket_join", 1, 1, False),
+    # round-3: two-window decomposition (user+type flag, user runsum);
+    # drift check is percentile-cutpoint broadcast + one bin rollup
+    ("window_cumulative_distinct", 2, 0, False),
+    ("dq_distribution_drift", 2, 0, False),
 ]
 
 

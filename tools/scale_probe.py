@@ -98,6 +98,8 @@ PROBES = {
     "similarity_knn_classify": {"embeddings": ["vec_id"]},
     "feature_hashing_tf": {"documents": ["doc_id"]},
     "bpe_pair_counts": {"documents": ["doc_id"]},
+    "window_cumulative_distinct": {"events": ["event_id", "user_id"]},
+    "dq_distribution_drift": {"events": ["event_id", "user_id"]},
 }
 
 
