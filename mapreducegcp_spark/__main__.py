@@ -44,15 +44,23 @@ def _cmd_list(args) -> int:
     return 0
 
 
-def _cmd_run(args) -> int:
+def _resolve(name: str):
+    """Catalog lookup shared by run/explain/oracle: the RegisteredQuery,
+    or None after printing the unknown-name error (exit code 2)."""
     from mapreducegcp_spark.registry import all_queries
 
-    catalog = all_queries()
-    if args.query not in catalog:
-        print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+    rq = all_queries().get(name)
+    if rq is None:
+        print(f"unknown query {name!r}; see `list`", file=sys.stderr)
+    return rq
+
+
+def _cmd_run(args) -> int:
+    rq = _resolve(args.query)
+    if rq is None:
         return 2
     spark = get_spark("mapreducegcp-cli")
-    df = catalog[args.query].fn(spark, args.sf_dir)
+    df = rq.fn(spark, args.sf_dir)
     if args.output:
         df.write.format(args.format).mode("overwrite").save(args.output)
         print(f"wrote {args.output} ({args.format})")
@@ -62,29 +70,22 @@ def _cmd_run(args) -> int:
 
 
 def _cmd_explain(args) -> int:
-    from mapreducegcp_spark.registry import all_queries
-
-    catalog = all_queries()
-    if args.query not in catalog:
-        print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+    rq = _resolve(args.query)
+    if rq is None:
         return 2
     spark = get_spark("mapreducegcp-cli")
-    catalog[args.query].fn(spark, args.sf_dir).explain("formatted")
+    rq.fn(spark, args.sf_dir).explain("formatted")
     return 0
 
 
 def _cmd_oracle(args) -> int:
-    from mapreducegcp_spark.registry import all_queries
-
-    catalog = all_queries()
-    if args.query not in catalog:
-        print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+    rq = _resolve(args.query)
+    if rq is None:
         return 2
-    oracle = catalog[args.query].oracle
-    if oracle is None:
+    if rq.oracle is None:
         print(f"{args.query} has no SQL oracle", file=sys.stderr)
         return 1
-    print(oracle.strip())
+    print(rq.oracle.strip())
     return 0
 
 

@@ -586,6 +586,14 @@ def q_dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ref").cast("double") / F.col("t_ref").cast("double")
     )
     diff = F.col("n_cur").cast("double") - expected
+    # NULL (not a crash) when the expected mass is zero — a bin with
+    # current rows but no reference rows, or an empty reference slice.
+    # DuckDB's double division by zero yields NULL, so the nested CASE
+    # keeps the engines value-identical AND keeps ANSI mode from
+    # throwing DIVIDE_BY_ZERO (CASE branches evaluate lazily).
+    chi2 = F.when(
+        F.col("t_ref") > 0, F.when(expected > 0, (diff * diff) / expected)
+    )
     return counts.crossJoin(F.broadcast(tot)).select(
-        "bin", "n_ref", "n_cur", ((diff * diff) / expected).alias("chi2_term")
+        "bin", "n_ref", "n_cur", chi2.alias("chi2_term")
     )

@@ -115,3 +115,27 @@ def test_hashing_tf_total_mass_equals_token_count(spark, monkeypatch):
         by_doc[r.doc_id] = by_doc.get(r.doc_id, 0) + r.tf
         assert 0 <= r.feature < training_mod.FEATURE_DIM
     assert by_doc == {1: 5}  # empty doc contributes nothing
+
+
+def test_drift_zero_reference_bin_is_null_not_crash(spark, monkeypatch):
+    """A bin with current rows but NO reference rows has zero expected
+    mass: chi2_term must be NULL (DuckDB's x/0 semantics), not an ANSI
+    DIVIDE_BY_ZERO crash. Reference values all 0.00 collapse every
+    quartile cut to 0, so the one current row at 1.00 lands alone in
+    the top bin. (event_ids chosen so md5(id||':drift') buckets put
+    1,3,4,5 in the reference slice and 0 in the current slice.)"""
+    import datetime
+
+    import mapreducegcp_spark.operators.sampling as sampling_mod
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [(eid, ts, 1, "view", 0.0, "{}") for eid in (1, 3, 4, 5)]
+    rows.append((0, ts, 1, "view", 1.0, "{}"))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    monkeypatch.setattr(sampling_mod, "load_table", lambda s, d, n: events)
+    out = {r.bin: r for r in all_queries()["dq_distribution_drift"].fn(spark, "ignored").collect()}
+    hot = out[3]
+    assert hot.n_ref == 0 and hot.n_cur == 1
+    assert hot.chi2_term is None

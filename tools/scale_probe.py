@@ -262,11 +262,17 @@ def main() -> None:
 
     probes = PROBES
     if args.only:
-        if ":" in args.only and args.only.replace(":", "").isdigit():
-            i, j = (int(x) for x in args.only.split(":"))
-            keys = list(PROBES)[i:j]
+        parts = args.only.split(":")
+        if len(parts) == 2 and all(p.isdigit() for p in parts):
+            keys = list(PROBES)[int(parts[0]) : int(parts[1])]
         else:
             keys = [k.strip() for k in args.only.split(",")]
+            unknown_keys = [k for k in keys if k not in PROBES]
+            if unknown_keys:
+                sys.exit(
+                    f"scale_probe: unknown probe(s) {unknown_keys}; "
+                    f"valid names: {', '.join(PROBES)}"
+                )
         probes = {k: PROBES[k] for k in keys}
 
     print(f"| query | t_1x (s) | t_{args.factor}x (s) | ratio |")
