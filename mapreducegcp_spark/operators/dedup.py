@@ -1044,3 +1044,65 @@ def q_dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_phase_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
+
+
+# ------------------------------------ LSH vs exact: precision / recall
+
+def _lsh_eval_oracle() -> str:
+    return f"""
+WITH truth AS (SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE.strip()})),
+est AS (SELECT doc_a, doc_b FROM ({_minhash_oracle().strip()})),
+j AS (
+  SELECT coalesce(t.doc_a, e.doc_a) AS doc_a,
+         (t.doc_a IS NOT NULL) AS in_truth,
+         (e.doc_a IS NOT NULL) AS in_est
+  FROM truth t FULL OUTER JOIN est e
+    ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
+)
+SELECT CAST(sum(CASE WHEN in_truth AND in_est THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN in_est AND NOT in_truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN in_truth AND NOT in_est THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(sum(CASE WHEN in_truth AND in_est THEN 1 ELSE 0 END) AS DOUBLE)
+         / sum(CASE WHEN in_est THEN 1 ELSE 0 END) AS precision,
+       CAST(sum(CASE WHEN in_truth AND in_est THEN 1 ELSE 0 END) AS DOUBLE)
+         / sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS recall
+FROM j
+"""
+
+
+@register("dedup_lsh_eval", oracle=_lsh_eval_oracle(), tags=("llm-pipeline",))
+def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine evaluation of the MinHash-LSH pair detector against
+    the exact shingle-Jaccard ground truth at the same threshold:
+    true/false positives, misses, precision, recall — the number you
+    tune MINHASH_K and LSH_BANDS against before trusting fuzzy dedup
+    on a real corpus. Both sides are SQL-expressible (the md5 hash
+    family is engine-portable), so even the evaluation itself is
+    value-hash-checked — precision/recall here are exact statements,
+    not samples.
+
+    Scale: both pair sets are the operators' own outputs (bucketed,
+    no all-pairs); the comparison is a full outer join on the pair
+    key — O(pairs), vertex-sized — and one conditional rollup. At
+    100 TB you'd run it on a sampled partition slice; the plan is
+    unchanged."""
+    truth = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    est = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    t = truth.withColumn("in_truth", F.lit(True))
+    e = est.withColumn("in_est", F.lit(True))
+    j = t.join(e, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce(F.col("in_truth"), F.lit(False)).alias("in_truth"),
+        F.coalesce(F.col("in_est"), F.lit(False)).alias("in_est"),
+    )
+    tp = F.sum(F.when(F.col("in_truth") & F.col("in_est"), 1).otherwise(0))
+    fp = F.sum(F.when(F.col("in_est") & ~F.col("in_truth"), 1).otherwise(0))
+    fn = F.sum(F.when(F.col("in_truth") & ~F.col("in_est"), 1).otherwise(0))
+    n_est = F.sum(F.when(F.col("in_est"), 1).otherwise(0))
+    n_truth = F.sum(F.when(F.col("in_truth"), 1).otherwise(0))
+    return j.agg(
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        (tp.cast("double") / n_est).alias("precision"),
+        (tp.cast("double") / n_truth).alias("recall"),
+    )

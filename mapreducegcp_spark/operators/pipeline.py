@@ -534,3 +534,115 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ------------------------------------------------ filter-funnel audit
+
+_FUNNEL_RULES = 4  # length, stopword density, repetition, language
+
+_FUNNEL_ORACLE = f"""
+WITH m AS (
+  SELECT lang,
+         len({_TOKS}) AS n_tokens,
+         len(list_filter({_TOKS}, t -> list_contains(
+             ['the','a','of','and','to','in','is','it','on','for'], t)))
+           AS stop_hits,
+         (SELECT max(cnt) FROM (
+            SELECT count(*) AS cnt FROM unnest({_TOKS}) AS u(t) GROUP BY t))
+           AS top_tok
+  FROM documents
+),
+flags AS (
+  SELECT (n_tokens >= 20) AS r1,
+         (n_tokens > 0 AND CAST(stop_hits AS DOUBLE) / n_tokens >= 0.02) AS r2,
+         (n_tokens > 0 AND CAST(top_tok AS DOUBLE) / n_tokens <= 0.2) AS r3,
+         (lang = 'en') AS r4
+  FROM m
+)
+SELECT * FROM (
+  SELECT 1 AS rule, CAST(sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alone,
+         CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n_survive_cum
+  FROM flags
+  UNION ALL
+  SELECT 2, CAST(sum(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+  UNION ALL
+  SELECT 3, CAST(sum(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+  UNION ALL
+  SELECT 4, CAST(sum(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+)
+"""
+
+
+@register("pipeline_filter_funnel", oracle=_FUNNEL_ORACLE, tags=("llm-pipeline",))
+def q_pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel audit: for each cleaning rule (min length,
+    stopword density, top-token repetition share, language slice)
+    report how many documents fail it IN ISOLATION and how many
+    survive the rules CUMULATIVELY in pipeline order — the report that
+    tells you which rule is doing the cutting and whether rules
+    overlap, before committing to a corpus-clean recipe. (Attribution
+    by isolation + cumulative survivorship is the standard funnel
+    decomposition; full Shapley attribution needs 2^k passes.)
+
+    Scale: ONE scan computes all per-doc rule flags map-side (the
+    repetition share reuses the token array; no second tokenize), and
+    the funnel is a single 4x conditional aggregation over the flag
+    columns — no shuffle of document data at all, output rows =
+    rules."""
+    docs = load_table(spark, sf_dir, "documents")
+    stops = F.array(*[F.lit(w) for w in
+                      ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")])
+    t = docs.select(
+        "lang",
+        tokens("text").alias("toks"),
+    ).select(
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.filter("toks", lambda x: F.array_contains(stops, x))).alias("stop_hits"),
+        # max token multiplicity as a sorted-run fold: sort the array
+        # (groups equal tokens adjacent), then one pass tracking the
+        # current and best run — O(L log L) per doc, vs the obvious
+        # distinct x contains formulation's O(L^2).
+        F.aggregate(
+            F.array_sort("toks"),
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        ).alias("top_tok"),
+    )
+    n_tok = F.col("n_tokens")
+    flags = t.select(
+        (n_tok >= 20).alias("r1"),
+        ((n_tok > 0) & (F.col("stop_hits").cast("double") / n_tok >= 0.02)).alias("r2"),
+        ((n_tok > 0) & (F.col("top_tok").cast("double") / n_tok <= 0.2)).alias("r3"),
+        (F.col("lang") == "en").alias("r4"),
+    )
+    conds = [F.col("r1"), F.col("r2"), F.col("r3"), F.col("r4")]
+    rows = []
+    for i, c in enumerate(conds, start=1):
+        cum = conds[0]
+        for c2 in conds[1:i]:
+            cum = cum & c2
+        rows.append(
+            flags.agg(
+                F.lit(i).alias("rule"),
+                F.sum(F.when(~c, 1).otherwise(0)).alias("n_fail_alone"),
+                F.sum(F.when(cum, 1).otherwise(0)).alias("n_survive_cum"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -908,3 +908,73 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("weight"), F.asc("pair"))
         .limit(_BPE_TOP)
     )
+
+
+# --------------------------------- per-source vocabulary overlap matrix
+
+_VOCAB_OVERLAP_TOP = 25
+
+def _vocab_overlap_oracle() -> str:
+    toks = TOKEN_ORACLE_EXPR.format(col="text")
+    return f"""
+WITH st AS (
+  SELECT DISTINCT source, unnest(list_filter({toks}, t -> t <> '')) AS tok
+  FROM documents
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS vocab_jaccard
+FROM inter
+JOIN sizes sa ON source_a = sa.source
+JOIN sizes sb ON source_b = sb.source
+ORDER BY vocab_jaccard DESC, source_a, source_b
+LIMIT {_VOCAB_OVERLAP_TOP}
+"""
+
+
+@register("text_source_vocab_overlap", oracle=_vocab_overlap_oracle(), tags=("llm-pipeline",))
+def q_text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition analysis: pairwise vocabulary Jaccard between
+    sources (top-{_VOCAB_OVERLAP_TOP} most-overlapping pairs) — the
+    signal for whether two crawl sources are the same site under two
+    names (near-1 overlap: merge or drop one) or genuinely different
+    domains (low overlap: both earn their mixture weight).
+
+    The inverted-index economics of dedup_ngram_jaccard at SOURCE
+    granularity: distinct (source, token) pairs join through shared
+    tokens — cost is sum-over-tokens(sources_per_token^2), bounded by
+    vocab x n_sources^2, never corpus-sized; the distinct collapse is
+    map-side partial. Exact integer intersections, one double
+    division per pair: hash-stable. Deterministic top-k order."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds sizes + both join sides
+    )
+    sizes = st.groupBy("source").agg(F.count("*").alias("sz"))
+    a = st.select(F.col("source").alias("source_a"), "tok")
+    b = st.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select("source_a", "source_b", "n_common", jac.alias("vocab_jaccard"))
+        .orderBy(F.desc("vocab_jaccard"), "source_a", "source_b")
+        .limit(_VOCAB_OVERLAP_TOP)
+    )

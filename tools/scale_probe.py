@@ -100,6 +100,10 @@ PROBES = {
     "bpe_pair_counts": {"documents": ["doc_id"]},
     "window_cumulative_distinct": {"events": ["event_id", "user_id"]},
     "dq_distribution_drift": {"events": ["event_id", "user_id"]},
+    # dedup_lsh_eval is deliberately absent (pair-graph artifact under
+    # replication, same reasoning as minhash above)
+    "pipeline_filter_funnel": {"documents": ["doc_id"]},
+    "text_source_vocab_overlap": {"documents": ["doc_id"]},
 }
 
 
