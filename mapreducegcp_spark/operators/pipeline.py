@@ -646,3 +646,71 @@ def q_pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --------------------------------------------- split-leakage audit
+
+def _leakage_audit_oracle() -> str:
+    from mapreducegcp_spark.operators.dedup import _JACCARD_ORACLE
+    from mapreducegcp_spark.operators.sampling import _o_bucket
+
+    def split_of(doc: str) -> str:
+        b = _o_bucket(f"CAST({doc} AS VARCHAR)", 100)
+        return f"(CASE WHEN {b} < 80 THEN 'train' WHEN {b} < 90 THEN 'val' ELSE 'test' END)"
+
+    return f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE.strip()}))
+SELECT CAST(count(*) AS BIGINT) AS n_near_dup_pairs,
+       CAST(sum(CASE WHEN {split_of('doc_a')} <> {split_of('doc_b')}
+                THEN 1 ELSE 0 END) AS BIGINT) AS naive_cross_split_pairs,
+       CAST(0 AS BIGINT) AS group_keyed_cross_split_pairs
+FROM pairs
+"""
+
+
+@register("split_leakage_audit", oracle=_leakage_audit_oracle(), tags=("llm-pipeline",))
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies the leakage a doc-id-keyed split causes: of all
+    near-dup pairs (shingle Jaccard >= threshold), how many would
+    STRADDLE train/val/test under the naive per-document hash split
+    (split_train_val_test's rule applied per doc) versus under the
+    dedup-group-keyed split (split_leakage_safe) — which is zero BY
+    CONSTRUCTION, asserted in-engine rather than assumed: the third
+    column is computed from the actual group-keyed assignments, and
+    the oracle states 0, so the value hash proves the guarantee on
+    this corpus every round.
+
+    Scale: pair set and manifest are the dedup pass's own outputs
+    (vertex-sized); the audit is two hash-bucket map columns and one
+    conditional rollup on top."""
+    from mapreducegcp_spark.operators.dedup import q_dedup_ngram_jaccard
+    from mapreducegcp_spark.operators.sampling import md5_bucket
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+
+    def naive_split(col: str):
+        b = md5_bucket(F.col(col).cast("string"), 100)
+        return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+    safe = q_split_leakage_safe(spark, sf_dir).select(
+        F.col("doc_id"), F.col("split").alias("safe_split")
+    )
+    sa = safe.select(F.col("doc_id").alias("doc_a"), F.col("safe_split").alias("safe_a"))
+    sb = safe.select(F.col("doc_id").alias("doc_b"), F.col("safe_split").alias("safe_b"))
+    audited = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            (naive_split("doc_a") != naive_split("doc_b")).alias("naive_cross"),
+            (F.col("safe_a") != F.col("safe_b")).alias("safe_cross"),
+        )
+    )
+    return audited.agg(
+        F.count("*").alias("n_near_dup_pairs"),
+        F.sum(F.when(F.col("naive_cross"), 1).otherwise(0)).alias(
+            "naive_cross_split_pairs"
+        ),
+        F.sum(F.when(F.col("safe_cross"), 1).otherwise(0)).alias(
+            "group_keyed_cross_split_pairs"
+        ),
+    )

@@ -122,6 +122,10 @@ SHAPE = [
     # drift check is percentile-cutpoint broadcast + one bin rollup
     ("window_cumulative_distinct", 2, 0, False),
     ("dq_distribution_drift", 2, 0, False),
+    # funnel: all flags map-side, 4 single-partition aggs, zero hash
+    # exchanges; vocab overlap: distinct + sizes + pair rollup
+    ("pipeline_filter_funnel", 0, 0, False),
+    ("text_source_vocab_overlap", 3, 2, False),
 ]
 
 
