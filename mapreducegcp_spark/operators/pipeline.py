@@ -714,3 +714,118 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "group_keyed_cross_split_pairs"
         ),
     )
+
+
+# --------------------------- capstone: corpus -> training dataset
+
+def _training_dataset_oracle() -> str:
+    from mapreducegcp_spark.operators.sampling import _o_bucket
+    from mapreducegcp_spark.operators.training import PACK_SHARDS, SEQ_BUDGET
+
+    manifest = _keep_oracle().strip()
+    bucket = _o_bucket("CAST(k.doc_id AS VARCHAR)", 100)
+    shard = _o_bucket("CAST(k.doc_id AS VARCHAR)", PACK_SHARDS)
+    return f"""
+WITH manifest AS ({manifest}),
+scored AS (
+  SELECT doc_id, lang, text, len({_TOKS}) AS n_tokens FROM documents
+),
+cleaned AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (
+           PARTITION BY sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           ORDER BY doc_id) AS rn
+  FROM scored WHERE n_tokens >= {MIN_TOKENS} AND lang = 'en'
+),
+k AS (
+  SELECT c.doc_id, c.n_tokens
+  FROM cleaned c JOIN manifest m ON c.doc_id = m.doc_id
+  WHERE c.rn = 1 AND m.decision = 'keep'
+),
+cuts AS (
+  SELECT quantile_cont(n_tokens, 0.25) AS q1,
+         quantile_cont(n_tokens, 0.50) AS q2,
+         quantile_cont(n_tokens, 0.75) AS q3
+  FROM k
+),
+assigned AS (
+  SELECT k.doc_id, k.n_tokens,
+         CASE WHEN {bucket} < 80 THEN 'train'
+              WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split,
+         CASE WHEN k.n_tokens <= c.q1 THEN 1 WHEN k.n_tokens <= c.q2 THEN 2
+              WHEN k.n_tokens <= c.q3 THEN 3 ELSE 4 END AS phase,
+         {shard} AS shard
+  FROM k, cuts c
+),
+packed AS (
+  SELECT split, phase, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY split, phase, shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM assigned
+)
+SELECT split, phase, shard,
+       CAST(floor((cum - n_tokens) / {SEQ_BUDGET}.0) AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+FROM packed
+GROUP BY split, phase, shard, seq_id
+"""
+
+
+@register("pipeline_training_dataset", oracle=_training_dataset_oracle(), tags=("llm-pipeline",))
+def q_pipeline_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus -> training-ready dataset composition, ONE plan:
+    quality filter + language slice + normalized exact dedup
+    (_cleaned_docs) -> fuzzy keep/drop via the exact+near dedup
+    manifest -> leakage-safe hash split on the dedup group -> length-
+    curriculum phase from survivor quartiles -> concat-and-chunk
+    sequence packing per (split, phase, shard) -> the manifest a
+    dataloader consumes. Every stage is an operator the catalog checks
+    standalone; this query is the proof they COMPOSE — the reference
+    needed one Master round-trip per stage (Master/Master.py:61-94),
+    this is a single Catalyst DAG with no materialization between
+    stages beyond the dedup pass's own pair graph.
+
+    Scale: inherits each stage's argument — filters before wide ops,
+    dedup via bucketed LSH-gradeable pair graph (here the exact one),
+    splits/shards as map-side hashes, packing parallel over
+    (split, phase, shard) streams. Survivor quartiles are one
+    distributed percentile, broadcast."""
+    from mapreducegcp_spark.operators.sampling import md5_bucket
+    from mapreducegcp_spark.operators.training import PACK_SHARDS, SEQ_BUDGET
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = _cleaned_docs(docs).select("doc_id", "n_tokens")
+    manifest = q_dedup_keep_manifest(spark, sf_dir)
+    kept = cleaned.join(
+        manifest.where(F.col("decision") == "keep").select("doc_id"), "doc_id"
+    )
+    cuts = kept.agg(
+        F.expr("percentile(n_tokens, array(0.25D, 0.50D, 0.75D))").alias("qs")
+    ).select(
+        F.col("qs")[0].alias("q1"), F.col("qs")[1].alias("q2"), F.col("qs")[2].alias("q3")
+    )
+    bucket = md5_bucket(F.col("doc_id").cast("string"), 100)
+    assigned = kept.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+        F.when(F.col("n_tokens") <= F.col("q1"), 1)
+        .when(F.col("n_tokens") <= F.col("q2"), 2)
+        .when(F.col("n_tokens") <= F.col("q3"), 3)
+        .otherwise(4)
+        .alias("phase"),
+        md5_bucket(F.col("doc_id").cast("string"), PACK_SHARDS).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("split", "phase", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    seq = F.floor((cum - F.col("n_tokens")) / float(SEQ_BUDGET)).cast("long")
+    return (
+        assigned.withColumn("seq_id", seq)
+        .groupBy("split", "phase", "shard", "seq_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("seq_tokens"))
+    )
