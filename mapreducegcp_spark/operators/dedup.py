@@ -175,7 +175,9 @@ WHERE CAST(p.n_common AS DOUBLE) / (sa.sz + sb.sz - p.n_common) >= {_JACCARD_THR
 
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("llm-pipeline",))
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, shingle_rows: DataFrame | None = None
+) -> DataFrame:
     """EXACT shingle-Jaccard near-dup pairs via inverted-index join.
 
     Not a cross join: documents are paired only through shared shingles
@@ -188,14 +190,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     on their own but explode the join), or going straight to MinHash.
     Exact integer intersection/union -> one double division: hash-stable.
     The join key is the 64-bit shingle id (_doc_shingle_ids) — identity
-    only, counts unchanged.
+    only, counts unchanged. ``shingle_rows`` lets a caller that also
+    needs the string shingles (dedup_lsh_eval) supply ONE shared
+    materialized (doc_id, shingle) table instead of re-tokenizing.
     """
     # Lazy checkpoint: the narrow (doc_id, shingle_id) table feeds BOTH
     # join sides and the size rollup — without it each branch re-runs
     # tokenize+shingle+md5 over the corpus (3 scans). 16 bytes/row, so
     # the materialization is smaller than the shuffle it feeds; lazy so
     # plan CONSTRUCTION stays job-free (eager would fire at build time).
-    sh = _doc_shingle_ids(spark, sf_dir).localCheckpoint(eager=False)
+    base = shingle_rows if shingle_rows is not None else _doc_shingles(spark, sf_dir)
+    sh = base.select("doc_id", F.xxhash64("shingle").alias("shingle")).localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -288,7 +295,9 @@ WHERE ({eq}) / 32.0 >= {_JACCARD_THRESHOLD}
 
 
 @register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("llm-pipeline",))
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, shingle_rows: DataFrame | None = None
+) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle -> 32-hash signature ->
     8 bands of 4 -> band-bucket join -> exact-signature Jaccard estimate.
 
@@ -308,9 +317,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket string would be xxhash64'd down to 8 bytes before the
     shuffle; it stays raw here so both engines join on identical keys.
     132s -> ~8s at sf0.1 vs the earlier nested-HOF plan.
+    ``shingle_rows``: optional pre-materialized (doc_id, shingle)
+    table shared with other shingle consumers (dedup_lsh_eval).
     """
     r = MINHASH_K // LSH_BANDS
-    sigw = minhash_signatures(_doc_shingles(spark, sf_dir)).cache()
+    sigw = minhash_signatures(
+        shingle_rows if shingle_rows is not None else _doc_shingles(spark, sf_dir)
+    ).cache()
 
     # Narrow band table: (doc_id, band, bucket) only — the signatures do
     # NOT flow through the self-join shuffle.
@@ -1082,12 +1095,15 @@ def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     not samples.
 
     Scale: both pair sets are the operators' own outputs (bucketed,
-    no all-pairs); the comparison is a full outer join on the pair
-    key — O(pairs), vertex-sized — and one conditional rollup. At
-    100 TB you'd run it on a sampled partition slice; the plan is
+    no all-pairs) fed from ONE shared materialized shingle table (the
+    tokenize+shingle scan — the dominant map-side cost — runs once,
+    not once per branch); the comparison is a full outer join on the
+    pair key — O(pairs), vertex-sized — and one conditional rollup.
+    At 100 TB you'd run it on a sampled partition slice; the plan is
     unchanged."""
-    truth = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    est = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    shared = _doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    truth = q_dedup_ngram_jaccard(spark, sf_dir, shared).select("doc_a", "doc_b")
+    est = q_dedup_minhash_lsh(spark, sf_dir, shared).select("doc_a", "doc_b")
     t = truth.withColumn("in_truth", F.lit(True))
     e = est.withColumn("in_est", F.lit(True))
     j = t.join(e, ["doc_a", "doc_b"], "full_outer").select(

@@ -490,17 +490,14 @@ def q_dedup_keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------- leakage-safe splitting
 
 def _leakage_split_oracle() -> str:
-    from mapreducegcp_spark.operators.sampling import _o_bucket
+    from mapreducegcp_spark.operators.sampling import _o_split
 
     group = "coalesce(m.representative, m.doc_id)"
-    bucket = _o_bucket(f"CAST({group} AS VARCHAR)", 100)
     return f"""
 WITH manifest AS ({_keep_oracle().strip()})
 SELECT m.doc_id,
        {group} AS group_key,
-       CASE WHEN {bucket} < 80 THEN 'train'
-            WHEN {bucket} < 90 THEN 'val'
-            ELSE 'test' END AS split
+       {_o_split(f"CAST({group} AS VARCHAR)")} AS split
 FROM manifest m
 """
 
@@ -508,10 +505,13 @@ FROM manifest m
 @register("split_leakage_safe", oracle=_leakage_split_oracle(), tags=("llm-pipeline",))
 def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-aware train/val/test split: hash the DEDUP GROUP, not the
-    document, so a document and its exact/near duplicates can never
+    document, so a document and its same-group duplicates cannot
     straddle train and test — the leakage failure mode a doc-id-keyed
     split (split_train_val_test) cannot prevent when the corpus
-    contains near-copies of the same page.
+    contains near-copies of the same page. (Within one GROUP the
+    guarantee is absolute; across a near-dup cluster that the
+    manifest's exact-over-near precedence splits into several groups
+    a residual remains — split_leakage_audit measures it.)
 
     The group key is the keep-manifest representative (exact-hash group
     min, else near-dup cluster min, else the doc itself), so membership
@@ -521,18 +521,14 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     already paid by the dedup pass. Note the grouping follows the
     manifest's exact-over-near precedence; a chain exact->near->exact
     collapses per that precedence, not by full transitive closure."""
-    from mapreducegcp_spark.operators.sampling import md5_bucket
+    from mapreducegcp_spark.operators.sampling import split_of
 
     manifest = q_dedup_keep_manifest(spark, sf_dir)
     group = F.coalesce(F.col("representative"), F.col("doc_id"))
-    bucket = md5_bucket(group.cast("string"), 100)
     return manifest.select(
         "doc_id",
         group.alias("group_key"),
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "val")
-        .otherwise("test")
-        .alias("split"),
+        split_of(group.cast("string")).alias("split"),
     )
 
 
@@ -629,68 +625,85 @@ def q_pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((n_tok > 0) & (F.col("top_tok").cast("double") / n_tok <= 0.2)).alias("r3"),
         (F.col("lang") == "en").alias("r4"),
     )
+    # ONE aggregation computes all 8 measures (the docstring's one-scan
+    # claim held only per-branch before: a union of 4 independent aggs
+    # re-ran the tokenize+sort+fold scan 4x); the 1-row result then
+    # explodes into the 4 funnel rows driver-side-free.
     conds = [F.col("r1"), F.col("r2"), F.col("r3"), F.col("r4")]
-    rows = []
+    aggs = []
     for i, c in enumerate(conds, start=1):
         cum = conds[0]
         for c2 in conds[1:i]:
             cum = cum & c2
-        rows.append(
-            flags.agg(
+        aggs.append(F.sum(F.when(~c, 1).otherwise(0)).alias(f"fail{i}"))
+        aggs.append(F.sum(F.when(cum, 1).otherwise(0)).alias(f"cum{i}"))
+    one = flags.agg(*aggs)
+    funnel = F.array(
+        *[
+            F.struct(
                 F.lit(i).alias("rule"),
-                F.sum(F.when(~c, 1).otherwise(0)).alias("n_fail_alone"),
-                F.sum(F.when(cum, 1).otherwise(0)).alias("n_survive_cum"),
+                F.col(f"fail{i}").alias("n_fail_alone"),
+                F.col(f"cum{i}").alias("n_survive_cum"),
             )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+            for i in range(1, 5)
+        ]
+    )
+    return one.select(F.explode(funnel).alias("r")).select(
+        "r.rule", "r.n_fail_alone", "r.n_survive_cum"
+    )
 
 
 # --------------------------------------------- split-leakage audit
 
 def _leakage_audit_oracle() -> str:
     from mapreducegcp_spark.operators.dedup import _JACCARD_ORACLE
-    from mapreducegcp_spark.operators.sampling import _o_bucket
+    from mapreducegcp_spark.operators.sampling import _o_split
 
-    def split_of(doc: str) -> str:
-        b = _o_bucket(f"CAST({doc} AS VARCHAR)", 100)
-        return f"(CASE WHEN {b} < 80 THEN 'train' WHEN {b} < 90 THEN 'val' ELSE 'test' END)"
-
+    naive = _o_split("CAST({d} AS VARCHAR)")
     return f"""
-WITH pairs AS (SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE.strip()}))
+WITH pairs AS (SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE.strip()})),
+manifest AS ({_keep_oracle().strip()}),
+safe AS (
+  SELECT doc_id,
+         {_o_split("CAST(coalesce(representative, doc_id) AS VARCHAR)")} AS safe_split
+  FROM manifest
+)
 SELECT CAST(count(*) AS BIGINT) AS n_near_dup_pairs,
-       CAST(sum(CASE WHEN {split_of('doc_a')} <> {split_of('doc_b')}
+       CAST(sum(CASE WHEN {naive.format(d='doc_a')} <> {naive.format(d='doc_b')}
                 THEN 1 ELSE 0 END) AS BIGINT) AS naive_cross_split_pairs,
-       CAST(0 AS BIGINT) AS group_keyed_cross_split_pairs
+       CAST(sum(CASE WHEN sa.safe_split <> sb.safe_split THEN 1 ELSE 0 END)
+            AS BIGINT) AS group_keyed_cross_split_pairs
 FROM pairs
+JOIN safe sa ON doc_a = sa.doc_id
+JOIN safe sb ON doc_b = sb.doc_id
 """
 
 
 @register("split_leakage_audit", oracle=_leakage_audit_oracle(), tags=("llm-pipeline",))
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantifies the leakage a doc-id-keyed split causes: of all
-    near-dup pairs (shingle Jaccard >= threshold), how many would
-    STRADDLE train/val/test under the naive per-document hash split
+    near-dup pairs (shingle Jaccard >= threshold), how many STRADDLE
+    train/val/test under the naive per-document hash split
     (split_train_val_test's rule applied per doc) versus under the
-    dedup-group-keyed split (split_leakage_safe) — which is zero BY
-    CONSTRUCTION, asserted in-engine rather than assumed: the third
-    column is computed from the actual group-keyed assignments, and
-    the oracle states 0, so the value hash proves the guarantee on
-    this corpus every round.
+    dedup-group-keyed split (split_leakage_safe). BOTH counts are
+    computed from the actual assignments and re-derived by the oracle
+    — deliberately NOT asserting the group-keyed count is zero: the
+    manifest's exact-over-near precedence can split one near-dup
+    cluster across group keys (an exact-dup group nested inside a
+    larger near-dup cluster takes the exact rep), so the group-keyed
+    split is a large REDUCTION, not an absolute guarantee, and the
+    audit is what measures the residual every round.
 
     Scale: pair set and manifest are the dedup pass's own outputs
     (vertex-sized); the audit is two hash-bucket map columns and one
     conditional rollup on top."""
     from mapreducegcp_spark.operators.dedup import q_dedup_ngram_jaccard
-    from mapreducegcp_spark.operators.sampling import md5_bucket
+    from mapreducegcp_spark.operators.sampling import split_of
 
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
 
     def naive_split(col: str):
-        b = md5_bucket(F.col(col).cast("string"), 100)
-        return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        return split_of(F.col(col).cast("string"))
 
     safe = q_split_leakage_safe(spark, sf_dir).select(
         F.col("doc_id"), F.col("split").alias("safe_split")
@@ -719,11 +732,11 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------- capstone: corpus -> training dataset
 
 def _training_dataset_oracle() -> str:
-    from mapreducegcp_spark.operators.sampling import _o_bucket
+    from mapreducegcp_spark.operators.sampling import _o_bucket, _o_split
     from mapreducegcp_spark.operators.training import PACK_SHARDS, SEQ_BUDGET
 
     manifest = _keep_oracle().strip()
-    bucket = _o_bucket("CAST(k.doc_id AS VARCHAR)", 100)
+    split = _o_split("CAST(k.doc_id AS VARCHAR)")
     shard = _o_bucket("CAST(k.doc_id AS VARCHAR)", PACK_SHARDS)
     return f"""
 WITH manifest AS ({manifest}),
@@ -750,8 +763,7 @@ cuts AS (
 ),
 assigned AS (
   SELECT k.doc_id, k.n_tokens,
-         CASE WHEN {bucket} < 80 THEN 'train'
-              WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split,
+         {split} AS split,
          CASE WHEN k.n_tokens <= c.q1 THEN 1 WHEN k.n_tokens <= c.q2 THEN 2
               WHEN k.n_tokens <= c.q3 THEN 3 ELSE 4 END AS phase,
          {shard} AS shard
@@ -791,7 +803,7 @@ def q_pipeline_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits/shards as map-side hashes, packing parallel over
     (split, phase, shard) streams. Survivor quartiles are one
     distributed percentile, broadcast."""
-    from mapreducegcp_spark.operators.sampling import md5_bucket
+    from mapreducegcp_spark.operators.sampling import md5_bucket, split_of
     from mapreducegcp_spark.operators.training import PACK_SHARDS, SEQ_BUDGET
 
     docs = load_table(spark, sf_dir, "documents")
@@ -805,11 +817,10 @@ def q_pipeline_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("qs")[0].alias("q1"), F.col("qs")[1].alias("q2"), F.col("qs")[2].alias("q3")
     )
-    bucket = md5_bucket(F.col("doc_id").cast("string"), 100)
     assigned = kept.crossJoin(F.broadcast(cuts)).select(
         "doc_id",
         "n_tokens",
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+        split_of(F.col("doc_id").cast("string")).alias("split"),
         F.when(F.col("n_tokens") <= F.col("q1"), 1)
         .when(F.col("n_tokens") <= F.col("q2"), 2)
         .when(F.col("n_tokens") <= F.col("q3"), 3)

@@ -36,6 +36,30 @@ def _o_bucket(key_sql: str, n_buckets: int) -> str:
     return f"(CAST(('0x' || substr(md5({key_sql}),1,8)) AS BIGINT) % {n_buckets})"
 
 
+# The canonical 80/10/10 split policy — ONE definition per engine so
+# every consumer (split_train_val_test, the leakage-safe split, the
+# leakage audit, the training-dataset capstone) derives the same
+# assignment and a ratio change can't silently diverge them.
+TRAIN_PCT, VAL_PCT = 80, 90  # [0,80) train, [80,90) val, [90,100) test
+
+
+def split_of(key: F.Column) -> F.Column:
+    """train/val/test label from a string key (md5 universe bucket)."""
+    b = md5_bucket(key, 100)
+    return (
+        F.when(b < TRAIN_PCT, "train").when(b < VAL_PCT, "val").otherwise("test")
+    )
+
+
+def _o_split(key_sql: str) -> str:
+    """DuckDB twin of ``split_of`` (kept in lockstep)."""
+    b = _o_bucket(key_sql, 100)
+    return (
+        f"(CASE WHEN {b} < {TRAIN_PCT} THEN 'train' "
+        f"WHEN {b} < {VAL_PCT} THEN 'val' ELSE 'test' END)"
+    )
+
+
 # ------------------------------------------------------- train/val/test
 
 _SPLIT_ORACLE = f"""

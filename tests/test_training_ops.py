@@ -139,3 +139,49 @@ def test_drift_zero_reference_bin_is_null_not_crash(spark, monkeypatch):
     hot = out[3]
     assert hot.n_ref == 0 and hot.n_cur == 1
     assert hot.chi2_term is None
+
+
+def test_leakage_audit_measures_precedence_residual(spark, monkeypatch):
+    """The exact-over-near precedence can split one near-dup cluster
+    across group keys (an exact-dup group nested in a larger cluster
+    takes the exact rep) — so the group-keyed count is MEASURED, not
+    assumed zero. Reviewer-reproduced corpus: doc 8 is the base, doc 9
+    its exact duplicate, doc 1 a near-dup of both; the audit's safe
+    count must equal the straddle count computed directly from
+    split_leakage_safe's own assignments."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base + "extra tail token"
+    docs = spark.createDataFrame(
+        [(1, near, "en", "s", len(near)), (8, base, "en", "s", len(base)),
+         (9, base, "en", "s", len(base))],
+        DOC_SCHEMA,
+    )
+    import mapreducegcp_spark.operators.dedup as dedup_mod
+    import mapreducegcp_spark.operators.pipeline as pipeline_mod
+
+    _patch(monkeypatch, dedup_mod, docs)
+    _patch(monkeypatch, pipeline_mod, docs)
+    audit = all_queries()["split_leakage_audit"].fn(spark, "ignored").collect()[0]
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_mod.q_dedup_ngram_jaccard(spark, "ignored").collect()
+    }
+    splits = {
+        r.doc_id: r.split
+        for r in pipeline_mod.q_split_leakage_safe(spark, "ignored").collect()
+    }
+    expect_safe = sum(1 for a, b in pairs if splits[a] != splits[b])
+    assert audit.n_near_dup_pairs == len(pairs) > 0
+    assert audit.group_keyed_cross_split_pairs == expect_safe
+
+
+def test_funnel_is_one_scan(spark):
+    """pipeline_filter_funnel's docstring claims ONE scan: the plan
+    must contain exactly one parquet scan of documents (the old
+    union-of-aggs shape ran four)."""
+    import re
+
+    df = all_queries()["pipeline_filter_funnel"].fn(spark, "/root/testdata/sf0.001")
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    scans = len(re.findall(r"Scan parquet|FileScan parquet", tree))
+    assert scans == 1, tree[:1500]
