@@ -446,7 +446,9 @@ def _keep_oracle() -> str:
 
 
 @register("dedup_keep_manifest", oracle=_keep_oracle(), tags=("llm-pipeline",))
-def q_dedup_keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_keep_manifest(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """The dedup family's ACTIONABLE output: one row per document with
     the keep/drop decision and its representative — exact duplicates
     drop to the lowest doc_id of their normalized-hash group, near
@@ -471,7 +473,8 @@ def q_dedup_keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.min("doc_id").over(Window.partitionBy(norm)).alias("exact_rep"),
     )
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    if pairs is None:
+        pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     clusters = min_label_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("cluster_id").alias("near_rep")
     )
@@ -503,7 +506,9 @@ FROM manifest m
 
 
 @register("split_leakage_safe", oracle=_leakage_split_oracle(), tags=("llm-pipeline",))
-def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_split_leakage_safe(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Group-aware train/val/test split: hash the DEDUP GROUP, not the
     document, so a document and its same-group duplicates cannot
     straddle train and test — the leakage failure mode a doc-id-keyed
@@ -523,7 +528,7 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses per that precedence, not by full transitive closure."""
     from mapreducegcp_spark.operators.sampling import split_of
 
-    manifest = q_dedup_keep_manifest(spark, sf_dir)
+    manifest = q_dedup_keep_manifest(spark, sf_dir, pairs)
     group = F.coalesce(F.col("representative"), F.col("doc_id"))
     return manifest.select(
         "doc_id",
@@ -700,12 +705,19 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducegcp_spark.operators.dedup import q_dedup_ngram_jaccard
     from mapreducegcp_spark.operators.sampling import split_of
 
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # one pair graph for BOTH consumers: the audit's straddle join and
+    # the manifest's cluster resolution inside the safe split (lazy
+    # checkpoint -> the expensive shingle self-join runs once)
+    pairs = (
+        q_dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
 
     def naive_split(col: str):
         return split_of(F.col(col).cast("string"))
 
-    safe = q_split_leakage_safe(spark, sf_dir).select(
+    safe = q_split_leakage_safe(spark, sf_dir, pairs=pairs).select(
         F.col("doc_id"), F.col("split").alias("safe_split")
     )
     sa = safe.select(F.col("doc_id").alias("doc_a"), F.col("safe_split").alias("safe_a"))
