@@ -307,3 +307,34 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
         for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == expect
+
+
+def test_dedup_within_watermark_uses_bounded_state_operator(spark):
+    """stream_dedup_within_watermark must exercise the real
+    dropDuplicatesWithinWatermark operator (bounded state), not fall
+    back to plain dropDuplicates: assert the logical plan carries the
+    eviction node and the event-time watermark, and that the replayed
+    result still equals the batch DISTINCT (single-batch replay ->
+    exact regime)."""
+    from mapreducegcp_spark.registry import all_queries
+    from mapreducegcp_spark.sources.catalog import load_table
+    from mapreducegcp_spark.streaming.events import events_stream
+
+    sf = "/root/testdata/sf0.001"
+    sdf = (
+        events_stream(spark, sf)
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    plan = sdf._jdf.queryExecution().logical().toString()
+    assert "DeduplicateWithinWatermark" in plan, plan[:800]
+    assert "EventTimeWatermark" in plan
+
+    out = all_queries()["stream_dedup_within_watermark"].fn(spark, sf)
+    got = {(r.user_id, r.event_type) for r in out.collect()}
+    want = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, sf, "events").select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want
