@@ -980,8 +980,9 @@ FROM s
 
 def make_ols_arrow_fn():
     """Factory for the grouped-Arrow OLS kernel (local scope so
-    cloudpickle ships only the function, not this module — see
-    .claude/skills/verify)."""
+    cloudpickle ships the function by value instead of importing this
+    module on executors — required when the driver runs the contract
+    from an arbitrary cwd)."""
     import numpy as np
     import pyarrow as pa
 

@@ -959,10 +959,11 @@ def q_stream_lsh_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = MINHASH_K // LSH_BANDS
     docs = documents_stream(spark, sf_dir)
     # Whole signature stage as ONE Arrow pandas_udf (factory-scoped so
-    # cloudpickle doesn't drag this module to the workers — see
-    # .claude/skills/verify): tokenize, shingle, md5, k-min fold per
-    # batch in numpy. See _make_doc_minhash_udf for why the columnar
-    # batch formulation can't be used inside a stream.
+    # cloudpickle serializes the closure by VALUE instead of importing
+    # this module on workers, which fails when the driver runs from an
+    # arbitrary cwd): tokenize, shingle, md5, k-min fold per batch in
+    # numpy. See _make_doc_minhash_udf for why the columnar batch
+    # formulation can't be used inside a stream.
     doc_sig = _make_doc_minhash_udf(MINHASH_K, _MOD)
     folded = docs.select("doc_id", doc_sig("text").alias("sig")).where(
         F.col("sig").isNotNull()
