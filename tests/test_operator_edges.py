@@ -1,0 +1,106 @@
+"""Degenerate-input semantics for core operators beyond the round-3 set.
+
+Same mechanism as test_training_ops: inject tiny synthetic tables by
+patching the operator module's ``load_table``; pin behaviors the driver
+corpus never exercises (ties, empty strings, single-row groups)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreducegcp_spark.registry import all_queries
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def test_weighted_median_all_ties_and_single_row(spark, monkeypatch):
+    """A group whose prices are all equal must return that price; a
+    single-row group returns its own price. The distinct-price
+    collapse must not change either."""
+    import mapreducegcp_spark.operators.aggregates as agg_mod
+
+    rows = [
+        # group A: every row the same price
+        ("A", 10.00, 5.0), ("A", 10.00, 7.0), ("A", 10.00, 1.0),
+        # group B: single row
+        ("B", 42.50, 3.0),
+        # group C: median must respect weights: price 1 carries 9/10 mass
+        ("C", 1.00, 9.0), ("C", 100.00, 1.0),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double, l_quantity double"
+    )
+    monkeypatch.setattr(agg_mod, "load_table", lambda s, d, n: li)
+    out = {
+        r.l_returnflag: r.weighted_median_price
+        for r in all_queries()["agg_weighted_median"].fn(spark, "ignored").collect()
+    }
+    assert out == {"A": 10.00, "B": 42.50, "C": 1.00}
+
+
+def test_simhash_empty_text_yields_no_row(spark, monkeypatch):
+    """A document with no alphabetic tokens contributes no token rows,
+    so it is absent from the fingerprint table (matching the oracle's
+    unnest semantics) rather than crashing or hashing to zero."""
+    import mapreducegcp_spark.operators.dedup as dedup_mod
+
+    docs = spark.createDataFrame(
+        [(1, "1234 %% !!", "en", "s", 10), (2, "real words here", "en", "s", 15)],
+        DOC_SCHEMA,
+    )
+    monkeypatch.setattr(dedup_mod, "load_table", lambda s, d, n: docs)
+    rows = {r.doc_id for r in all_queries()["dedup_simhash"].fn(spark, "ignored").collect()}
+    assert rows == {2}
+
+
+def test_knn_classify_tie_breaks_to_smaller_label(spark, monkeypatch):
+    """With k=10 neighbors split 5/5 between two labels, the predicted
+    label must be the SMALLER one (deterministic tie-break)."""
+    import mapreducegcp_spark.operators.similarity as sim_mod
+
+    # query vec_id 0; corpus = 10 vectors, half label 7, half label 3,
+    # all equidistant from the query (identical embeddings)
+    dim = 4
+    rows = [(0, [1.0] * dim, 0)]
+    for i in range(1, 11):
+        rows.append((100 + i, [1.0] * dim, 7 if i % 2 == 0 else 3))
+    # the other four query ids must exist (the query set is fixed)
+    for q in (1, 2, 3, 4):
+        rows.append((q, [1.0] * dim, 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(sim_mod, "load_table", lambda s, d, n: emb)
+    out = {
+        r.query_id: r
+        for r in all_queries()["similarity_knn_classify"].fn(spark, "ignored").collect()
+    }
+    assert out[0].predicted_label == 3 and out[0].votes == 5
+
+
+def test_bounded_components_on_two_disjoint_edges(spark):
+    """two_phase_components with two disjoint pairs must emit two
+    2-node components labeled by their minima."""
+    from pyspark.sql import functions as F
+
+    from mapreducegcp_spark.operators.dedup import two_phase_components
+
+    pairs = spark.createDataFrame([(5, 9), (2, 7)], "a long, b long")
+    out = {(r.node, r.cluster_id) for r in two_phase_components(pairs, "a", "b").collect()}
+    assert out == {(5, 5), (9, 5), (2, 2), (7, 2)}
+
+
+def test_temperature_weights_sum_to_one_many_sources(spark, monkeypatch):
+    """With 7 sources of co-prime token masses the sqrt-normalized
+    weights must sum to exactly 1.0 under the ordered fold (the
+    left-fold makes the normalizer the same sum the division sees)."""
+    import mapreducegcp_spark.operators.training as training_mod
+
+    docs = []
+    masses = [3, 5, 7, 11, 13, 17, 19]
+    for i, m in enumerate(masses):
+        docs.append((i, " ".join(["tok"] * m), "en", f"s{i}", 0))
+    df = spark.createDataFrame(docs, DOC_SCHEMA)
+    monkeypatch.setattr(training_mod, "load_table", lambda s, d, n: df)
+    rows = all_queries()["sample_temperature"].fn(spark, "ignored").collect()
+    assert len(rows) == 7
+    total = sum(r.temp_weight for r in rows)
+    assert abs(total - 1.0) < 1e-12
