@@ -988,3 +988,66 @@ def q_events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_funnels") >= 1)
     )
+
+
+# ------------------------------------------- month-over-month growth
+
+_GROWTH_ORACLE = f"""
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT cur.ym, cur.revenue,
+       (cur.revenue - prev.revenue) / prev.revenue AS mom_growth,
+       (cur.revenue - yr.revenue) / yr.revenue AS yoy_growth
+FROM m cur
+LEFT JOIN m prev ON prev.ym = cur.ym - 1
+LEFT JOIN m yr ON yr.ym = cur.ym - 12
+"""
+
+
+@register("timeseries_monthly_growth", oracle=_GROWTH_ORACLE, tags=("timeseries",))
+def q_timeseries_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month and year-over-year growth
+    — the reporting backbone every BI layer asks an engine for. The
+    comparison months come from LEFT SELF-JOINS on the integer month
+    key (ym - 1 / ym - 12), not lag(): a missing calendar month then
+    yields NULL growth instead of silently comparing against the wrong
+    (merely previous-present) row — and the month keys are exact
+    integers (year*12+month), so there is no interval arithmetic for
+    engines to disagree on. Growth fractions divide the same
+    decimal-summed doubles in the same order in both engines; months
+    with no prior period are NULL by the left joins.
+
+    Scale: the monthly rollup is one map-side-combinable aggregation
+    (months = dozens of rows regardless of fact size); both
+    comparison joins are broadcast-tiny self-joins of that rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("ym"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("ym")
+        .agg(F.sum("p").cast("double").alias("revenue"))
+        .localCheckpoint(eager=False)  # three consumers, one rollup
+    )
+    prev = m.select((F.col("ym") + 1).alias("ym"), F.col("revenue").alias("prev_rev"))
+    yr = m.select((F.col("ym") + 12).alias("ym"), F.col("revenue").alias("yr_rev"))
+    return (
+        m.join(F.broadcast(prev), "ym", "left")
+        .join(F.broadcast(yr), "ym", "left")
+        .select(
+            "ym",
+            "revenue",
+            ((F.col("revenue") - F.col("prev_rev")) / F.col("prev_rev")).alias(
+                "mom_growth"
+            ),
+            ((F.col("revenue") - F.col("yr_rev")) / F.col("yr_rev")).alias(
+                "yoy_growth"
+            ),
+        )
+    )

@@ -104,6 +104,7 @@ PROBES = {
     # replication, same reasoning as minhash above)
     "pipeline_filter_funnel": {"documents": ["doc_id"]},
     "text_source_vocab_overlap": {"documents": ["doc_id"]},
+    "timeseries_monthly_growth": {"orders": ["o_orderkey", "o_custkey"]},
 }
 
 
