@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mapreducegcp_spark.functions.exact import dec2
+from mapreducegcp_spark.functions.exact import dec2, dsum, o_dec2, o_dsum
 from mapreducegcp_spark.registry import register
 from mapreducegcp_spark.sources.catalog import load_table
 
@@ -995,7 +995,7 @@ def q_events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GROWTH_ORACLE = f"""
 WITH m AS (
   SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         {o_dsum(o_dec2('o_totalprice'))} AS revenue
   FROM orders GROUP BY 1
 )
 SELECT cur.ym, cur.revenue,
@@ -1024,16 +1024,21 @@ def q_timeseries_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     (months = dozens of rows regardless of fact size); both
     comparison joins are broadcast-tiny self-joins of that rollup."""
     orders = load_table(spark, sf_dir, "orders")
+    # eager checkpoint: the rollup has THREE consumers (main + two
+    # broadcast self-joins) whose jobs otherwise race to materialize a
+    # lazy checkpoint and re-run the orders scan; the rollup is
+    # months-sized, so the build-time job is trivial (the pattern
+    # relational.py uses for the same shape).
     m = (
         orders.select(
             (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
             .cast("long")
             .alias("ym"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+            dec2("o_totalprice").alias("p"),
         )
         .groupBy("ym")
-        .agg(F.sum("p").cast("double").alias("revenue"))
-        .localCheckpoint(eager=False)  # three consumers, one rollup
+        .agg(dsum(F.col("p")).alias("revenue"))
+        .localCheckpoint()
     )
     prev = m.select((F.col("ym") + 1).alias("ym"), F.col("revenue").alias("prev_rev"))
     yr = m.select((F.col("ym") + 12).alias("ym"), F.col("revenue").alias("yr_rev"))

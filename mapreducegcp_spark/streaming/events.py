@@ -247,15 +247,22 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     so no state is evicted mid-stream and the result equals the batch
     DISTINCT — the oracle checks the exact-regime semantics while the
     plan carries the eviction machinery (EventTimeWatermark +
-    DropDuplicatesWithinWatermark nodes)."""
+    DropDuplicatesWithinWatermark nodes, asserted on THIS builder's
+    plan in tests/test_streaming.py)."""
+    return run_to_memory(dedup_within_watermark_stream(spark, sf_dir), "append")
+
+
+def dedup_within_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked-dedup streaming DataFrame itself — split out so
+    the plan test asserts on the exact pipeline the registered query
+    runs (a test-local replica could silently diverge)."""
     sdf = events_stream(spark, sf_dir)
-    deduped = (
+    return (
         sdf.withWatermark("ts", WATERMARK_DELAY)
         .select("user_id", "event_type", "ts")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_to_memory(deduped, "append")
 
 
 @register(

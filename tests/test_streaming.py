@@ -312,29 +312,24 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
 def test_dedup_within_watermark_uses_bounded_state_operator(spark):
     """stream_dedup_within_watermark must exercise the real
     dropDuplicatesWithinWatermark operator (bounded state), not fall
-    back to plain dropDuplicates: assert the logical plan carries the
-    eviction node and the event-time watermark, and that the replayed
-    result still equals the batch DISTINCT (single-batch replay ->
-    exact regime)."""
+    back to plain dropDuplicates: assert THE OPERATOR'S OWN streaming
+    builder carries the eviction node and the event-time watermark
+    (a test-local replica pipeline could stay green through exactly
+    the regression this pins), and that the replayed result still
+    equals the batch DISTINCT (single-batch replay -> exact regime)."""
     from mapreducegcp_spark.registry import all_queries
     from mapreducegcp_spark.sources.catalog import load_table
-    from mapreducegcp_spark.streaming.events import events_stream
+    from mapreducegcp_spark.streaming.events import dedup_within_watermark_stream
 
-    sf = "/root/testdata/sf0.001"
-    sdf = (
-        events_stream(spark, sf)
-        .withWatermark("ts", "10 minutes")
-        .select("user_id", "event_type", "ts")
-        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-    )
+    sdf = dedup_within_watermark_stream(spark, SF_DIR)
     plan = sdf._jdf.queryExecution().logical().toString()
     assert "DeduplicateWithinWatermark" in plan, plan[:800]
     assert "EventTimeWatermark" in plan
 
-    out = all_queries()["stream_dedup_within_watermark"].fn(spark, sf)
+    out = all_queries()["stream_dedup_within_watermark"].fn(spark, SF_DIR)
     got = {(r.user_id, r.event_type) for r in out.collect()}
     want = {
         (r.user_id, r.event_type)
-        for r in load_table(spark, sf, "events").select("user_id", "event_type").distinct().collect()
+        for r in load_table(spark, SF_DIR, "events").select("user_id", "event_type").distinct().collect()
     }
     assert got == want
