@@ -224,6 +224,47 @@ def q_dedup_ngram_jaccard(
     )
 
 
+# ----------------------------------------- shared near-dup pair graph
+
+# Session-scoped cache of the exact Jaccard pair graph: six catalog
+# queries (three cluster engines, the keep manifest, the LSH eval, the
+# leakage audit/split) consume the IDENTICAL (doc_a, doc_b) edge set,
+# and each was re-running the same ~2-4 s shingle self-join. Mirrors
+# the IVF centroid artifact contract (similarity.py): keyed by corpus
+# path + documents.parquet byte size, so a regenerated corpus at the
+# same path (same name, different bytes) misses the cache instead of
+# silently serving stale pairs. Entries are lazily-checkpointed
+# DataFrames — one bounded materialization per (session, corpus),
+# valid only within the SparkSession that built them, hence the
+# applicationId in the key.
+_PAIR_GRAPH_CACHE: dict[tuple, DataFrame] = {}
+
+
+def jaccard_pair_graph(
+    spark: SparkSession, sf_dir: str, shingle_rows: DataFrame | None = None
+) -> DataFrame:
+    """The shared exact near-dup edge set: (doc_a, doc_b) pairs with
+    shingle Jaccard >= threshold, materialized AT MOST ONCE per
+    (SparkSession, corpus) and reused by every cluster/manifest/audit
+    consumer. ``shingle_rows`` lets the first builder in a query that
+    also needs raw shingles (dedup_lsh_eval) feed one shared scan."""
+    import os
+
+    path = os.path.normpath(sf_dir)
+    try:
+        nbytes = os.path.getsize(os.path.join(path, "documents.parquet"))
+    except OSError:
+        nbytes = -1
+    key = (spark.sparkContext.applicationId, path, nbytes)
+    if key not in _PAIR_GRAPH_CACHE:
+        _PAIR_GRAPH_CACHE[key] = (
+            q_dedup_ngram_jaccard(spark, sf_dir, shingle_rows)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=False)
+        )
+    return _PAIR_GRAPH_CACHE[key]
+
+
 # ------------------------------------------------- MinHash + LSH
 
 MINHASH_K = 32  # signature length
@@ -633,7 +674,7 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternating large-star/small-star optimization (O(log n) rounds);
     the DuckDB oracle is a recursive-CTE transitive closure.
     """
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = jaccard_pair_graph(spark, sf_dir)
     return min_label_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
@@ -653,16 +694,15 @@ def q_dedup_clusters_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label loop (above) carries one label per node regardless of
     component size and converges in diameter rounds. Both are shipped
     because the crossover is real."""
-    # Materialize the pair graph ONCE before the recursion: Spark's
+    # The pair graph must be MATERIALIZED before the recursion: Spark's
     # recursive CTE re-evaluates the anchor's dependencies every
     # iteration, and `dup_pairs` here is the full shingle self-join —
     # unmaterialized, 8 recursion rounds re-ran an ~2s plan 8 times
-    # (14.4s for this query at sf0.01). localCheckpoint truncates the
-    # lineage to a materialized RDD, so each round re-reads tiny
-    # in-memory pair rows instead (measured ~5x faster).
-    pairs = (
-        q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
-    )
+    # (14.4s for this query at sf0.01). The shared session graph is a
+    # lazy checkpoint: round 1 of the recursion materializes it, later
+    # rounds (and the five sibling consumers) re-read tiny in-memory
+    # pair rows (measured ~5x faster).
+    pairs = jaccard_pair_graph(spark, sf_dir)
     pairs.createOrReplaceTempView("dup_pairs")
     # Spark 4 recursion only supports UNION ALL (no fixpoint dedup), so
     # the walk is depth-bounded: exact whenever component diameter <= 4
@@ -1053,7 +1093,7 @@ def q_dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-proportional rounds — the right engine when near-dup chains
     get LONG (template pages, boilerplate gradients) and diameter is
     unbounded."""
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = jaccard_pair_graph(spark, sf_dir)
     return two_phase_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
@@ -1075,10 +1115,14 @@ j AS (
 SELECT CAST(sum(CASE WHEN in_truth AND in_est THEN 1 ELSE 0 END) AS BIGINT) AS tp,
        CAST(sum(CASE WHEN in_est AND NOT in_truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
        CAST(sum(CASE WHEN in_truth AND NOT in_est THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-       CAST(sum(CASE WHEN in_truth AND in_est THEN 1 ELSE 0 END) AS DOUBLE)
-         / sum(CASE WHEN in_est THEN 1 ELSE 0 END) AS precision,
-       CAST(sum(CASE WHEN in_truth AND in_est THEN 1 ELSE 0 END) AS DOUBLE)
-         / sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS recall
+       CASE WHEN sum(CASE WHEN in_est THEN 1 ELSE 0 END) > 0
+            THEN CAST(sum(CASE WHEN in_truth AND in_est THEN 1 ELSE 0 END) AS DOUBLE)
+                   / sum(CASE WHEN in_est THEN 1 ELSE 0 END)
+            ELSE NULL END AS precision,
+       CASE WHEN sum(CASE WHEN in_truth THEN 1 ELSE 0 END) > 0
+            THEN CAST(sum(CASE WHEN in_truth AND in_est THEN 1 ELSE 0 END) AS DOUBLE)
+                   / sum(CASE WHEN in_truth THEN 1 ELSE 0 END)
+            ELSE NULL END AS recall
 FROM j
 """
 
@@ -1102,7 +1146,7 @@ def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB you'd run it on a sampled partition slice; the plan is
     unchanged."""
     shared = _doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
-    truth = q_dedup_ngram_jaccard(spark, sf_dir, shared).select("doc_a", "doc_b")
+    truth = jaccard_pair_graph(spark, sf_dir, shared)
     est = q_dedup_minhash_lsh(spark, sf_dir, shared).select("doc_a", "doc_b")
     t = truth.withColumn("in_truth", F.lit(True))
     e = est.withColumn("in_est", F.lit(True))
@@ -1115,10 +1159,13 @@ def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     fn = F.sum(F.when(F.col("in_truth") & ~F.col("in_est"), 1).otherwise(0))
     n_est = F.sum(F.when(F.col("in_est"), 1).otherwise(0))
     n_truth = F.sum(F.when(F.col("in_truth"), 1).otherwise(0))
+    # Explicit NULL on empty denominators: Spark's x/0 yields NULL but
+    # DuckDB's IEEE double division is version-dependent (NaN/inf) —
+    # the when/CASE pins both engines to NULL on degenerate corpora.
     return j.agg(
         tp.alias("tp"),
         fp.alias("fp"),
         fn.alias("fn"),
-        (tp.cast("double") / n_est).alias("precision"),
-        (tp.cast("double") / n_truth).alias("recall"),
+        F.when(n_est > 0, tp.cast("double") / n_est).alias("precision"),
+        F.when(n_truth > 0, tp.cast("double") / n_truth).alias("recall"),
     )

@@ -81,6 +81,108 @@ def _tag_partition_pos(df: DataFrame) -> DataFrame:
     return df.mapInPandas(gen, schema)
 
 
+def global_rownum(
+    df: DataFrame, order_cols: list, out: str = "global_rownum", n_range: int = _N_RANGE
+) -> DataFrame:
+    """Append a 1-based global ROW_NUMBER over ``order_cols`` without a
+    single-partition window — the reusable two-phase pattern behind
+    ``order_global_rownum`` (range-partition + local numbering, then
+    broadcast per-partition offsets). ``order_cols`` must induce a
+    UNIQUE total order (callers add a key tiebreak) so the numbering is
+    independent of where the range sampler places boundaries — and so
+    the lazy checkpoint's re-evaluation, if it ever happens, is
+    bit-identical. ``df`` must not already carry pid/pos columns.
+
+    The checkpoint is LAZY: plan construction stays job-free; the first
+    action materializes the tagged rows once and both the count branch
+    and the join branch then read that same materialization (the
+    broadcast side runs first and pays it)."""
+    ranged = df.repartitionByRange(n_range, *order_cols).sortWithinPartitions(*order_cols)
+    tagged = _tag_partition_pos(ranged).localCheckpoint(eager=False)
+    counts = tagged.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("offset")
+    )
+    return tagged.join(F.broadcast(offsets), "pid").select(
+        *df.columns, (F.col("offset") + F.col("pos") + 1).alias(out)
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str,
+    rn_out: str = "rnk",
+    cum_out: str = "cum",
+    n_range: int = _N_RANGE,
+) -> DataFrame:
+    """Append a global ROW_NUMBER and a running SUM(``val_col``) over
+    ``order_cols`` — the two-phase form of
+    ``row_number() / sum() OVER (ORDER BY ...)`` with no
+    single-partition window. Phase 1 range-partitions on the (unique —
+    callers add a key tiebreak) sort order and computes per-row local
+    position + local cumulative sum in one Arrow pass; phase 2
+    broadcasts per-partition row/value prefix offsets (an
+    n_partitions-row table) back. ``val_col`` must be integral — the
+    cumsum runs in int64 so both phases are exact."""
+    ranged = df.repartitionByRange(n_range, *order_cols).sortWithinPartitions(*order_cols)
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("pid", T.IntegerType()),
+            T.StructField("pos", T.LongType()),
+            T.StructField("lcum", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        pos = 0
+        run = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["pid"] = np.int32(pid)
+            pdf["pos"] = np.arange(pos, pos + len(pdf), dtype="int64")
+            c = pdf[val_col].to_numpy(dtype="int64").cumsum() + run
+            pdf["lcum"] = c
+            if len(c):
+                run = int(c[-1])
+            pos += len(pdf)
+            yield pdf
+
+    tagged = ranged.mapInPandas(gen, schema).localCheckpoint(eager=False)
+    per = tagged.groupBy("pid").agg(
+        F.count("*").alias("cnt_rows"), F.sum(val_col).alias("sum_val")
+    )
+    w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per.select(
+        "pid",
+        F.coalesce(F.sum("cnt_rows").over(w), F.lit(0)).alias("row_off"),
+        F.coalesce(F.sum("sum_val").over(w), F.lit(0)).alias("val_off"),
+    )
+    return tagged.join(F.broadcast(offsets), "pid").select(
+        *df.columns,
+        (F.col("row_off") + F.col("pos") + 1).alias(rn_out),
+        (F.col("val_off") + F.col("lcum")).alias(cum_out),
+    )
+
+
+def ntile_from_rownum(rn, n_rows, n_buckets: int):
+    """Closed-form ``ntile(n_buckets)`` from a 1-based global row number
+    ``rn`` out of ``n_rows`` total — SQL-standard semantics: with
+    q = n_rows div n_buckets and r = n_rows mod n_buckets, the first r
+    buckets hold q+1 rows, the rest q. Pure column arithmetic, so the
+    quintile scoring that would otherwise need a global ntile window
+    runs map-side after a distributed ``global_rownum``."""
+    q = F.floor(n_rows / n_buckets)
+    r = n_rows % n_buckets
+    head = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+    return F.when(rn <= head, F.floor((rn - 1) / (q + 1)) + 1).otherwise(
+        r + F.floor((rn - head - 1) / q) + 1
+    )
+
+
 _ROWNUM_ORACLE = """
 SELECT o_orderkey, o_custkey, o_totalprice,
        ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS global_rownum
@@ -108,25 +210,8 @@ def q_order_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    ranged = orders.repartitionByRange(
-        _N_RANGE, F.col("o_totalprice").desc(), F.col("o_orderkey")
-    ).sortWithinPartitions(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    # localCheckpoint (not persist): materializes (pid, pos) ONCE so the
-    # count branch and the join branch read the same physical rows —
-    # and unlike a plan-keyed cache it cannot silently serve a previous
-    # invocation's data to a re-built query
-    tagged = _tag_partition_pos(ranged).localCheckpoint()
-
-    counts = tagged.groupBy("pid").agg(F.count("*").alias("cnt"))
-    w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "pid", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("offset")
-    )
-    return tagged.join(F.broadcast(offsets), "pid").select(
-        "o_orderkey",
-        "o_custkey",
-        "o_totalprice",
-        (F.col("offset") + F.col("pos") + 1).alias("global_rownum"),
+    return global_rownum(
+        orders, [F.col("o_totalprice").desc(), F.col("o_orderkey")], "global_rownum"
     )
 
 

@@ -463,8 +463,8 @@ def q_dedup_keep_manifest(
     pipeline_corpus_clean's keep-first rule generalizes to when the
     dedup signal is fuzzy."""
     from mapreducegcp_spark.operators.dedup import (
+        jaccard_pair_graph,
         min_label_components,
-        q_dedup_ngram_jaccard,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -474,7 +474,7 @@ def q_dedup_keep_manifest(
         F.min("doc_id").over(Window.partitionBy(norm)).alias("exact_rep"),
     )
     if pairs is None:
-        pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        pairs = jaccard_pair_graph(spark, sf_dir)
     clusters = min_label_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("cluster_id").alias("near_rep")
     )
@@ -702,17 +702,14 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pair set and manifest are the dedup pass's own outputs
     (vertex-sized); the audit is two hash-bucket map columns and one
     conditional rollup on top."""
-    from mapreducegcp_spark.operators.dedup import q_dedup_ngram_jaccard
+    from mapreducegcp_spark.operators.dedup import jaccard_pair_graph
     from mapreducegcp_spark.operators.sampling import split_of
 
-    # one pair graph for BOTH consumers: the audit's straddle join and
-    # the manifest's cluster resolution inside the safe split (lazy
-    # checkpoint -> the expensive shingle self-join runs once)
-    pairs = (
-        q_dedup_ngram_jaccard(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
-    )
+    # one pair graph for BOTH consumers — the audit's straddle join and
+    # the manifest's cluster resolution inside the safe split — AND for
+    # every sibling dedup-cluster query in the session (the shared
+    # checkpointed edge set; the expensive shingle self-join runs once)
+    pairs = jaccard_pair_graph(spark, sf_dir)
 
     def naive_split(col: str):
         return split_of(F.col(col).cast("string"))

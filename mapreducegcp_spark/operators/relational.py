@@ -826,16 +826,20 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     monetary per customer, rolled up to segment sizes and value — the
     standard customer-analytics cube.
 
-    One orders aggregation, then three ntile windows over the SAME
-    single-partition ordering pass (per-customer table is orders/|avg
-    orders per customer| rows — global ntile needs a total order, so
-    this stage is the one deliberately non-scalable-looking step;
-    at 100 TB the global sort is replaced by quantile-cut scoring
-    (approx or exact percentile boundaries, as events_winsorize does)
-    — the ntile form is kept because its determinism (o_custkey
-    tiebreak) lets BOTH engines agree bucket-for-bucket and
-    hash-check the whole segmentation). Final rollup sums in the
-    decimal domain."""
+    One orders aggregation, then quintile scores per dimension with
+    ntile's EXACT SQL semantics but NO unpartitioned window: each
+    dimension gets a distributed two-phase global row number
+    (``layout.global_rownum``: range exchange + local numbering +
+    broadcast offsets — no stage sees more than one partition of
+    data), and the bucket is the closed-form ntile arithmetic over
+    (rownum, n_customers). The o_custkey tiebreak makes every total
+    order unique, so both engines agree bucket-for-bucket and the
+    DuckDB ntile oracle hash-checks the whole segmentation. At 100 TB
+    the three range exchanges of the per-customer table replace what
+    was a single-task triple sort. Final rollup sums in the decimal
+    domain."""
+    from mapreducegcp_spark.operators.layout import global_rownum, ntile_from_rownum
+
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -844,14 +848,24 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
-    wr = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
-    scored = per_cust.select(
+    ranked = global_rownum(
+        per_cust, [F.col("last_order").desc(), F.col("o_custkey")], "rn_r"
+    )
+    ranked = global_rownum(
+        ranked, [F.col("frequency").desc(), F.col("o_custkey")], "rn_f"
+    )
+    ranked = global_rownum(
+        ranked, [F.col("monetary").desc(), F.col("o_custkey")], "rn_m"
+    )
+    # n from the thrice-ranked plan, not per_cust: the broadcast branch
+    # then materializes the three lazy rownum checkpoints first and the
+    # main branch reuses them — orders is scanned/aggregated once.
+    n = ranked.agg(F.count("*").alias("n_cust"))
+    scored = ranked.crossJoin(F.broadcast(n)).select(
         "monetary",
-        F.ntile(5).over(wr).alias("r_score"),
-        F.ntile(5).over(wf).alias("f_score"),
-        F.ntile(5).over(wm).alias("m_score"),
+        ntile_from_rownum(F.col("rn_r"), F.col("n_cust"), 5).alias("r_score"),
+        ntile_from_rownum(F.col("rn_f"), F.col("n_cust"), 5).alias("f_score"),
+        ntile_from_rownum(F.col("rn_m"), F.col("n_cust"), 5).alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers"),

@@ -632,23 +632,25 @@ def q_vocab_coverage_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     one running integer sum over the frequency-sorted vocabulary with
     a deterministic (cnt DESC, word) tiebreak, and the 95% test is
     integer cross-multiplied (100*cum >= 95*total) so no float
-    boundary exists. The global sort is over the VOCABULARY (types,
-    not tokens — Heaps'-law-sized); at larger vocabularies the same
-    cutoff comes from an approx-quantile over the cnt distribution,
-    as agg_approx_quantiles_tol gates."""
+    boundary exists. The rank+cumsum come from the TWO-PHASE global
+    ordering (``layout.global_cumsum``: range exchange, per-partition
+    Arrow cumsum, broadcast prefix offsets) — Heaps'-law-sublinear or
+    not, a 100 TB web corpus has billions of types, and the naive
+    unpartitioned window funnels all of them through one task. The
+    total-mass denominator aggregates the checkpointed ranked table,
+    so the corpus is tokenized once."""
+    from mapreducegcp_spark.operators.layout import global_cumsum
+
     docs = load_table(spark, sf_dir, "documents")
     w = (
         docs.select(F.explode(tokens("text")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
-    total = w.agg(F.sum("cnt").alias("total"))
-    win = Window.orderBy(F.col("cnt").desc(), F.col("word"))
-    ranked = w.select(
-        "cnt",
-        F.row_number().over(win).alias("rnk"),
-        F.sum("cnt").over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+    ranked = global_cumsum(
+        w, [F.col("cnt").desc(), F.col("word")], "cnt", "rnk", "cum"
     )
+    total = ranked.agg(F.sum("cnt").alias("total"))
     return (
         ranked.crossJoin(F.broadcast(total))
         .select(

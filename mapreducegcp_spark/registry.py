@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import importlib
 import json
+import os
 import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -96,21 +97,40 @@ def _load_all() -> None:
 
 
 _REPO_ROOT = Path(__file__).resolve().parent.parent
-_LAST_CHECKED: dict[str, int] | None = None
+# (cache_key, mapping): cache_key captures the artifact dir and the
+# (path, mtime_ns) of every artifact read, so the cache self-invalidates
+# when a new CORRECTNESS file lands or an existing one changes — a
+# long-lived session picks up fresh evidence without a restart.
+_LAST_CHECKED: tuple[tuple, dict[str, int]] | None = None
+
+
+def _artifact_dir() -> Path:
+    """Directory holding CORRECTNESS_r*.json. Defaults to the source
+    checkout root; ``SPARK_GRAFT_ARTIFACT_DIR`` overrides it (installed
+    packages have no checkout root and fall back to registration order
+    when the directory holds no artifacts)."""
+    override = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR")
+    return Path(override) if override else _REPO_ROOT
 
 
 def _last_checked_round() -> dict[str, int]:
     """Map query name -> latest driver round with a CORRECTNESS row.
 
-    Reads the committed ``CORRECTNESS_r{N}.json`` artifacts at the repo
-    root (the driver's per-round oracle-check output). Unreadable or
-    malformed artifacts are skipped — absence of evidence just means
+    Reads the committed ``CORRECTNESS_r{N}.json`` artifacts (driver
+    per-round oracle-check output) from ``_artifact_dir()``. Unreadable
+    or malformed artifacts are skipped — absence of evidence just means
     round 0, i.e. highest rotation priority.
     """
     global _LAST_CHECKED
-    if _LAST_CHECKED is None:
+    root = _artifact_dir()
+    try:
+        paths = sorted(root.glob("CORRECTNESS_r*.json"))
+    except OSError:
+        paths = []
+    key = (str(root), tuple((str(p), p.stat().st_mtime_ns) for p in paths))
+    if _LAST_CHECKED is None or _LAST_CHECKED[0] != key:
         last: dict[str, int] = {}
-        for p in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
+        for p in paths:
             m = re.search(r"r(\d+)", p.name)
             if not m:
                 continue
@@ -127,19 +147,29 @@ def _last_checked_round() -> dict[str, int]:
                     if isinstance(row, dict) and row.get("err"):
                         continue
                     last[n] = max(last.get(n, 0), rnd)
-        _LAST_CHECKED = last
-    return _LAST_CHECKED
+        _LAST_CHECKED = (key, last)
+    return _LAST_CHECKED[1]
 
 
 def _evidence_rotation(reg: dict[str, RegisteredQuery]) -> dict[str, RegisteredQuery]:
     """Order the catalog by evidence age: never-driver-checked queries
     first (round 0), then ascending by the last round that checked
-    them; registration order breaks ties. A budget-limited consumer
-    walking the front of this dict always spends its budget on the
-    queries with the stalest correctness evidence."""
+    them. Within an evidence tier, ``reference-parity``-tagged queries
+    (the SURVEY §2.1 probes) come first — they are the operator
+    inventory itself, so their driver rows matter most; registration
+    order breaks remaining ties. A budget-limited consumer walking the
+    front of this dict always spends its budget on the queries with the
+    stalest correctness evidence."""
     last = _last_checked_round()
     idx = {name: i for i, name in enumerate(reg)}
-    ordered = sorted(reg, key=lambda n: (last.get(n, 0), idx[n]))
+    ordered = sorted(
+        reg,
+        key=lambda n: (
+            last.get(n, 0),
+            0 if "reference-parity" in reg[n].tags else 1,
+            idx[n],
+        ),
+    )
     return {n: reg[n] for n in ordered}
 
 

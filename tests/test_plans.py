@@ -365,3 +365,26 @@ def test_temperature_fold_is_bounded_state(spark):
     tree, _ = _plans(spark, "sample_temperature")
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_rfm_segments_no_ntile_window(spark):
+    """customer_rfm_segments: quintile scoring must come from the
+    two-phase global rownum + closed-form ntile arithmetic, never the
+    three unpartitioned ntile(5) windows (single-task triple sort of
+    the per-customer table). The ONLY Window allowed in the visible
+    plan segment is the helper's 16-row pid-offsets prefix sum."""
+    tree, _ = _plans(spark, "customer_rfm_segments")
+    assert "ntile" not in tree, tree[:1500]
+    window_lines = [l for l in tree.splitlines() if "Window" in l and "windowspecdef" not in l]
+    for l in window_lines:
+        assert "pid" in l, f"non-offset window in RFM plan: {l}"
+
+
+def test_vocab_coverage_no_fullvocab_window(spark):
+    """vocab_coverage_cutoff: the coverage scan must be the two-phase
+    global cumsum (range exchange + pid-offset broadcast), not a
+    whole-vocabulary single-task window sort."""
+    tree, _ = _plans(spark, "vocab_coverage_cutoff")
+    window_lines = [l for l in tree.splitlines() if "Window" in l and "windowspecdef" not in l]
+    for l in window_lines:
+        assert "pid" in l, f"non-offset window in vocab coverage plan: {l}"
