@@ -115,6 +115,7 @@ def main() -> None:
     # whatever tail window the driver keeps always parses.
     if not headline_only:
         breadth: dict[str, float] = {}
+        gates: list[dict] = []
         for name in sorted(catalog):
             # Headliners timed from the catalog are covered; a headliner
             # timed via a RAW override still gets its REGISTERED plan
@@ -123,13 +124,25 @@ def main() -> None:
             # stays bench-visible.
             if name in timings and name not in raw:
                 continue
-            key = name if name not in timings else f"{name}_gate"
             try:
-                breadth[key] = round(_run(catalog[name].fn, spark, sf_dir), 3)
+                sec = round(_run(catalog[name].fn, spark, sf_dir), 3)
             except Exception as e:  # noqa: BLE001 — a broken query must not hide the rest
-                breadth[key] = -1.0
+                sec = -1.0
                 print(f"bench error {name}: {e}", file=sys.stderr)
-        breadth_doc = {"metric": "breadth_sec", "queries": breadth, "sf": _sf_of(sf_dir)}
+            if name not in timings:
+                breadth[name] = sec
+            else:
+                # the registered wrapper of a RAW-overridden headliner:
+                # keep the key a real catalog name so artifact consumers
+                # can join on it; the variant field marks it as the
+                # gate-wrapper timing, not the raw headline plan
+                gates.append({"name": name, "variant": "gate", "sec": sec})
+        breadth_doc = {
+            "metric": "breadth_sec",
+            "queries": breadth,
+            "gate_wrappers": gates,
+            "sf": _sf_of(sf_dir),
+        }
         print(json.dumps(breadth_doc), file=sys.stderr)
         try:
             Path(__file__).resolve().parent.joinpath("BENCH_BREADTH.json").write_text(

@@ -30,7 +30,11 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 from mapreducegcp_spark.functions.text import TOKEN_ORACLE_EXPR
-from mapreducegcp_spark.plans.run_mapred import MapReduceEngine, json_sink
+from mapreducegcp_spark.plans.run_mapred import (
+    MapReduceEngine,
+    UnknownJobError,
+    json_sink,
+)
 from mapreducegcp_spark.registry import register
 from mapreducegcp_spark.sources.catalog import load_table
 
@@ -290,17 +294,17 @@ def q_mapred_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = MapReduceEngine(spark)
     uid1 = eng.init_cluster(number_of_mappers=2, number_of_reducers=2)
     uid2 = eng.init_cluster(number_of_mappers=4, number_of_reducers=1)
-    jobs_after_init = len(eng._jobs)
+    jobs_after_init = eng.live_job_count()
     out = eng.run_mapred(uid1, _LITERAL, "WordCountMapper", "WordCountReducer")
     eng.destroy_cluster(uid1)
     eng.destroy_cluster(uid2)
-    jobs_after_destroy = len(eng._jobs)
+    jobs_after_destroy = eng.live_job_count()
     eng.destroy_cluster(uid1)  # second destroy of the same handle: no-op
-    destroy_idempotent = len(eng._jobs) == jobs_after_destroy
+    destroy_idempotent = eng.live_job_count() == jobs_after_destroy
     try:
         eng.run_mapred(uid1, _LITERAL, "WordCountMapper", "WordCountReducer")
         run_rejected = False
-    except KeyError:
+    except UnknownJobError:
         run_rejected = True
     fox_cnt = int(json.loads(out).get("fox", 0))
     return spark.createDataFrame(

@@ -742,9 +742,12 @@ def q_basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both explode the basket ARRAY map-side — the naive form (distinct
     # items self-joined + re-aggregated per use) re-derived the same
     # subplan four times and cost 8 exchanges.
-    # Materialized ONCE (eager localCheckpoint): three consumers
-    # (pairs, frequencies, order count) would otherwise each re-run the
-    # scan+basket aggregation (measured 7 exchanges vs 3). Checkpoint,
+    # Materialized ONCE (LAZY localCheckpoint — all three consumers
+    # (pairs, frequencies, order count) sit under one final action, so
+    # the broadcast branches materialize it first and the pairs branch
+    # reuses it; without the checkpoint each re-ran the scan+basket
+    # aggregation, measured 7 exchanges vs 3. Lazy keeps plan
+    # construction job-free for explain/catalog sweeps). Checkpoint,
     # not cache(): checkpoint blocks are released by the ContextCleaner
     # when the query's RDD goes out of scope, while a cache() pinned
     # here would outlive the query (no unpersist hook — the CMS
@@ -755,7 +758,7 @@ def q_basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part"))
         .groupBy("okey")
         .agg(F.sort_array(F.collect_set("part")).alias("ps"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     pair_structs = F.expr(
         "flatten(transform(ps, (x, i) ->"
@@ -1004,7 +1007,11 @@ def q_ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # the stored MV: everything before the cutover, materialized once
-    historical = partial(orders.filter(F.col("o_orderdate") < cut)).localCheckpoint()
+    # (lazy — single consumer chain, so the first action both builds
+    # and reads it; plan construction stays job-free)
+    historical = partial(orders.filter(F.col("o_orderdate") < cut)).localCheckpoint(
+        eager=False
+    )
     delta = partial(orders.filter(F.col("o_orderdate") >= cut))
     return (
         historical.unionByName(delta)

@@ -1024,11 +1024,13 @@ def q_timeseries_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     (months = dozens of rows regardless of fact size); both
     comparison joins are broadcast-tiny self-joins of that rollup."""
     orders = load_table(spark, sf_dir, "orders")
-    # eager checkpoint: the rollup has THREE consumers (main + two
-    # broadcast self-joins) whose jobs otherwise race to materialize a
-    # lazy checkpoint and re-run the orders scan; the rollup is
-    # months-sized, so the build-time job is trivial (the pattern
-    # relational.py uses for the same shape).
+    # LAZY checkpoint: the rollup has three consumers (main + two
+    # broadcast self-joins), but all sit under ONE final action — the
+    # broadcast exchanges materialize the checkpoint first and the
+    # main branch reuses it, so there is no cross-job race. Lazy keeps
+    # plan CONSTRUCTION job-free (an eager checkpoint here fired a
+    # Spark job on every explain/catalog sweep and leaked the RDD
+    # blocks across repeated enumerations).
     m = (
         orders.select(
             (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
@@ -1038,7 +1040,7 @@ def q_timeseries_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("ym")
         .agg(dsum(F.col("p")).alias("revenue"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev = m.select((F.col("ym") + 1).alias("ym"), F.col("revenue").alias("prev_rev"))
     yr = m.select((F.col("ym") + 12).alias("ym"), F.col("revenue").alias("yr_rev"))

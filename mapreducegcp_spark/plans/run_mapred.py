@@ -80,6 +80,14 @@ class _Job:
     n_reducers: int
 
 
+class UnknownJobError(KeyError):
+    """Raised when ``run_mapred`` is handed a job id that was never
+    minted or was already destroyed — the typed form of the contract
+    the reference leaves implicit (its Master indexes a dict and lets
+    the KeyError escape over XML-RPC). Subclasses KeyError so callers
+    written against the raw-dict behavior keep working."""
+
+
 class MapReduceEngine:
     """Drop-in stand-in for the reference Master's RPC surface."""
 
@@ -105,8 +113,18 @@ class MapReduceEngine:
 
     def destroy_cluster(self, unique_id: str) -> None:
         """Forget the job handle (the reference's stub — Master/Master.py:17-21
-        — never freed anything; the SparkSession outlives jobs here)."""
+        — never freed anything; the SparkSession outlives jobs here).
+        Idempotent: destroying an unknown/already-destroyed handle is a
+        no-op."""
         self._jobs.pop(unique_id, None)
+
+    def live_job_count(self) -> int:
+        """Number of job handles currently live (minted by
+        ``init_cluster`` and not yet destroyed) — the public form of
+        the lifecycle state the catalog probe asserts, so an internal
+        refactor of the job store breaks a unit test, not a registered
+        query at runtime."""
+        return len(self._jobs)
 
     # -- application registry (functionMap, Worker/Worker.py:68-78) ------
 
@@ -144,7 +162,9 @@ class MapReduceEngine:
         """
         job = self._jobs.get(unique_id)
         if job is None:
-            raise KeyError(f"unknown job id {unique_id!r}; call init_cluster first")
+            raise UnknownJobError(
+                f"unknown job id {unique_id!r}; call init_cluster first"
+            )
         docs = self._classify_input(input_path)
         app = self._resolve_app(map_function, reduce_function)
 

@@ -272,7 +272,7 @@ def test_countmin_sketch_shape(spark):
 
 def test_basket_affinity_reuses_cached_baskets(spark):
     """basket_pair_affinity: the basket table is materialized once
-    (eager localCheckpoint — the naive re-derivation per consumer cost
+    (lazy localCheckpoint — the naive re-derivation per consumer cost
     8 exchanges) and all three consumers read the checkpointed RDD
     (Scan ExistingRDD), leaving NO hash exchange from the original
     scan+agg in the final plan; frequencies/order-count return as
