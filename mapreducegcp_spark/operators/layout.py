@@ -498,3 +498,64 @@ def _register_codec_probe():
 
 
 _register_codec_probe()
+
+
+# --------------------------------------------- small-file compaction plan
+
+_COMPACT_TARGET = 16_384  # target output-file bytes (chars stand in)
+
+_COMPACT_ORACLE = f"""
+WITH files AS (
+  SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY source, lang
+),
+seq AS (
+  SELECT source, lang, bytes,
+         row_number() OVER (ORDER BY source, lang) AS file_seq,
+         sum(bytes) OVER (ORDER BY source, lang
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_bytes
+  FROM files
+)
+SELECT source, lang, bytes,
+       CAST(file_seq AS BIGINT) AS file_seq,
+       CAST(floor((cum_bytes - bytes) / {_COMPACT_TARGET}.0) AS BIGINT) AS out_group
+FROM seq
+"""
+
+
+@register("layout_compaction_plan", oracle=_COMPACT_ORACLE, tags=("layout",))
+def q_layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: assign every input file to a
+    target-sized output group by running-byte boundary — the OPTIMIZE /
+    auto-compaction primitive every lakehouse table needs once
+    streaming or per-partition writers have fragmented it into
+    thousands of undersized files. A file opens the group its
+    cumulative start offset falls in (the same streaming coalesce rule
+    Spark's own file-scan packing uses), so groups are contiguous in
+    the deterministic (source, lang) order and each lands within one
+    file of the target size.
+
+    Input files are modeled as the per-(source, lang) document groups
+    with byte size = sum(n_chars) — the planner's logic only sees
+    (name, bytes) pairs, exactly what a real manifest listing gives.
+    The running offset comes from the TWO-PHASE ``global_cumsum``
+    (range exchange + broadcast prefix offsets), so planning 10M files
+    never funnels the manifest through one task — the naive
+    single-partition cumsum window is precisely what this module
+    exists to replace. Output: file identity, bytes, global sequence
+    number, and assigned output group."""
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.groupBy("source", "lang").agg(F.sum("n_chars").alias("bytes"))
+    seq = global_cumsum(
+        files, [F.col("source"), F.col("lang")], "bytes", "file_seq", "cum_bytes"
+    )
+    return seq.select(
+        "source",
+        "lang",
+        "bytes",
+        "file_seq",
+        F.floor((F.col("cum_bytes") - F.col("bytes")) / float(_COMPACT_TARGET)).alias(
+            "out_group"
+        ),
+    )

@@ -980,3 +980,198 @@ def q_text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("vocab_jaccard"), "source_a", "source_b")
         .limit(_VOCAB_OVERLAP_TOP)
     )
+
+
+# --------------------------------- BPE merge-loop trainer (N rounds)
+
+_BPE_TRAIN_ROUNDS = 4
+
+
+def _bpe_train_oracle() -> str:
+    """Generate the DuckDB mirror of the N-round BPE trainer: each
+    round is (pair count -> argmax -> recursive-CTE greedy fold), the
+    fold being the same left-to-right merge the Spark side runs as an
+    ``aggregate`` higher-order function."""
+    toks = TOKEN_ORACLE_EXPR.format(col="text")
+    parts = [
+        f"""vocab AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(list_filter({toks}, t -> t <> '')) AS word FROM documents)
+  GROUP BY word
+),
+syms0 AS (SELECT word, c, string_split(word, '') AS syms FROM vocab)"""
+    ]
+    for i in range(1, _BPE_TRAIN_ROUNDS + 1):
+        p = i - 1
+        parts.append(f"""pairs{i} AS (
+  SELECT p.l AS l, p.r AS r, CAST(sum(c) AS BIGINT) AS weight
+  FROM (
+    SELECT unnest(list_transform(range(1, len(syms)),
+             j -> struct_pack(l := syms[j], r := syms[j + 1]))) AS p, c
+    FROM syms{p} WHERE len(syms) >= 2
+  )
+  GROUP BY p.l, p.r
+),
+best{i} AS (
+  SELECT l, r, l || r AS m, weight
+  FROM pairs{i} ORDER BY weight DESC, l, r LIMIT 1
+),
+fold{i}(word, c, syms, j, acc) AS (
+  SELECT v.word, v.c, v.syms, 1, CAST([] AS VARCHAR[]) FROM syms{p} v
+  UNION ALL
+  SELECT f.word, f.c, f.syms, f.j + 1,
+    CASE WHEN len(f.acc) > 0 AND f.acc[-1] = b.l AND f.syms[f.j] = b.r
+         THEN list_append(f.acc[1:len(f.acc)-1], b.m)
+         ELSE list_append(f.acc, f.syms[f.j]) END
+  FROM fold{i} f CROSS JOIN best{i} b WHERE f.j <= len(f.syms)
+),
+syms{i} AS (SELECT word, c, acc AS syms FROM fold{i} WHERE j = len(syms) + 1)""")
+    rounds_sql = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS round, l AS left_sym, r AS right_sym,"
+        f" m AS merged, weight FROM best{i}"
+        for i in range(1, _BPE_TRAIN_ROUNDS + 1)
+    )
+    return "WITH RECURSIVE " + ",\n".join(parts) + "\n" + rounds_sql
+
+
+@register("bpe_train_merges", oracle=_bpe_train_oracle(), tags=("llm-pipeline",))
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer trainer, {N} merge rounds: the iterative loop on
+    top of ``bpe_pair_counts`` — each round counts corpus-weighted
+    adjacent symbol pairs over the vocabulary, takes the argmax
+    (weight DESC, then lexicographic (left, right) — fully
+    deterministic), and applies the merge greedily left-to-right to
+    every word. Output: one row per round with the learned merge rule
+    and its weight — the merges.txt a real BPE trainer emits.
+
+    Scale shape: the corpus is scanned ONCE (word rollup); every round
+    after that is vocabulary-sized — pair explode over distinct words,
+    a map-side-combinable rollup, a 1-row argmax driver sync (bounded,
+    the k-means-centroid pattern), and a map-only higher-order
+    ``aggregate`` fold applying the merge. Round state is lazily
+    checkpointed so round r+1 folds over materialized round-r symbols
+    instead of an r-deep replay. The greedy fold (merge the pair
+    whenever the accumulator's tail matches) is the exact semantics of
+    the reference BPE algorithm's non-overlapping left-to-right scan;
+    the DuckDB oracle replays it with a recursive-CTE fold, so every
+    round's choice is value-hash-checked across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    syms = vocab.select(
+        "c", F.expr("filter(split(word, ''), x -> x <> '')").alias("s")
+    ).localCheckpoint(eager=False)
+    out = []
+    for rnd in range(1, _BPE_TRAIN_ROUNDS + 1):
+        pairs = syms.where(F.size("s") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(s) - 2),"
+                    " i -> struct(element_at(s, i + 1) AS l,"
+                    " element_at(s, i + 2) AS r))"
+                )
+            ).alias("p"),
+            "c",
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("c").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, wt = best[0]["l"], best[0]["r"], int(best[0]["weight"])
+        merged = left + right
+        out.append((rnd, left, right, merged, wt))
+        syms = syms.select(
+            "c",
+            F.expr(
+                "aggregate(s, cast(array() as array<string>), (acc, x) -> "
+                f"if(size(acc) > 0 and element_at(acc, -1) = '{left}' and x = '{right}', "
+                f"concat(slice(acc, 1, size(acc) - 1), array('{merged}')), "
+                "concat(acc, array(x))))"
+            ).alias("s"),
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        out,
+        "round long, left_sym string, right_sym string, merged string, weight long",
+    )
+
+
+q_bpe_train_merges.__doc__ = q_bpe_train_merges.__doc__.format(N=_BPE_TRAIN_ROUNDS)
+
+
+def _bpe_encode_oracle() -> str:
+    """DuckDB mirror of bpe_encode_corpus: learn the same merges with
+    the trainer chain (over the vocabulary), then join each document's
+    tokens to the encoded-vocab lengths and roll up per doc."""
+    toks = TOKEN_ORACLE_EXPR.format(col="text")
+    trainer = _bpe_train_oracle()
+    # reuse the trainer's CTE chain up to syms{N}; strip its final SELECT
+    chain = trainer[: trainer.rindex("SELECT CAST(1 AS BIGINT)")].rstrip().rstrip(",")
+    n = _BPE_TRAIN_ROUNDS
+    return f"""{chain},
+encoded AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms FROM syms{n}),
+doc_words AS (
+  SELECT doc_id, unnest(list_filter({toks}, t -> t <> '')) AS word
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(e.n_syms) AS BIGINT) AS n_bpe_symbols
+FROM doc_words d JOIN encoded e ON d.word = e.word
+GROUP BY d.doc_id
+"""
+
+
+@register("bpe_encode_corpus", oracle=_bpe_encode_oracle(), tags=("llm-pipeline",))
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the learned BPE merges: per document, the
+    word count and the total symbol count after applying the trainer's
+    merge rules — the "how many tokens is my corpus under this
+    tokenizer" question every training-budget estimate starts from.
+
+    Scale shape — encoding never touches document text beyond the one
+    tokenize pass: merges apply to the DISTINCT-WORD vocabulary (tiny,
+    map-only higher-order folds — one per learned merge, chained in
+    one projection), and documents join their exploded tokens to the
+    encoded lengths. The vocabulary side auto-broadcasts (Heaps'-law
+    small); at extreme vocabularies the join falls back to a hash
+    exchange on the word — either way the corpus-sized stage is one
+    explode + one rollup keyed by doc_id. The DuckDB oracle re-learns
+    the merges with the trainer's recursive-CTE chain, so the whole
+    train-then-encode path is value-hash-checked."""
+    # learn the merges (vocab-sized driver loop, same as bpe_train_merges)
+    merges = [
+        (r["left_sym"], r["right_sym"], r["merged"])
+        for r in q_bpe_train_merges(spark, sf_dir).collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("word")).distinct()
+    )
+    syms_expr = "filter(split(word, ''), x -> x <> '')"
+    for left, right, merged in merges:
+        syms_expr = (
+            f"aggregate({syms_expr}, cast(array() as array<string>), (acc, x) -> "
+            f"if(size(acc) > 0 and element_at(acc, -1) = '{left}' and x = '{right}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{merged}')), "
+            "concat(acc, array(x))))"
+        )
+    encoded = vocab.select(
+        "word", F.size(F.expr(syms_expr)).cast("long").alias("n_syms")
+    )
+    doc_words = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    return (
+        doc_words.join(F.broadcast(encoded), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_symbols"),
+        )
+    )

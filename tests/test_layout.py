@@ -82,3 +82,56 @@ def test_interval_join_window_boundaries(spark, monkeypatch):
     # purchase 5's window (20min..50min) contains events 3 and 4
     assert out[5].n_follow == 2 and out[5].follow_cents == 300 + 700
     assert 6 not in out
+
+
+def test_global_cumsum_matches_window_semantics(spark):
+    rows = [("s1", 5), ("s3", 2), ("s2", 7), ("s5", 1), ("s4", 4)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = {
+        r.k: (r.rnk, r.cum)
+        for r in layout.global_cumsum(df, ["k"], "v", "rnk", "cum").collect()
+    }
+    assert out == {
+        "s1": (1, 5),
+        "s2": (2, 12),
+        "s3": (3, 14),
+        "s4": (4, 18),
+        "s5": (5, 19),
+    }
+
+
+def test_ntile_from_rownum_matches_sql_ntile(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    # 13 rows / 5 buckets: first 3 buckets get 3 rows, last 2 get 2
+    df = spark.createDataFrame([(i,) for i in range(1, 14)], "rn long")
+    out = df.select(
+        "rn", layout.ntile_from_rownum(F.col("rn"), F.lit(13), 5).alias("b")
+    ).collect()
+    got = {r.rn: r.b for r in out}
+    ref = {
+        r.rn: r.nt
+        for r in df.select(
+            "rn", F.ntile(5).over(Window.orderBy("rn")).alias("nt")
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_compaction_plan_groups_are_contiguous_and_sized(spark, monkeypatch):
+    # files of 10k chars each against the 16384 target: groups must be
+    # contiguous in (source, lang) order, and every group except
+    # possibly the last must START below one target-width of bytes
+    rows = [(f"src{i:02d}", "en", i, 10_000) for i in range(8)]
+    df = spark.createDataFrame(rows, "source string, lang string, doc_id long, n_chars long")
+    monkeypatch.setattr(layout, "load_table", lambda *a, **k: df)
+    out = sorted(
+        layout.q_layout_compaction_plan(spark, SF_DIR).collect(),
+        key=lambda r: r.file_seq,
+    )
+    # 10k files, 16384 target: starts at 0,10k,20k,... -> groups 0,0,1,1,2,...
+    assert [r.out_group for r in out] == [i * 10_000 // 16_384 for i in range(8)]
+    # contiguity: group ids are non-decreasing in sequence order
+    groups = [r.out_group for r in out]
+    assert groups == sorted(groups)

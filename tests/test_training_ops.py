@@ -185,3 +185,37 @@ def test_funnel_is_one_scan(spark):
     tree = df._jdf.queryExecution().executedPlan().toString()
     scans = len(re.findall(r"Scan parquet|FileScan parquet", tree))
     assert scans == 1, tree[:1500]
+
+
+def test_bpe_trainer_greedy_merge_semantics(spark, monkeypatch):
+    """'abab' x3 + 'aab' x1: round 1 must pick ('a','b') (weight 7 —
+    two occurrences per 'abab'), and applying it greedily turns 'abab'
+    into [ab, ab] so round 2 sees pair (ab, ab) with weight 3."""
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab aab", "en", "s", 18)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(textstats_mod, "load_table", lambda *a, **k: docs)
+    rows = {
+        r.round: (r.left_sym, r.right_sym, r.merged, r.weight)
+        for r in textstats_mod.q_bpe_train_merges(spark, "ignored").collect()
+    }
+    assert rows[1] == ("a", "b", "ab", 7)
+    assert rows[2] == ("ab", "ab", "abab", 3)
+
+
+def test_bpe_encode_compresses_and_bounds(spark, monkeypatch):
+    """Encoded symbol count is bounded by [n_words, n_chars] and the
+    learned merges actually compress the dominant word."""
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd", "en", "s", 12), (2, "abab", "en", "s", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(textstats_mod, "load_table", lambda *a, **k: docs)
+    out = {r.doc_id: r for r in textstats_mod.q_bpe_encode_corpus(spark, "ignored").collect()}
+    # doc 2: one word 'abab' -> 4 merge rounds collapse it to 1 symbol
+    assert out[2].n_words == 1
+    assert out[2].n_bpe_symbols == 1
+    # doc 1: words never blow past their char counts, never under word count
+    assert out[1].n_words == 3
+    assert out[1].n_words <= out[1].n_bpe_symbols <= 10
