@@ -104,3 +104,49 @@ def test_temperature_weights_sum_to_one_many_sources(spark, monkeypatch):
     assert len(rows) == 7
     total = sum(r.temp_weight for r in rows)
     assert abs(total - 1.0) < 1e-12
+
+
+def test_bpe_trainer_exhausts_pairs_early(spark, monkeypatch):
+    """A corpus whose words collapse before the round budget: 'ab' x2
+    admits exactly ONE merge ((a,b) -> single symbol), after which no
+    length-2 word remains — the trainer must stop with 1 row, not
+    crash or emit empty-pair rounds."""
+    import mapreducegcp_spark.operators.textstats as textstats_mod
+
+    docs = spark.createDataFrame([(1, "ab ab", "en", "s", 5)], DOC_SCHEMA)
+    monkeypatch.setattr(textstats_mod, "load_table", lambda *a, **k: docs)
+    rows = all_queries()["bpe_train_merges"].fn(spark, "ignored").collect()
+    assert len(rows) == 1
+    assert (rows[0].left_sym, rows[0].right_sym, rows[0].weight) == ("a", "b", 2)
+
+
+def test_bpe_encode_runs_with_no_learnable_merges(spark, monkeypatch):
+    """Single-character words admit zero merges: encoding must still
+    return per-doc counts with symbols == words (each word is one
+    unmergeable symbol)."""
+    import mapreducegcp_spark.operators.textstats as textstats_mod
+
+    docs = spark.createDataFrame([(1, "a b a", "en", "s", 5)], DOC_SCHEMA)
+    monkeypatch.setattr(textstats_mod, "load_table", lambda *a, **k: docs)
+    rows = all_queries()["bpe_encode_corpus"].fn(spark, "ignored").collect()
+    assert len(rows) == 1
+    assert (rows[0].n_words, rows[0].n_bpe_symbols) == (3, 3)
+
+
+def test_compaction_single_oversized_file_gets_own_group(spark, monkeypatch):
+    """A file larger than the target must still land in exactly one
+    group (files are never split), and the next file starts a fresh
+    group at the running-byte boundary."""
+    import mapreducegcp_spark.operators.layout as layout_mod
+
+    rows = [("a", "en", 1, 50_000), ("b", "en", 2, 1_000), ("c", "en", 3, 1_000)]
+    docs = spark.createDataFrame(
+        rows, "source string, lang string, doc_id long, n_chars long"
+    )
+    monkeypatch.setattr(layout_mod, "load_table", lambda *a, **k: docs)
+    out = {
+        r.source: r.out_group
+        for r in all_queries()["layout_compaction_plan"].fn(spark, "ignored").collect()
+    }
+    # a starts at 0 -> group 0; b starts at 50000 -> group 3; c at 51000 -> group 3
+    assert out == {"a": 0, "b": 3, "c": 3}

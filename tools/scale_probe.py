@@ -105,6 +105,17 @@ PROBES = {
     "pipeline_filter_funnel": {"documents": ["doc_id"]},
     "text_source_vocab_overlap": {"documents": ["doc_id"]},
     "timeseries_monthly_growth": {"orders": ["o_orderkey", "o_custkey"]},
+    # round-4 operators. Replicating documents keeps the (source, lang)
+    # file set and the word vocabulary CONSTANT while corpus volume
+    # grows 10x — exactly the production shape for the compaction
+    # planner (manifest fixed, bytes grow), the coverage scan and the
+    # BPE trainer/encoder (vocab sublinear in corpus bytes); the
+    # probed cost is the corpus-sized rollup each starts from.
+    "layout_compaction_plan": {"documents": ["doc_id"]},
+    "vocab_coverage_cutoff": {"documents": ["doc_id"]},
+    "bpe_train_merges": {"documents": ["doc_id"]},
+    "bpe_encode_corpus": {"documents": ["doc_id"]},
+    "customer_rfm_segments": {"orders": ["o_orderkey", "o_custkey"]},
 }
 
 
