@@ -600,3 +600,175 @@ def q_feature_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy(
         "doc_id", md5_bucket(F.col("tok"), FEATURE_DIM).alias("feature")
     ).agg(F.count("*").alias("tf"))
+
+
+# ------------------------------------------- span-corruption planning
+
+SPAN_LEN = 3     # mean/fixed corruption span length (tokens)
+MASK_PCT = 15    # share of spans masked
+
+
+_SPAN_ORACLE = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+pos AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) + 1),
+                i -> CAST((i - 1) // {SPAN_LEN} AS BIGINT))) AS span
+  FROM tk WHERE len(toks) > 0
+),
+spans AS (
+  SELECT doc_id, span, count(*) AS span_len,
+         ({_o_bucket("CAST(doc_id AS VARCHAR) || ':' || CAST(span AS VARCHAR)", 100)}
+            < {MASK_PCT}) AS masked
+  FROM pos GROUP BY doc_id, span
+)
+SELECT doc_id,
+       CAST(sum(span_len) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN masked THEN span_len ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_masked,
+       CAST(sum(span_len)
+            - sum(CASE WHEN masked THEN span_len ELSE 0 END)
+            + sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS input_len,
+       CAST(sum(CASE WHEN masked THEN span_len ELSE 0 END)
+            + sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS target_len
+FROM spans GROUP BY doc_id
+"""
+
+
+@register("mask_span_corruption", oracle=_SPAN_ORACLE, tags=("llm-pipeline",))
+def q_mask_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning: partition every document's
+    token stream into fixed-length spans, deterministically mask
+    ~{MASK_PCT}% of them (md5 universe hash of doc:span — the same
+    portable RNG-free family the split policy uses, so the mask is
+    reproducible across engines, runs, and repartitioning), and emit
+    the per-document budget the dataloader needs: total tokens, masked
+    tokens, masked span count, and the resulting encoder input /
+    decoder target lengths (each masked span collapses to one sentinel
+    on the input side and expands to sentinel + span on the target).
+
+    Scale: one scan -> posexplode -> two map-side-combinable rollups
+    keyed by (doc, span) then doc — the same single-exchange shape as
+    wordcount (span ids derive from token position, so no second
+    shuffle). No RNG state anywhere: masking a 100 TB corpus is a pure
+    map, and re-running any shard reproduces the identical mask."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.select("doc_id", F.posexplode(tokens("text")).alias("p", "w"))
+        .select("doc_id", F.floor(F.col("p") / SPAN_LEN).alias("span"))
+    )
+    spans = pos.groupBy("doc_id", "span").agg(F.count("*").alias("span_len")).select(
+        "doc_id",
+        "span_len",
+        (
+            md5_bucket(
+                F.concat_ws(":", F.col("doc_id").cast("string"), F.col("span").cast("string")),
+                100,
+            )
+            < MASK_PCT
+        ).alias("masked"),
+    )
+    masked_len = F.sum(F.when(F.col("masked"), F.col("span_len")).otherwise(0))
+    masked_cnt = F.sum(F.when(F.col("masked"), 1).otherwise(0))
+    total = F.sum("span_len")
+    return spans.groupBy("doc_id").agg(
+        total.alias("n_tokens"),
+        masked_len.alias("n_masked"),
+        masked_cnt.alias("n_spans_masked"),
+        (total - masked_len + masked_cnt).alias("input_len"),
+        (masked_len + masked_cnt).alias("target_len"),
+    )
+
+
+q_mask_span_corruption.__doc__ = q_mask_span_corruption.__doc__.format(
+    MASK_PCT=MASK_PCT
+)
+
+
+# ------------------------------------------------- dataset card stats
+
+_CARD_ORACLE = f"""
+WITH d AS (
+  SELECT source, lang, md5(text) AS h, len({_TOKS}) AS n_toks
+  FROM documents
+),
+per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens
+  FROM d GROUP BY source
+),
+langs AS (
+  SELECT source, lang, count(*) AS cnt FROM d GROUP BY source, lang
+),
+lang_roll AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_langs,
+         substr(max(lpad(CAST(cnt AS VARCHAR), 10, '0') || ':' || lang), 12)
+           AS majority_lang
+  FROM langs GROUP BY source
+)
+SELECT p.source, p.n_docs, p.total_tokens,
+       CAST(p.total_tokens AS DOUBLE) / p.n_docs AS avg_doc_tokens,
+       CAST(p.n_docs - p.n_unique_texts AS BIGINT) AS n_exact_dups,
+       CAST(p.n_docs - p.n_unique_texts AS DOUBLE) / p.n_docs AS dup_fraction,
+       l.n_langs, l.majority_lang
+FROM per_source p JOIN lang_roll l USING (source)
+"""
+
+
+@register("dataset_card_stats", oracle=_CARD_ORACLE, tags=("llm-pipeline",))
+def q_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset datasheet — the summary table a dataset card
+    publishes for every corpus slice: document and token volume, mean
+    document length, exact-duplicate fraction (docs minus distinct
+    text hashes), language count and majority language (argmax with a
+    deterministic count-then-lang tiebreak, encoded as a zero-padded
+    sortable string so both engines pick the identical winner without
+    a window).
+
+    Scale: one scan computes (source, lang, text-hash, token count)
+    map-side; then two source-keyed rollups (sources = dozens, so the
+    exchanges are trivial) and a broadcast-sized join. The distinct-
+    hash count is the only memory-bearing aggregate and is bounded per
+    source by doc count; at 100 TB swap count(DISTINCT h) for an HLL
+    sketch (agg_hll_partitioned_union pattern) if exactness is not
+    required."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(tokens("text")).alias("n_toks"),
+    )
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_unique_texts"),
+        F.sum("n_toks").alias("total_tokens"),
+    )
+    langs = d.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+    lang_roll = langs.groupBy("source").agg(
+        F.count("*").alias("n_langs"),
+        F.substring(
+            F.max(
+                F.concat_ws(
+                    ":", F.lpad(F.col("cnt").cast("string"), 10, "0"), F.col("lang")
+                )
+            ),
+            12,
+            1_000,
+        ).alias("majority_lang"),
+    )
+    return per_source.join(lang_roll, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        (F.col("total_tokens").cast("double") / F.col("n_docs")).alias("avg_doc_tokens"),
+        (F.col("n_docs") - F.col("n_unique_texts")).alias("n_exact_dups"),
+        (
+            (F.col("n_docs") - F.col("n_unique_texts")).cast("double") / F.col("n_docs")
+        ).alias("dup_fraction"),
+        "n_langs",
+        "majority_lang",
+    )

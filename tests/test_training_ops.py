@@ -219,3 +219,43 @@ def test_bpe_encode_compresses_and_bounds(spark, monkeypatch):
     # doc 1: words never blow past their char counts, never under word count
     assert out[1].n_words == 3
     assert out[1].n_words <= out[1].n_bpe_symbols <= 10
+
+
+def test_span_corruption_budget_identity(spark, monkeypatch):
+    """input_len + target_len == n_tokens + 2 * n_spans_masked (each
+    masked span adds one sentinel to each side), and the mask is a
+    pure function of doc_id — rerunning yields identical rows."""
+    docs = spark.createDataFrame(
+        [(i, "one two three four five six seven", "en", "s", 33) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(training_mod, "load_table", lambda *a, **k: docs)
+    q = all_queries()["mask_span_corruption"].fn
+    rows = {r.doc_id: r for r in q(spark, "ignored").collect()}
+    again = {r.doc_id: r for r in q(spark, "ignored").collect()}
+    assert rows.keys() == again.keys()
+    for k in rows:
+        r = rows[k]
+        assert tuple(r) == tuple(again[k])
+        assert r.input_len + r.target_len == r.n_tokens + 2 * r.n_spans_masked
+        assert 0 <= r.n_masked <= r.n_tokens
+
+
+def test_dataset_card_majority_lang_tiebreak(spark, monkeypatch):
+    """2-2 lang tie resolves to the lexicographically LARGER lang (the
+    count-then-lang sortable-string argmax), dup fraction counts exact
+    text copies only."""
+    docs = spark.createDataFrame(
+        [
+            (1, "x y", "en", "s1", 3),
+            (2, "x y", "de", "s1", 3),   # exact dup of doc 1
+            (3, "a b", "de", "s1", 3),
+            (4, "c d", "en", "s1", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(training_mod, "load_table", lambda *a, **k: docs)
+    r = all_queries()["dataset_card_stats"].fn(spark, "ignored").collect()[0]
+    assert r.source == "s1"
+    assert r.n_docs == 4 and r.n_exact_dups == 1
+    assert r.n_langs == 2 and r.majority_lang == "en"  # 2-2 tie -> lex max

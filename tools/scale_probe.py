@@ -116,6 +116,8 @@ PROBES = {
     "bpe_train_merges": {"documents": ["doc_id"]},
     "bpe_encode_corpus": {"documents": ["doc_id"]},
     "customer_rfm_segments": {"orders": ["o_orderkey", "o_custkey"]},
+    "mask_span_corruption": {"documents": ["doc_id"]},
+    "dataset_card_stats": {"documents": ["doc_id"]},
 }
 
 
