@@ -1175,3 +1175,67 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_syms").alias("n_bpe_symbols"),
         )
     )
+
+
+# --------------------------------- positional-index phrase search
+
+_PHRASE = ("scan", "slow", "fast")  # the token-phrase to search
+
+_PHRASE_ORACLE = f"""
+WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, p.w AS w, p.i AS i
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) + 1),
+                  i -> struct_pack(i := i, w := toks[i]))) AS p
+    FROM tk
+  )
+  WHERE p.w IN ('{_PHRASE[0]}', '{_PHRASE[1]}', '{_PHRASE[2]}')
+)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM pos a
+JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1 AND b.w = '{_PHRASE[1]}'
+JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2 AND c.w = '{_PHRASE[2]}'
+WHERE a.w = '{_PHRASE[0]}'
+GROUP BY a.doc_id
+"""
+
+
+@register("search_phrase_positional", oracle=_PHRASE_ORACLE, tags=("llm-pipeline",))
+def q_search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-phrase search through a POSITIONAL inverted index —
+    the other classic extension of the reference's InvertedIndex
+    application (Worker/Worker.py:29-41 stops at word -> doc counts;
+    adding the token position makes phrase and proximity queries
+    joins instead of text scans). Finds every document containing the
+    consecutive token phrase and the number of occurrences.
+
+    Scale shape: the (word, doc, position) posting table is built at
+    ingest; a phrase query reads ONLY the phrase words' postings
+    (selective filter before any shuffle — the map side drops
+    everything but 3 words), then two self-equi-joins on
+    (doc, position+offset) verify adjacency. Cost is the posting-list
+    sizes of the query words, independent of corpus text volume; a
+    stop-word-heavy phrase is bounded by its rarest word after the
+    first join. The trigram index (search_trigram_index) answers
+    SUBSTRING queries; this answers TOKEN-PHRASE queries — real
+    search stacks ship both."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.select("doc_id", F.posexplode(tokens("text")).alias("i", "w"))
+        .where(F.col("w").isin(*_PHRASE))
+    )
+    a = pos.where(F.col("w") == _PHRASE[0]).select("doc_id", F.col("i").alias("ia"))
+    b = pos.where(F.col("w") == _PHRASE[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("i").alias("ib")
+    )
+    c = pos.where(F.col("w") == _PHRASE[2]).select(
+        F.col("doc_id").alias("doc_c"), F.col("i").alias("ic")
+    )
+    return (
+        a.join(b, (F.col("doc_b") == F.col("doc_id")) & (F.col("ib") == F.col("ia") + 1))
+        .join(c, (F.col("doc_c") == F.col("doc_id")) & (F.col("ic") == F.col("ia") + 2))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+    )

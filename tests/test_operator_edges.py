@@ -150,3 +150,25 @@ def test_compaction_single_oversized_file_gets_own_group(spark, monkeypatch):
     }
     # a starts at 0 -> group 0; b starts at 50000 -> group 3; c at 51000 -> group 3
     assert out == {"a": 0, "b": 3, "c": 3}
+
+
+def test_phrase_search_requires_adjacency(spark, monkeypatch):
+    """Docs containing all three words NON-adjacently must not match;
+    overlapping/repeated occurrences count correctly."""
+    import mapreducegcp_spark.operators.textstats as textstats_mod
+
+    docs = spark.createDataFrame(
+        [
+            (1, "scan slow fast", "en", "s", 14),            # 1 occurrence
+            (2, "scan slow fast scan slow fast", "en", "s", 29),  # 2
+            (3, "scan fast slow", "en", "s", 14),             # words, wrong order
+            (4, "scan slow slow fast", "en", "s", 19),        # broken adjacency
+        ],
+        DOC_SCHEMA,
+    )
+    monkeypatch.setattr(textstats_mod, "load_table", lambda *a, **k: docs)
+    out = {
+        r.doc_id: r.n_occurrences
+        for r in all_queries()["search_phrase_positional"].fn(spark, "ignored").collect()
+    }
+    assert out == {1: 1, 2: 2}
