@@ -247,21 +247,31 @@ def jaccard_pair_graph(
     shingle Jaccard >= threshold, materialized AT MOST ONCE per
     (SparkSession, corpus) and reused by every cluster/manifest/audit
     consumer. ``shingle_rows`` lets the first builder in a query that
-    also needs raw shingles (dedup_lsh_eval) feed one shared scan."""
+    also needs raw shingles (dedup_lsh_eval) feed one shared scan.
+
+    When the corpus file cannot be statted (tests monkeypatch
+    ``load_table`` and pass placeholder sf_dirs, so the data comes
+    from somewhere the key cannot see), the cache is BYPASSED — serving
+    a cached graph for an unidentifiable corpus is how a sharing cache
+    silently corrupts results. The key carries byte size AND mtime so
+    a regenerated same-size corpus at the same path misses too."""
     import os
 
-    path = os.path.normpath(sf_dir)
-    try:
-        nbytes = os.path.getsize(os.path.join(path, "documents.parquet"))
-    except OSError:
-        nbytes = -1
-    key = (spark.sparkContext.applicationId, path, nbytes)
-    if key not in _PAIR_GRAPH_CACHE:
-        _PAIR_GRAPH_CACHE[key] = (
+    def build() -> DataFrame:
+        return (
             q_dedup_ngram_jaccard(spark, sf_dir, shingle_rows)
             .select("doc_a", "doc_b")
             .localCheckpoint(eager=False)
         )
+
+    path = os.path.normpath(sf_dir)
+    try:
+        st = os.stat(os.path.join(path, "documents.parquet"))
+    except OSError:
+        return build()
+    key = (spark.sparkContext.applicationId, path, st.st_size, st.st_mtime_ns)
+    if key not in _PAIR_GRAPH_CACHE:
+        _PAIR_GRAPH_CACHE[key] = build()
     return _PAIR_GRAPH_CACHE[key]
 
 

@@ -742,23 +742,28 @@ def q_basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both explode the basket ARRAY map-side — the naive form (distinct
     # items self-joined + re-aggregated per use) re-derived the same
     # subplan four times and cost 8 exchanges.
-    # Materialized ONCE (LAZY localCheckpoint — all three consumers
-    # (pairs, frequencies, order count) sit under one final action, so
-    # the broadcast branches materialize it first and the pairs branch
-    # reuses it; without the checkpoint each re-ran the scan+basket
-    # aggregation, measured 7 exchanges vs 3. Lazy keeps plan
-    # construction job-free for explain/catalog sweeps). Checkpoint,
-    # not cache(): checkpoint blocks are released by the ContextCleaner
-    # when the query's RDD goes out of scope, while a cache() pinned
-    # here would outlive the query (no unpersist hook — the CMS
-    # heavy-hitters operator documents the same decision). At 100 TB
-    # this intermediate is WRITTEN — a basket table reused by every
+    # Materialized ONCE — EAGER localCheckpoint, deliberately: the
+    # three consumers (pairs, frequencies, order count) include TWO
+    # broadcast branches whose exchange jobs Spark submits
+    # concurrently; with a lazy checkpoint they race to materialize it
+    # and re-run the scan+basket aggregation (the duplicate block
+    # computation fe08e0d recorded on the same shape in
+    # timeseries_monthly_growth — which round 4 reworked into bounded
+    # window frames instead; here the consumers genuinely need the
+    # corpus-derived table, so eager's build-time job is the lesser
+    # cost). Without any checkpoint each consumer re-derived the
+    # subplan: measured 7 exchanges vs 3. Checkpoint, not cache():
+    # checkpoint blocks are released by the ContextCleaner when the
+    # query's RDD goes out of scope, while a cache() pinned here would
+    # outlive the query (no unpersist hook — the CMS heavy-hitters
+    # operator documents the same decision). At 100 TB this
+    # intermediate is WRITTEN — a basket table reused by every
     # affinity query.
     baskets = (
         li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part"))
         .groupBy("okey")
         .agg(F.sort_array(F.collect_set("part")).alias("ps"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     pair_structs = F.expr(
         "flatten(transform(ps, (x, i) ->"

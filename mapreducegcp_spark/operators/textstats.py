@@ -1167,8 +1167,12 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word", F.size(F.expr(syms_expr)).cast("long").alias("n_syms")
     )
     doc_words = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    # no broadcast HINT: at test scale the tiny vocab auto-broadcasts
+    # under the threshold anyway, and at billions of types a forced
+    # broadcast would collect the vocab to the driver instead of
+    # degrading to the hash join the docstring promises
     return (
-        doc_words.join(F.broadcast(encoded), "word")
+        doc_words.join(encoded, "word")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),

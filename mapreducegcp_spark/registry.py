@@ -123,11 +123,20 @@ def _last_checked_round() -> dict[str, int]:
     """
     global _LAST_CHECKED
     root = _artifact_dir()
+    def _mtime(p: Path) -> int:
+        # an artifact deleted between glob and stat is just "absent" —
+        # enumeration must not abort (contract: unreadable artifacts
+        # are skipped); the read loop below tolerates the same race
+        try:
+            return p.stat().st_mtime_ns
+        except OSError:
+            return -1
+
     try:
         paths = sorted(root.glob("CORRECTNESS_r*.json"))
     except OSError:
         paths = []
-    key = (str(root), tuple((str(p), p.stat().st_mtime_ns) for p in paths))
+    key = (str(root), tuple((str(p), _mtime(p)) for p in paths))
     if _LAST_CHECKED is None or _LAST_CHECKED[0] != key:
         last: dict[str, int] = {}
         for p in paths:

@@ -272,7 +272,7 @@ def test_countmin_sketch_shape(spark):
 
 def test_basket_affinity_reuses_cached_baskets(spark):
     """basket_pair_affinity: the basket table is materialized once
-    (lazy localCheckpoint — the naive re-derivation per consumer cost
+    (eager localCheckpoint — the naive re-derivation per consumer cost
     8 exchanges) and all three consumers read the checkpointed RDD
     (Scan ExistingRDD), leaving NO hash exchange from the original
     scan+agg in the final plan; frequencies/order-count return as
@@ -367,24 +367,35 @@ def test_temperature_fold_is_bounded_state(spark):
     assert "SortMergeJoin" not in tree
 
 
+def _window_lines(tree: str) -> list[str]:
+    """Physical-plan lines containing a Window node (every such line
+    also carries its windowspecdefinition(...) ordering columns)."""
+    return [l for l in tree.splitlines() if "Window [" in l]
+
+
 def test_rfm_segments_no_ntile_window(spark):
     """customer_rfm_segments: quintile scoring must come from the
     two-phase global rownum + closed-form ntile arithmetic, never the
     three unpartitioned ntile(5) windows (single-task triple sort of
-    the per-customer table). The ONLY Window allowed in the visible
-    plan segment is the helper's 16-row pid-offsets prefix sum."""
+    the per-customer table). The ONLY Window allowed in the plan is
+    the helper's 16-row pid-offsets prefix sum — its spec orders by
+    the pid column, so asserting `pid#` on every Window line rejects
+    any data-column (last_order/frequency/monetary) window."""
     tree, _ = _plans(spark, "customer_rfm_segments")
     assert "ntile" not in tree, tree[:1500]
-    window_lines = [l for l in tree.splitlines() if "Window" in l and "windowspecdef" not in l]
-    for l in window_lines:
-        assert "pid" in l, f"non-offset window in RFM plan: {l}"
+    lines = _window_lines(tree)
+    assert lines, "expected the pid-offsets window in the RFM plan"
+    for l in lines:
+        assert "pid#" in l, f"non-offset window in RFM plan: {l.strip()[:200]}"
 
 
 def test_vocab_coverage_no_fullvocab_window(spark):
     """vocab_coverage_cutoff: the coverage scan must be the two-phase
     global cumsum (range exchange + pid-offset broadcast), not a
-    whole-vocabulary single-task window sort."""
+    whole-vocabulary single-task rank/cumsum window (whose spec would
+    order by cnt/word, not pid)."""
     tree, _ = _plans(spark, "vocab_coverage_cutoff")
-    window_lines = [l for l in tree.splitlines() if "Window" in l and "windowspecdef" not in l]
-    for l in window_lines:
-        assert "pid" in l, f"non-offset window in vocab coverage plan: {l}"
+    lines = _window_lines(tree)
+    assert lines, "expected the pid-offsets window in the coverage plan"
+    for l in lines:
+        assert "pid#" in l, f"non-offset window in vocab plan: {l.strip()[:200]}"
