@@ -772,3 +772,94 @@ def q_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         "majority_lang",
     )
+
+
+# --------------------------------- tokenizer-dataset capstone
+
+def _tokenizer_dataset_oracle() -> str:
+    """Trainer chain -> encoded vocab -> per-doc symbol counts ->
+    budget packing, as one DuckDB statement mirroring the Spark DAG."""
+    from mapreducegcp_spark.operators.textstats import (
+        _BPE_TRAIN_ROUNDS,
+        _bpe_train_oracle,
+    )
+
+    trainer = _bpe_train_oracle()
+    chain = trainer[: trainer.rindex("SELECT CAST(1 AS BIGINT)")].rstrip().rstrip(",")
+    n = _BPE_TRAIN_ROUNDS
+    return f"""{chain},
+encoded AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms FROM syms{n}),
+doc_words AS (
+  SELECT doc_id, unnest(list_filter({_TOKS}, t -> t <> '')) AS word
+  FROM documents
+),
+enc AS (
+  SELECT d.doc_id, CAST(sum(e.n_syms) AS BIGINT) AS n_bpe_symbols
+  FROM doc_words d JOIN encoded e ON d.word = e.word
+  GROUP BY d.doc_id
+),
+base AS (
+  SELECT e.doc_id, d.source, e.n_bpe_symbols,
+         {_o_bucket("CAST(e.doc_id AS VARCHAR)", PACK_SHARDS)} AS shard
+  FROM enc e JOIN documents d USING (doc_id)
+),
+c AS (
+  SELECT *, sum(n_bpe_symbols) OVER (PARTITION BY source, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM base
+)
+SELECT source, shard,
+       CAST(floor((cum - n_bpe_symbols) / {SEQ_BUDGET}.0) AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_bpe_symbols) AS BIGINT) AS seq_symbols
+FROM c
+GROUP BY source, shard, seq_id
+"""
+
+
+@register(
+    "pipeline_tokenizer_dataset",
+    oracle=_tokenizer_dataset_oracle(),
+    tags=("llm-pipeline",),
+)
+def q_pipeline_tokenizer_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training capstone: learn the BPE merges from the
+    corpus, encode every document with them, and pack documents into
+    fixed-budget training sequences BY LEARNED-TOKEN COUNT — the
+    end-to-end path from raw text to the dataloader manifest a real
+    run consumes (pack_sequences budgets by raw whitespace tokens;
+    this budgets by what the model will actually see).
+
+    One composed DAG: the trainer's vocab-sized rounds (bounded 1-row
+    driver syncs), the encode join, a doc_id equi-join to recover the
+    source column, and the per-(source, shard) packing window. The
+    only corpus-sized stages are the tokenize scan, the encode rollup,
+    and the packing shuffle — everything else is vocabulary- or
+    manifest-sized. The DuckDB oracle replays the entire chain
+    (recursive-CTE trainer included), so train -> encode -> pack is
+    value-hash-checked end to end."""
+    from mapreducegcp_spark.operators.textstats import q_bpe_encode_corpus
+
+    enc = q_bpe_encode_corpus(spark, sf_dir).select("doc_id", "n_bpe_symbols")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    base = enc.join(docs, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_bpe_symbols",
+        md5_bucket(F.col("doc_id").cast("string"), PACK_SHARDS).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_bpe_symbols").over(w)
+    seq = F.floor((cum - F.col("n_bpe_symbols")) / float(SEQ_BUDGET)).cast("long")
+    return (
+        base.withColumn("seq_id", seq)
+        .groupBy("source", "shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe_symbols").alias("seq_symbols"),
+        )
+    )
