@@ -1243,3 +1243,68 @@ def q_search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_occurrences"))
     )
+
+
+# --------------------------------- proximity (within-N) co-occurrence
+
+_PROX_WORDS = ("scan", "fast")  # the co-occurrence pair to search
+_PROX_WINDOW = 5                # max token distance (|i - j| <= N)
+
+_PROX_ORACLE = f"""
+WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, p.w AS w, p.i AS i
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) + 1),
+                  i -> struct_pack(i := i, w := toks[i]))) AS p
+    FROM tk
+  )
+  WHERE p.w IN ('{_PROX_WORDS[0]}', '{_PROX_WORDS[1]}')
+)
+SELECT a.doc_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(abs(a.i - b.i)) AS BIGINT) AS min_distance
+FROM pos a
+JOIN pos b ON b.doc_id = a.doc_id AND b.w = '{_PROX_WORDS[1]}'
+          AND abs(a.i - b.i) <= {_PROX_WINDOW}
+WHERE a.w = '{_PROX_WORDS[0]}'
+GROUP BY a.doc_id
+"""
+
+
+@register("search_proximity_window", oracle=_PROX_ORACLE, tags=("llm-pipeline",))
+def q_search_proximity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search over the positional index: documents where the
+    two query words co-occur within {N} tokens, with the pair count
+    and closest distance — the NEAR() operator of classic IR, and the
+    relevance signal phrase search is too strict for.
+
+    Same posting-list economics as search_phrase_positional: the map
+    side keeps only the two query words' postings, the join is
+    per-document on the doc key with a band predicate on position.
+    Per-document cost is |postings_a| x |postings_b| for that doc —
+    bounded by word frequency within one document, not corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.select("doc_id", F.posexplode(tokens("text")).alias("i", "w"))
+        .where(F.col("w").isin(*_PROX_WORDS))
+    )
+    a = pos.where(F.col("w") == _PROX_WORDS[0]).select("doc_id", F.col("i").alias("ia"))
+    b = pos.where(F.col("w") == _PROX_WORDS[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("i").alias("ib")
+    )
+    dist = F.abs(F.col("ia") - F.col("ib"))
+    return (
+        a.join(b, (F.col("doc_b") == F.col("doc_id")) & (dist <= _PROX_WINDOW))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min(dist).alias("min_distance"),
+        )
+    )
+
+
+q_search_proximity_window.__doc__ = q_search_proximity_window.__doc__.format(
+    N=_PROX_WINDOW
+)

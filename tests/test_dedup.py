@@ -175,3 +175,34 @@ def test_min_label_components_raises_past_diameter_cap(spark):
     )
     with pytest.raises(RuntimeError, match="two_phase_components"):
         min_label_components(pairs, "a", "b").collect()
+
+
+def test_pair_graph_cache_bypassed_for_unstattable_corpus(spark, monkeypatch):
+    """Two different monkeypatched corpora under the SAME placeholder
+    sf_dir must produce DIFFERENT pair graphs — the session cache must
+    not serve corpus A's edges to corpus B when the corpus file cannot
+    be statted (the key cannot identify the data source)."""
+    import mapreducegcp_spark.operators.dedup as dedup_mod
+
+    def mk(texts):
+        return spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    near = "alpha beta gamma delta epsilon zeta eta theta"
+    a = mk([near, near + " iota", "totally different words entirely here now"])
+    b = mk(["unrelated corpus one two three four five six", near, near])
+
+    monkeypatch.setattr(dedup_mod, "load_table", lambda *args, **kw: a)
+    pairs_a = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_mod.jaccard_pair_graph(spark, "placeholder-dir").collect()
+    }
+    monkeypatch.setattr(dedup_mod, "load_table", lambda *args, **kw: b)
+    pairs_b = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_mod.jaccard_pair_graph(spark, "placeholder-dir").collect()
+    }
+    assert pairs_a == {(0, 1)}
+    assert pairs_b == {(1, 2)}, "cache served stale edges for an unidentifiable corpus"
