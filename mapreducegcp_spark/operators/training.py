@@ -863,3 +863,104 @@ def q_pipeline_tokenizer_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bpe_symbols").alias("seq_symbols"),
         )
     )
+
+
+# --------------------------------- Neyman (optimal) stratified allocation
+
+SAMPLE_BUDGET = 1000  # total sample size to allocate across strata
+
+# The per-stratum std-dev term, as ONE IEEE double expression over the
+# exact integer moments (n, s = sum, ss = sum of squares) — written
+# once and instantiated identically in both engines so the fold and
+# the per-row weight agree bit-for-bit. Sample variance
+# (ss - s^2/n) / (n - 1), clamped at 0 against last-ulp negatives.
+def _sd_expr_sql(n: str, s: str, ss: str) -> str:
+    nd, sd_, ssd = f"CAST({n} AS DOUBLE)", f"CAST({s} AS DOUBLE)", f"CAST({ss} AS DOUBLE)"
+    return (
+        f"CASE WHEN {n} > 1 THEN "
+        f"sqrt(greatest(({ssd} - {sd_} * {sd_} / {nd}) / ({nd} - 1), 0.0)) "
+        f"ELSE 0.0 END"
+    )
+
+
+_NEYMAN_ORACLE = f"""
+WITH src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+  FROM documents GROUP BY source
+),
+denom AS (
+  SELECT list_reduce(
+           list_transform(
+             list_sort(list(struct_pack(source := source, n := n, s := s, ss := ss))),
+             r -> CAST(r.n AS DOUBLE) * ({_sd_expr_sql('r.n', 'r.s', 'r.ss')})
+           ),
+           (a, b) -> a + b
+         ) AS d
+  FROM src
+)
+SELECT source, n AS n_docs,
+       {_sd_expr_sql('n', 's', 'ss')} AS sd_chars,
+       CASE WHEN (SELECT d FROM denom) > 0
+            THEN CAST(floor({SAMPLE_BUDGET} * CAST(n AS DOUBLE)
+                 * ({_sd_expr_sql('n', 's', 'ss')}) / (SELECT d FROM denom)) AS BIGINT)
+            ELSE NULL END AS neyman_alloc,
+       CAST(floor({SAMPLE_BUDGET} * CAST(n AS DOUBLE)
+            / (SELECT CAST(sum(n) AS DOUBLE) FROM src)) AS BIGINT) AS proportional_alloc
+FROM src
+"""
+
+
+@register("sample_neyman_allocation", oracle=_NEYMAN_ORACLE, tags=("llm-pipeline",))
+def q_sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: split a fixed
+    sample budget across strata proportional to N_h * sigma_h — the
+    variance-minimizing design for estimating a corpus mean (here
+    document length by source), beside the naive proportional
+    allocation for comparison. This is how a 100 TB corpus gets a
+    defensible quality-audit sample: more budget to large AND
+    heterogeneous sources, less to uniform ones.
+
+    Determinism: per-stratum moments (count, sum, sum of squares) are
+    exact bigint aggregates; sigma is ONE shared IEEE expression over
+    those integers (sqrt is correctly rounded — hash-stable); the
+    denominator folds N_h*sigma_h in SOURCE ORDER over a sorted
+    collected array (strict left fold, both engines — a plain SUM
+    would drift in the last ulp with partition order). The collected
+    array is one row per SOURCE — bounded, not data-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
+    )
+
+    def sd_of(n, s, ss):
+        nd, sd_, ssd = n.cast("double"), s.cast("double"), ss.cast("double")
+        return F.when(
+            n > 1, F.sqrt(F.greatest((ssd - sd_ * sd_ / nd) / (nd - 1), F.lit(0.0)))
+        ).otherwise(F.lit(0.0))
+
+    totals = src.agg(
+        F.sum("n").alias("n_total"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "n", "s", "ss"))),
+            F.lit(0.0),
+            lambda acc, r: acc + r["n"].cast("double") * sd_of(r["n"], r["s"], r["ss"]),
+        ).alias("d"),
+    )
+    sd = sd_of(F.col("n"), F.col("s"), F.col("ss"))
+    return src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        sd.alias("sd_chars"),
+        F.when(
+            F.col("d") > 0,
+            F.floor(SAMPLE_BUDGET * F.col("n").cast("double") * sd / F.col("d")),
+        ).alias("neyman_alloc"),
+        F.floor(
+            SAMPLE_BUDGET * F.col("n").cast("double") / F.col("n_total").cast("double")
+        ).alias("proportional_alloc"),
+    )
