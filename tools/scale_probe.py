@@ -118,6 +118,13 @@ PROBES = {
     "customer_rfm_segments": {"orders": ["o_orderkey", "o_custkey"]},
     "mask_span_corruption": {"documents": ["doc_id"]},
     "dataset_card_stats": {"documents": ["doc_id"]},
+    # posting-list search: replication grows the query words' posting
+    # lists 10x (new doc_ids), the exact production shape; phrase/
+    # proximity joins stay per-document so no quadratic blowup.
+    "search_phrase_positional": {"documents": ["doc_id"]},
+    "search_proximity_window": {"documents": ["doc_id"]},
+    "sample_neyman_allocation": {"documents": ["doc_id"]},
+    "pipeline_tokenizer_dataset": {"documents": ["doc_id"]},
 }
 
 
