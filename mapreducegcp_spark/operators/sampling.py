@@ -621,3 +621,98 @@ def q_dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(F.broadcast(tot)).select(
         "bin", "n_ref", "n_cur", chi2.alias("chi2_term")
     )
+
+
+# ----------------------------------- referential-integrity FK audit
+
+# Every FK edge of the star schema: (child, fk_col, parent, pk_col).
+# The reference's KeyValueStore has no notion of schema constraints
+# (SURVEY.md §2.2); this is the Deequ-style cross-TABLE companion to
+# dq_constraint_check's single-table gate.
+_FK_EDGES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_edge_oracle(child: str, fk: str, parent: str, pk: str) -> str:
+    edge = f"{child}.{fk}->{parent}.{pk}"
+    return f"""
+SELECT '{edge}' AS fk_edge,
+       CAST(sum(c.cnt) AS BIGINT) AS n_child_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct_keys,
+       CAST(sum(CASE WHEN p.present IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan_keys,
+       CAST(sum(CASE WHEN p.present IS NULL THEN c.cnt ELSE 0 END) AS BIGINT)
+         AS n_orphan_rows
+FROM (
+  SELECT {fk} AS k, count(*) AS cnt FROM {child}
+  WHERE {fk} IS NOT NULL GROUP BY {fk}
+) c
+LEFT JOIN (SELECT DISTINCT {pk} AS k, TRUE AS present FROM {parent}) p
+  ON c.k = p.k
+"""
+
+
+_FK_ORACLE = "\nUNION ALL\n".join(
+    _fk_edge_oracle(*edge) for edge in _FK_EDGES
+)
+
+
+@register("dq_referential_integrity", oracle=_FK_ORACLE, tags=("llm-pipeline",))
+def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the star
+    schema: one verdict row per edge with child-row, distinct-key,
+    orphan-key and orphan-row counts. The cross-table companion to
+    ``dq_constraint_check`` — a broken FK edge (orphaned lineitems
+    after a partial reload, customers pointing at a dropped nation)
+    silently corrupts every downstream join, so a pipeline gates on
+    this before fact/dim joins the same way it gates on completeness.
+
+    Scale shape: the child side collapses to (key, row_count) FIRST —
+    a map-side-combinable rollup whose shuffle carries one row per
+    DISTINCT key, never per child row (lineitem at 100 TB shuffles
+    ~orderkey-cardinality rows, each 16 bytes). The parent side is
+    projected to its distinct key and LEFT-joined; dim parents
+    auto-broadcast, and the one fact-sized parent (orders) degrades to
+    a co-partitioned hash join on the already-collapsed key sets. Each
+    edge then folds to a single verdict row, so the union output is
+    exactly len(_FK_EDGES) rows. Per-edge child scans are parquet
+    column-pruned to the single FK column (no full-row reads, verified
+    by ReadSchema in the plan audit). NULL FKs follow ANSI FK
+    semantics: excluded from the keyed counts entirely, never counted
+    as orphans."""
+    out = None
+    for child, fk, parent, pk in _FK_EDGES:
+        keyed = (
+            load_table(spark, sf_dir, child)
+            .where(F.col(fk).isNotNull())
+            .groupBy(F.col(fk).alias("k"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        parent_keys = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("present", F.lit(True))
+        )
+        missing = F.col("present").isNull()
+        row = (
+            keyed.join(parent_keys, "k", "left")
+            .agg(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("fk_edge"),
+                F.sum("cnt").alias("n_child_rows"),
+                F.count("*").alias("n_distinct_keys"),
+                F.sum(F.when(missing, 1).otherwise(0)).alias("n_orphan_keys"),
+                F.sum(F.when(missing, F.col("cnt")).otherwise(0)).alias(
+                    "n_orphan_rows"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

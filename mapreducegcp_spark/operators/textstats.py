@@ -1308,3 +1308,84 @@ def q_search_proximity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_search_proximity_window.__doc__ = q_search_proximity_window.__doc__.format(
     N=_PROX_WINDOW
 )
+
+
+# --------------------------------- tokenizer fertility by source
+
+def _bpe_fertility_oracle() -> str:
+    """Reuse the trainer's recursive-CTE chain (same merges), then roll
+    the encoded-vocab symbol counts up per SOURCE instead of per doc."""
+    toks = TOKEN_ORACLE_EXPR.format(col="text")
+    trainer = _bpe_train_oracle()
+    chain = trainer[: trainer.rindex("SELECT CAST(1 AS BIGINT)")].rstrip().rstrip(",")
+    n = _BPE_TRAIN_ROUNDS
+    return f"""{chain},
+encoded AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms FROM syms{n}),
+doc_words AS (
+  SELECT doc_id, source, unnest(list_filter({toks}, t -> t <> '')) AS word
+  FROM documents
+)
+SELECT d.source,
+       CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(e.n_syms) AS BIGINT) AS n_bpe_symbols,
+       CAST(sum(len(d.word)) AS BIGINT) AS n_chars,
+       CAST(sum(e.n_syms) AS DOUBLE) / count(*) AS fertility,
+       CAST(sum(len(d.word)) AS DOUBLE) / sum(e.n_syms) AS chars_per_symbol
+FROM doc_words d JOIN encoded e ON d.word = e.word
+GROUP BY d.source
+"""
+
+
+@register("bpe_fertility_stats", oracle=_bpe_fertility_oracle(), tags=("llm-pipeline",))
+def q_bpe_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report, per source: symbols-per-word
+    (fertility) and chars-per-symbol (compression) under the learned
+    BPE merges. THE acceptance metric for a tokenizer before a
+    training run — a source whose fertility is 2x the corpus mean
+    (code in a prose tokenizer, an unseen script) burns 2x the
+    sequence budget for the same text, and this report is how that is
+    caught before, not after, the cluster bill.
+
+    Scale shape is bpe_encode_corpus's, with the doc-level rollup
+    swapped for a source-level one: merges apply to the DISTINCT-WORD
+    vocabulary only (map-only higher-order folds), documents join
+    exploded tokens to encoded lengths (vocab side auto-broadcasts),
+    and the final rollup keys on source — output rows = |sources|.
+    Ratios are one IEEE double division over exact BIGINT sums, so the
+    DuckDB replay (same recursive-CTE merge chain) is bit-identical."""
+    merges = [
+        (r["left_sym"], r["right_sym"], r["merged"])
+        for r in q_bpe_train_merges(spark, sf_dir).collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(F.explode(tokens("text")).alias("word")).distinct()
+    syms_expr = "filter(split(word, ''), x -> x <> '')"
+    for left, right, merged in merges:
+        syms_expr = (
+            f"aggregate({syms_expr}, cast(array() as array<string>), (acc, x) -> "
+            f"if(size(acc) > 0 and element_at(acc, -1) = '{left}' and x = '{right}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{merged}')), "
+            "concat(acc, array(x))))"
+        )
+    encoded = vocab.select(
+        "word", F.size(F.expr(syms_expr)).cast("long").alias("n_syms")
+    )
+    doc_words = docs.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("word")
+    )
+    return (
+        doc_words.join(encoded, "word")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_symbols"),
+            F.sum(F.length("word")).alias("n_chars"),
+            (F.sum("n_syms").cast("double") / F.count("*")).alias("fertility"),
+            (
+                F.sum(F.length("word")).cast("double")
+                / F.sum("n_syms")
+            ).alias("chars_per_symbol"),
+        )
+    )

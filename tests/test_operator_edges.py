@@ -172,3 +172,58 @@ def test_phrase_search_requires_adjacency(spark, monkeypatch):
         for r in all_queries()["search_phrase_positional"].fn(spark, "ignored").collect()
     }
     assert out == {1: 1, 2: 2}
+
+
+def test_referential_integrity_counts_orphans_not_nulls(spark, monkeypatch):
+    """An FK value absent from the parent is an orphan; a NULL FK is
+    not (ANSI semantics) — it must vanish from the keyed counts
+    entirely. Duplicate child rows on one orphan key count once in
+    n_orphan_keys and each in n_orphan_rows."""
+    import mapreducegcp_spark.operators.sampling as samp_mod
+
+    tables = {
+        "orders": spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 99), (4, 99), (5, None)],
+            "o_orderkey long, o_custkey long",
+        ),
+        "customer": spark.createDataFrame([(10,)], "c_custkey long"),
+    }
+    monkeypatch.setattr(
+        samp_mod, "load_table", lambda spark, sf_dir, name: tables[name]
+    )
+    monkeypatch.setattr(
+        samp_mod, "_FK_EDGES",
+        [("orders", "o_custkey", "customer", "c_custkey")],
+    )
+    [r] = all_queries()["dq_referential_integrity"].fn(spark, "ignored").collect()
+    assert r.fk_edge == "orders.o_custkey->customer.c_custkey"
+    assert r.n_child_rows == 4          # the NULL row is excluded
+    assert r.n_distinct_keys == 2       # 10 and 99
+    assert r.n_orphan_keys == 1         # 99
+    assert r.n_orphan_rows == 2         # both rows keyed 99
+
+
+def test_fertility_identical_sources_equal_and_bounded(spark, monkeypatch):
+    """Two sources with byte-identical text must report identical
+    fertility, and fertility lives in [1, max word length]: merges can
+    only shrink a word's symbol count, never below one."""
+    import mapreducegcp_spark.operators.textstats as ts_mod
+
+    text = "alpha alpha beta alpha beta gamma"
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s1", len(text)), (2, text, "en", "s2", len(text))],
+        DOC_SCHEMA,
+    )
+    monkeypatch.setattr(ts_mod, "load_table", lambda spark, sf_dir, name: docs)
+    rows = {
+        r.source: r
+        for r in all_queries()["bpe_fertility_stats"].fn(spark, "ignored").collect()
+    }
+    assert set(rows) == {"s1", "s2"}
+    a, b = rows["s1"], rows["s2"]
+    assert (a.n_words, a.n_bpe_symbols, a.n_chars) == (
+        b.n_words, b.n_bpe_symbols, b.n_chars,
+    )
+    assert a.fertility == b.fertility
+    assert 1.0 <= a.fertility <= 5.0    # longest word is 5 chars
+    assert a.n_words == 6 and a.n_docs == 1
