@@ -399,3 +399,30 @@ def test_vocab_coverage_no_fullvocab_window(spark):
     assert lines, "expected the pid-offsets window in the coverage plan"
     for l in lines:
         assert "pid#" in l, f"non-offset window in vocab plan: {l.strip()[:200]}"
+
+
+def test_nation_revenue_preaggregates_below_customer_join(spark):
+    """The Q5-shape join must partially aggregate revenue by o_custkey
+    BEFORE the customer join, so the custkey exchange carries customer-
+    cardinality rows, never lineitem-cardinality ones. Catalyst does
+    not push aggregates below joins on its own — the operator encodes
+    it, and this pins it."""
+    tree, _ = _plans(spark, "join_nation_revenue")
+    m = re.search(r"HashAggregate\(keys=\[o_custkey\S*\]", tree)
+    assert m, "expected a per-custkey aggregate in the plan:\n" + tree[:2000]
+    # the orphan-prone regression: aggregating only at the very top
+    # (nation/region keys) with the custkey rollup gone entirely
+    assert tree.count("HashAggregate") >= 4, tree[:2000]
+
+
+def test_referential_integrity_prunes_to_fk_column(spark):
+    """Every per-edge child scan must read ONLY its FK column (plus
+    nothing) — a full-row lineitem read for a key-existence audit is
+    the 100 TB failure mode. Parent sides collapse to distinct keys
+    before the join."""
+    _, formatted = _plans(spark, "dq_referential_integrity")
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", formatted)
+    assert scans, formatted[:1000]
+    for cols in scans:
+        names = [c.split(":")[0] for c in cols.split(",") if c]
+        assert len(names) == 1, f"unpruned scan: {cols}"
