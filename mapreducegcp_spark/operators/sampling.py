@@ -716,3 +716,106 @@ def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ------------------------------- k-center coreset (farthest point)
+
+_KCENTER_K = 8
+
+# Squared L2 between two embedding lists, as a fixed-order left fold —
+# the DOT_ORACLE_EXPR convention (functions/vectors.py): identical fold
+# order in both engines makes the doubles bit-identical.
+_D2_ORACLE = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+    "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
+def _kcenter_oracle() -> str:
+    d_new = _D2_ORACLE.format(a="d.embedding", b="c.embedding")
+    d_first = _D2_ORACLE.format(a="e.embedding", b="c.embedding")
+    parts = [
+        "c1 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1)",
+        f"""d1 AS (
+  SELECT e.vec_id, e.embedding, {d_first} AS dmin
+  FROM embeddings e CROSS JOIN c1 c
+)""",
+    ]
+    for i in range(2, _KCENTER_K + 1):
+        p = i - 1
+        parts.append(
+            f"""c{i} AS (
+  SELECT vec_id, embedding, dmin FROM d{p}
+  ORDER BY dmin DESC, vec_id LIMIT 1
+)"""
+        )
+        if i < _KCENTER_K:
+            parts.append(
+                f"""d{i} AS (
+  SELECT d.vec_id, d.embedding, least(d.dmin, {d_new}) AS dmin
+  FROM d{p} d CROSS JOIN c{i} c
+)"""
+            )
+    rows = ["SELECT CAST(1 AS BIGINT) AS sel_order, vec_id,"
+            " CAST(NULL AS DOUBLE) AS cover_radius_sq FROM c1"]
+    rows += [
+        f"SELECT CAST({i} AS BIGINT), vec_id, dmin FROM c{i}"
+        for i in range(2, _KCENTER_K + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@register("sample_kcenter_coreset", oracle=_kcenter_oracle(), tags=("llm-pipeline",))
+def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset over the embedding
+    table: start from the deterministic seed (min vec_id), then {K}-1
+    times pick the point FARTHEST from every already-chosen center —
+    the classic 2-approximation to the k-center cover, and the
+    data-pruning selection that maximizes geometric coverage where
+    uniform sampling oversamples dense regions. cover_radius_sq is the
+    chosen point's squared distance to the prior centers at selection
+    time — the (non-increasing) coverage-radius curve that tells you
+    when adding coresets stops buying coverage.
+
+    Scale shape: k bounded driver syncs of ONE row each (the k-means
+    centroid-sync precedent), and per round ONE map-only pass fusing
+    "distance to the newest center" with a running least() against the
+    stored dmin — never a k-way distance matrix, never a shuffle; the
+    round's argmax is a TakeOrdered reduction. State between rounds is
+    lazily checkpointed so round r doesn't replay rounds 1..r-1.
+    Squared-L2 is a fixed-order fold (functions/vectors.py convention),
+    so the DuckDB chained-CTE replay is bit-identical, ties and all."""
+    from mapreducegcp_spark.functions.vectors import _c as _vc
+
+    def d2(a, center_vals: list[float]) -> F.Column:
+        b = F.array(*[F.lit(float(v)) for v in center_vals])
+        diffs = F.zip_with(
+            _vc(a), b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        )
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    out = [(1, int(seed["vec_id"]), None)]
+    state = emb.select(
+        "vec_id", "embedding", d2("embedding", seed["embedding"]).alias("dmin")
+    ).localCheckpoint(eager=False)
+    for i in range(2, _KCENTER_K + 1):
+        far = state.orderBy(F.desc("dmin"), F.asc("vec_id")).limit(1).collect()[0]
+        out.append((i, int(far["vec_id"]), float(far["dmin"])))
+        if i < _KCENTER_K:
+            state = state.select(
+                "vec_id",
+                "embedding",
+                F.least("dmin", d2("embedding", far["embedding"])).alias("dmin"),
+            ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        out, "sel_order long, vec_id long, cover_radius_sq double"
+    )
+
+
+q_sample_kcenter_coreset.__doc__ = q_sample_kcenter_coreset.__doc__.format(
+    K=_KCENTER_K
+)

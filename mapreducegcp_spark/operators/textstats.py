@@ -1389,3 +1389,96 @@ def q_bpe_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_symbol"),
         )
     )
+
+
+# ------------------------- perplexity buckets per language (CCNet gate)
+
+def _ppl_bucket_oracle() -> str:
+    """Reuse the xent oracle's LM chain, quantize per-token nats to a
+    bigint, then per-language quartile cuts (exact binary fractions,
+    the curriculum_length_phases precedent) and a CASE assignment."""
+    chain = _XENT_ORACLE[: _XENT_ORACLE.rindex("SELECT dc.doc_id,")].rstrip()
+    return f"""{chain}
+, xe AS (
+  SELECT dc.doc_id,
+         CAST(round(-CAST(sum(dc.c * lnq.lq) AS DOUBLE) / sum(dc.c))
+              AS BIGINT) AS xq
+  FROM dc JOIN lnq USING (tok)
+  GROUP BY dc.doc_id
+),
+sig AS (
+  SELECT x.doc_id, d.lang, x.xq FROM xe x JOIN documents d USING (doc_id)
+),
+cuts AS (
+  SELECT lang,
+         quantile_cont(xq, 0.25) AS q1,
+         quantile_cont(xq, 0.50) AS q2,
+         quantile_cont(xq, 0.75) AS q3
+  FROM sig GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.xq AS xq_nanonats,
+       CASE WHEN s.xq <= c.q1 THEN 1
+            WHEN s.xq <= c.q2 THEN 2
+            WHEN s.xq <= c.q3 THEN 3
+            ELSE 4 END AS ppl_bucket
+FROM sig s JOIN cuts c ON s.lang = c.lang
+"""
+
+
+@register(
+    "quality_perplexity_buckets",
+    oracle=_ppl_bucket_oracle(),
+    tags=("text-analysis", "llm-pipeline"),
+)
+def q_quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language perplexity bucketing — the CCNet move: score every
+    document under the corpus LM, cut WITHIN each language into
+    quartile buckets (1 = most fluent "head" ... 4 = "tail"), and let
+    the pipeline keep whichever buckets its quality bar wants. Cutting
+    per language is the point: a global cut just ranks languages by
+    their LM fit and throws away whole low-resource languages.
+
+    Determinism composition: per-token score is the integer nano-nat
+    cross-entropy (text_unigram_xent's fixed-point trick) ROUNDED to a
+    bigint per doc, so the bucket signal is an exact integer in both
+    engines; cuts are per-language quartiles at exact binary fractions
+    (0.25/0.5/0.75 — the curriculum_length_phases precedent; terciles
+    would put a non-representable 1/3 in the interpolation and invite
+    1-ulp cross-engine boundary flips).
+
+    Scale shape: the LM chain is text_unigram_xent's (vocab-sized
+    broadcast, one doc rollup); the scored table is lazily
+    checkpointed ONCE and feeds both the grouped-percentile cut
+    aggregate (partial per partition — no per-language window sort)
+    and the broadcast-join assignment. Everything after the LM join is
+    language-cardinality or map-side."""
+    x = q_text_unigram_xent(spark, sf_dir).select(
+        "doc_id",
+        F.round(
+            -(F.col("logprob_q").cast("double")) / F.col("n_tokens")
+        )
+        .cast("long")
+        .alias("xq"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sig = x.join(docs, "doc_id").localCheckpoint(eager=False)
+    cuts = (
+        sig.groupBy("lang")
+        .agg(F.expr("percentile(xq, array(0.25D, 0.50D, 0.75D))").alias("qs"))
+        .select(
+            "lang",
+            F.col("qs")[0].alias("q1"),
+            F.col("qs")[1].alias("q2"),
+            F.col("qs")[2].alias("q3"),
+        )
+    )
+    return sig.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("xq").alias("xq_nanonats"),
+        F.when(F.col("xq") <= F.col("q1"), 1)
+        .when(F.col("xq") <= F.col("q2"), 2)
+        .when(F.col("xq") <= F.col("q3"), 3)
+        .otherwise(4)
+        .alias("ppl_bucket"),
+    )

@@ -227,3 +227,52 @@ def test_fertility_identical_sources_equal_and_bounded(spark, monkeypatch):
     assert a.fertility == b.fertility
     assert 1.0 <= a.fertility <= 5.0    # longest word is 5 chars
     assert a.n_words == 6 and a.n_docs == 1
+
+
+def test_kcenter_farthest_first_and_radius_curve(spark, monkeypatch):
+    """On the line {0, 1, 10}: seed is min vec_id (0), the farthest
+    point (10) is chosen next with radius 100, then 1 with radius 1 —
+    and the radius curve is non-increasing after the seed."""
+    import mapreducegcp_spark.operators.sampling as samp_mod
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [10.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    monkeypatch.setattr(samp_mod, "load_table", lambda spark, sf_dir, name: emb)
+    monkeypatch.setattr(samp_mod, "_KCENTER_K", 3)
+    rows = sorted(
+        all_queries()["sample_kcenter_coreset"].fn(spark, "ignored").collect(),
+        key=lambda r: r.sel_order,
+    )
+    assert [r.vec_id for r in rows] == [1, 3, 2]
+    assert rows[0].cover_radius_sq is None
+    assert rows[1].cover_radius_sq == 100.0
+    assert rows[2].cover_radius_sq == 1.0
+
+
+def test_perplexity_buckets_rank_by_rarity(spark, monkeypatch):
+    """Docs made of common tokens must land in a lower (more fluent)
+    bucket than the doc built from corpus-rare tokens, and a
+    single-document language lands in bucket 1 (cuts collapse)."""
+    import mapreducegcp_spark.operators.textstats as ts_mod
+
+    common = "the the the the"
+    docs = spark.createDataFrame(
+        [
+            (1, common, "en", "s", 15),
+            (2, common, "en", "s", 15),
+            (3, common, "en", "s", 15),
+            (4, "zq xv jk wq", "en", "s", 11),
+            (5, "solo doc here", "xx", "s", 13),
+        ],
+        DOC_SCHEMA,
+    )
+    monkeypatch.setattr(ts_mod, "load_table", lambda spark, sf_dir, name: docs)
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["quality_perplexity_buckets"].fn(spark, "ignored").collect()
+    }
+    assert rows[4].ppl_bucket == 4
+    assert all(rows[d].ppl_bucket <= 2 for d in (1, 2, 3))
+    assert rows[5].ppl_bucket == 1
