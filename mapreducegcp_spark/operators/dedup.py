@@ -1179,3 +1179,147 @@ def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_est > 0, tp.cast("double") / n_est).alias("precision"),
         F.when(n_truth > 0, tp.cast("double") / n_truth).alias("recall"),
     )
+
+
+# ---------------------------- SimHash banding vs exact: precision / recall
+
+SIMHASH_BAND_BITS = 15          # 4 bands x 15 bits over the 60-bit fingerprint
+SIMHASH_N_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
+SIMHASH_HAMMING_T = 3           # pairs within this hamming radius are "near"
+# Pigeonhole: <= 3 differing bits cannot touch all 4 bands, so banding
+# has recall 1.0 against the hamming-radius pair set by construction —
+# the eval below therefore measures the HAMMING detector against the
+# JACCARD ground truth, i.e. how well bit-sign agreement proxies
+# shingle overlap, not banding loss.
+
+
+def _simhash_pairs_oracle() -> str:
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    banded = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {c} AS band,"
+        f" (simhash >> {c * SIMHASH_BAND_BITS}) & {mask} AS chunk FROM sig"
+        for c in range(SIMHASH_N_BANDS)
+    )
+    return f"""
+sig AS ({_SIMHASH_ORACLE.strip()}),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+),
+spairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sig sa ON cand.doc_a = sa.doc_id
+  JOIN sig sb ON cand.doc_b = sb.doc_id
+  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_HAMMING_T}
+)"""
+
+
+def _simhash_eval_oracle() -> str:
+    return f"""
+WITH {_simhash_pairs_oracle().strip().lstrip()},
+truth AS (SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE.strip()})),
+j AS (
+  SELECT (t.doc_a IS NOT NULL) AS in_truth,
+         (e.doc_a IS NOT NULL) AS in_est
+  FROM truth t FULL OUTER JOIN spairs e
+    ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
+)
+SELECT CAST(sum(CASE WHEN in_truth AND in_est THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN in_est AND NOT in_truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN in_truth AND NOT in_est THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CASE WHEN sum(CASE WHEN in_est THEN 1 ELSE 0 END) > 0
+            THEN CAST(sum(CASE WHEN in_truth AND in_est THEN 1 ELSE 0 END) AS DOUBLE)
+                   / sum(CASE WHEN in_est THEN 1 ELSE 0 END)
+            ELSE NULL END AS precision,
+       CASE WHEN sum(CASE WHEN in_truth THEN 1 ELSE 0 END) > 0
+            THEN CAST(sum(CASE WHEN in_truth AND in_est THEN 1 ELSE 0 END) AS DOUBLE)
+                   / sum(CASE WHEN in_truth THEN 1 ELSE 0 END)
+            ELSE NULL END AS recall
+FROM j
+"""
+
+
+@register("dedup_simhash_eval", oracle=_simhash_eval_oracle(), tags=("llm-pipeline",))
+def q_dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection (banded candidate join + hamming
+    filter) evaluated in-engine against the exact shingle-Jaccard
+    ground truth — the companion to dedup_lsh_eval that completes the
+    fuzzy-dedup eval matrix: MinHash estimates Jaccard directly;
+    SimHash proxies it through bit-sign agreement, and THIS query
+    quantifies how much precision/recall that proxy costs on a given
+    corpus before anyone trusts it at scale.
+
+    Candidate generation follows the MinHash-LSH economics: 4 bands of
+    15 fingerprint bits each, equal-chunk self-join on a narrow
+    (doc_id, band, chunk) table — by pigeonhole, banding loses NOTHING
+    within hamming radius {T} (3 flipped bits cannot touch 4 bands),
+    so the hamming filter after the join is exact, not sampled. Per
+    document the shuffle carries 4 constant-width rows; the 60-bit
+    xor + bit_count runs only on the candidate set. Fingerprints come
+    from ONE lazily-checkpointed simhash pass feeding the banding and
+    both join-back sides."""
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    sig = q_dedup_simhash(spark, sf_dir).localCheckpoint(eager=False)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("band"),
+                F.shiftright("simhash", c * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
+            )
+            for c in range(SIMHASH_N_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(chunks).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            <= SIMHASH_HAMMING_T
+        )
+        .select("doc_a", "doc_b")
+    )
+    truth = jaccard_pair_graph(spark, sf_dir)
+    t = truth.withColumn("in_truth", F.lit(True))
+    e = est.withColumn("in_est", F.lit(True))
+    j = t.join(e, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce(F.col("in_truth"), F.lit(False)).alias("in_truth"),
+        F.coalesce(F.col("in_est"), F.lit(False)).alias("in_est"),
+    )
+    tp = F.sum(F.when(F.col("in_truth") & F.col("in_est"), 1).otherwise(0))
+    fp = F.sum(F.when(F.col("in_est") & ~F.col("in_truth"), 1).otherwise(0))
+    fn = F.sum(F.when(F.col("in_truth") & ~F.col("in_est"), 1).otherwise(0))
+    n_est = F.sum(F.when(F.col("in_est"), 1).otherwise(0))
+    n_truth = F.sum(F.when(F.col("in_truth"), 1).otherwise(0))
+    return j.agg(
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        F.when(n_est > 0, tp.cast("double") / n_est).alias("precision"),
+        F.when(n_truth > 0, tp.cast("double") / n_truth).alias("recall"),
+    )
+
+
+q_dedup_simhash_eval.__doc__ = q_dedup_simhash_eval.__doc__.format(
+    T=SIMHASH_HAMMING_T
+)

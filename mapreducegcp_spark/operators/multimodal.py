@@ -574,3 +574,68 @@ def q_multimodal_arrow_bytestats(spark: SparkSession, sf_dir: str) -> DataFrame:
     this module)."""
     m = with_payload(load_table(spark, sf_dir, "documents")).select("doc_id", "payload")
     return m.mapInArrow(make_arrow_bytestats_fn(), _ARROW_STATS_SCHEMA)
+
+
+@register(
+    "multimodal_payload_dedup",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         md5(text) AS payload_md5,
+         ['png', 'jpeg', 'wav'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+         CAST(strlen(text) AS BIGINT) AS n_bytes
+  FROM documents
+),
+g AS (
+  SELECT fmt, payload_md5,
+         CAST(count(*) AS BIGINT) AS n_copies,
+         min(n_bytes) AS n_bytes
+  FROM p GROUP BY fmt, payload_md5
+)
+SELECT fmt,
+       CAST(sum(n_copies) AS BIGINT) AS n_payloads,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dup_copies,
+       CAST(sum(n_copies * n_bytes) AS BIGINT) AS bytes_total,
+       CAST(sum((n_copies - 1) * n_bytes) AS BIGINT) AS bytes_reclaimable
+FROM g
+GROUP BY fmt
+""",
+    tags=("multimodal", "llm-pipeline"),
+)
+def q_multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed store audit for the media columns: md5 over
+    the payload BYTES (the digest a blob store would key on), rolled
+    up per format into payload/unique/duplicate-copy counts and the
+    bytes a dedup pass would reclaim. The modality twin of
+    dedup_exact: same map-side-hash → uniform-key-rollup shape, but
+    over opaque payloads where no tokenizer or shingle applies — at
+    100 TB of images this one query IS the storage-bill audit, and it
+    stays meaningful (exact zeros, exact totals) on a dup-free corpus
+    rather than degenerating to an empty pair list.
+
+    Scale: the digest is computed map-side next to the scan, payload
+    bytes are DROPPED before the exchange (the shuffle carries 32-hex
+    digest + format + size per row), the digest rollup is map-side
+    combinable on the uniform key, and the second rollup is
+    format-cardinality. The ASCII-corpus payload derivation
+    (payload == UTF-8 bytes of text) is what lets DuckDB reproduce
+    the digest for the value-hash check."""
+    m = with_payload(load_table(spark, sf_dir, "documents")).select(
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.fmt").alias("fmt"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    g = m.groupBy("fmt", "payload_md5").agg(
+        F.count("*").alias("n_copies"),
+        F.min("n_bytes").alias("n_bytes"),
+    )
+    return g.groupBy("fmt").agg(
+        F.sum("n_copies").alias("n_payloads"),
+        F.count("*").alias("n_unique"),
+        (F.sum("n_copies") - F.count("*")).alias("n_dup_copies"),
+        F.sum(F.col("n_copies") * F.col("n_bytes")).alias("bytes_total"),
+        F.sum((F.col("n_copies") - 1) * F.col("n_bytes")).alias(
+            "bytes_reclaimable"
+        ),
+    )

@@ -276,3 +276,48 @@ def test_perplexity_buckets_rank_by_rarity(spark, monkeypatch):
     assert rows[4].ppl_bucket == 4
     assert all(rows[d].ppl_bucket <= 2 for d in (1, 2, 3))
     assert rows[5].ppl_bucket == 1
+
+
+def test_simhash_eval_perfect_on_exact_duplicates(spark, monkeypatch):
+    """Two identical documents are a Jaccard pair AND a hamming-0
+    simhash pair; an unrelated doc joins neither side. The eval must
+    report exactly tp=1, fp=0, fn=0, precision=recall=1."""
+    import mapreducegcp_spark.operators.dedup as dd_mod
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, text, "en", "s", len(text)),
+            (2, text, "en", "s", len(text)),
+            (3, "unrelated words entirely disjoint from neighbors", "en", "s", 48),
+        ],
+        DOC_SCHEMA,
+    )
+    monkeypatch.setattr(dd_mod, "load_table", lambda spark, sf_dir, name: docs)
+    [r] = all_queries()["dedup_simhash_eval"].fn(spark, "ignored").collect()
+    assert (r.tp, r.fp, r.fn) == (1, 0, 0)
+    assert r.precision == 1.0 and r.recall == 1.0
+
+
+def test_payload_dedup_store_audit_counts(spark, monkeypatch):
+    """Duplicate payloads shrink n_unique and fill bytes_reclaimable;
+    a dup-free format reports exact zeros, not an absent row. doc_ids
+    are multiples of 3 so every doc shares one format tag (png)."""
+    import mapreducegcp_spark.operators.multimodal as mm_mod
+
+    docs = spark.createDataFrame(
+        [
+            (3, "same bytes", "en", "s", 10),
+            (6, "same bytes", "en", "s", 10),
+            (9, "uniq", "en", "s", 4),
+        ],
+        DOC_SCHEMA,
+    )
+    monkeypatch.setattr(mm_mod, "load_table", lambda spark, sf_dir, name: docs)
+    rows = all_queries()["multimodal_payload_dedup"].fn(spark, "ignored").collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert r.fmt == "png"
+    assert (r.n_payloads, r.n_unique, r.n_dup_copies) == (3, 2, 1)
+    assert r.bytes_total == 2 * len("same bytes") + len("uniq")
+    assert r.bytes_reclaimable == len("same bytes")
