@@ -819,3 +819,54 @@ def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_sample_kcenter_coreset.__doc__ = q_sample_kcenter_coreset.__doc__.format(
     K=_KCENTER_K
 )
+
+
+# ------------------------------------------ freshness SLA audit
+
+_FRESHNESS_SLA_SECONDS = 1800  # 30 minutes behind the corpus head = stale
+
+
+@register(
+    "dq_freshness_sla",
+    oracle=f"""
+WITH ref AS (SELECT max(ts) AS head FROM events),
+per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, max(ts) AS latest
+  FROM events GROUP BY event_type
+)
+SELECT p.event_type, p.n_events, p.latest,
+       CAST(date_diff('second', p.latest, r.head) AS BIGINT) AS lag_seconds,
+       (date_diff('second', p.latest, r.head) <= {_FRESHNESS_SLA_SECONDS})
+         AS within_sla
+FROM per p CROSS JOIN ref r
+""",
+    tags=("llm-pipeline",),
+)
+def q_dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness SLA audit: per event stream, the latest event time,
+    its lag behind the corpus head (the max timestamp over ALL
+    streams), and a verdict against the SLA — the gate a pipeline
+    checks before trusting "current" aggregates, because one stalled
+    producer silently freezes every downstream join that assumes all
+    streams are equally fresh.
+
+    Cross-engine lag: both sides subtract SECOND-TRUNCATED timestamps
+    (Spark unix_timestamp truncates; DuckDB date_diff('second') counts
+    second boundaries — the same value), so the lag and the SLA
+    verdict are exact integers, never a float duration. Scale: one
+    scan computes every per-stream rollup map-side (uniform
+    event_type keys), the corpus head is a 1-row broadcast, output
+    rows = streams."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), F.max("ts").alias("latest")
+    )
+    ref = ev.agg(F.max("ts").alias("head"))
+    lag = F.unix_timestamp("head") - F.unix_timestamp("latest")
+    return per.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        "n_events",
+        "latest",
+        lag.alias("lag_seconds"),
+        (lag <= _FRESHNESS_SLA_SECONDS).alias("within_sla"),
+    )

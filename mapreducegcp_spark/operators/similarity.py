@@ -1049,3 +1049,73 @@ def q_similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("query_id", F.col("label").alias("predicted_label"), "votes")
     )
+
+
+# ------------------------------- per-dimension embedding health audit
+
+_DIM_SCALE = 1_048_576  # 2^20: float32 values quantized to exact bigints
+
+
+@register(
+    "embedding_dim_health",
+    oracle=f"""
+WITH v AS (
+  SELECT i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * {_DIM_SCALE}) AS BIGINT) AS q,
+         (embedding[i] = 0) AS is_zero
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+)
+SELECT dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN is_zero THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(sum(q * q) AS BIGINT) AS sum_q2,
+       (CAST(sum(q) AS DOUBLE) / count(*)) / {_DIM_SCALE} AS mean,
+       (CAST(sum(q * q) AS DOUBLE) / count(*)
+         - (CAST(sum(q) AS DOUBLE) / count(*))
+           * (CAST(sum(q) AS DOUBLE) / count(*)))
+         / ({_DIM_SCALE}.0 * {_DIM_SCALE}.0) AS variance
+FROM v
+GROUP BY dim
+""",
+    tags=("llm-pipeline",),
+)
+def q_embedding_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding health audit: count, zero fraction,
+    exact quantized first/second moments, mean and variance for each
+    of the vector's coordinates — the check that catches a collapsed
+    dimension (variance ~0: dead unit, projector bug, truncated
+    export) or a dc-offset dimension before anyone builds an ANN index
+    on top of it. Indexes built over collapsed dimensions silently
+    lose recall; this is the pre-flight.
+
+    Determinism: each float32 coordinate is quantized once to an exact
+    bigint at 2^20 (binary scale — the cast and round are single
+    correctly-rounded ops both engines agree on), so the per-dimension
+    moment sums are associative integer arithmetic — partitioning-
+    independent and value-hash-checkable; mean/variance are then a
+    fixed sequence of IEEE double ops on identical operands. Scale:
+    one posexplode (rows x dims, map-side), one rollup keyed by the
+    perfectly-uniform dim index — no skew by construction, output
+    rows = dimensionality."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(F.posexplode("embedding").alias("dim", "val")).select(
+        "dim",
+        F.round(F.col("val").cast("double") * _DIM_SCALE).cast("long").alias("q"),
+        (F.col("val") == 0).alias("is_zero"),
+    )
+    n = F.count("*")
+    sq = F.sum("q")
+    sq2 = F.sum(F.col("q") * F.col("q"))
+    mean_q = sq.cast("double") / n
+    return v.groupBy("dim").agg(
+        n.alias("n"),
+        F.sum(F.when(F.col("is_zero"), 1).otherwise(0)).alias("n_zero"),
+        sq.alias("sum_q"),
+        sq2.alias("sum_q2"),
+        (mean_q / _DIM_SCALE).alias("mean"),
+        (
+            (sq2.cast("double") / n - mean_q * mean_q)
+            / (float(_DIM_SCALE) * float(_DIM_SCALE))
+        ).alias("variance"),
+    )

@@ -321,3 +321,47 @@ def test_payload_dedup_store_audit_counts(spark, monkeypatch):
     assert (r.n_payloads, r.n_unique, r.n_dup_copies) == (3, 2, 1)
     assert r.bytes_total == 2 * len("same bytes") + len("uniq")
     assert r.bytes_reclaimable == len("same bytes")
+
+
+def test_dim_health_flags_collapsed_dimension(spark, monkeypatch):
+    """A dimension that is identically zero reports n_zero = n and
+    variance exactly 0.0; a symmetric ±2 dimension reports mean 0 and
+    variance exactly 4.0 (binary-exact quantization)."""
+    import mapreducegcp_spark.operators.similarity as sim_mod
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 2.0]), (2, [0.0, -2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    monkeypatch.setattr(sim_mod, "load_table", lambda spark, sf_dir, name: emb)
+    rows = {
+        r.dim: r
+        for r in all_queries()["embedding_dim_health"].fn(spark, "ignored").collect()
+    }
+    assert rows[0].n_zero == 2 and rows[0].variance == 0.0 and rows[0].mean == 0.0
+    assert rows[1].n_zero == 0 and rows[1].mean == 0.0 and rows[1].variance == 4.0
+
+
+def test_freshness_sla_verdicts(spark, monkeypatch):
+    """The stream holding the corpus head has lag 0 and passes; a
+    stream more than the SLA behind fails with the exact second lag."""
+    import datetime
+
+    import mapreducegcp_spark.operators.sampling as samp_mod
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, t0, 1, "live", 1.0, "{}"),
+            (2, t0 - datetime.timedelta(seconds=5000), 2, "stalled", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(samp_mod, "load_table", lambda spark, sf_dir, name: ev)
+    rows = {
+        r.event_type: r
+        for r in all_queries()["dq_freshness_sla"].fn(spark, "ignored").collect()
+    }
+    assert rows["live"].lag_seconds == 0 and rows["live"].within_sla
+    assert rows["stalled"].lag_seconds == 5000 and not rows["stalled"].within_sla

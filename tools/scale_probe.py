@@ -125,6 +125,26 @@ PROBES = {
     "search_proximity_window": {"documents": ["doc_id"]},
     "sample_neyman_allocation": {"documents": ["doc_id"]},
     "pipeline_tokenizer_dataset": {"documents": ["doc_id"]},
+    # round-4b operators. Every FK edge's child and parent keys offset
+    # together, so replication preserves zero-orphan integrity and the
+    # audit's cost scales with distinct-key volume — the production
+    # shape. dedup_simhash_eval is deliberately absent (pair-graph
+    # artifact under replication, same reasoning as dedup_lsh_eval).
+    # Replicated payloads make every digest 10x-duplicated, which only
+    # changes the audit's VALUES, not its two-rollup plan.
+    "dq_referential_integrity": {
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "customer": ["c_custkey", "c_nationkey"],
+        "supplier": ["s_suppkey", "s_nationkey"],
+        "part": ["p_partkey"],
+        "nation": ["n_nationkey", "n_regionkey"],
+        "region": ["r_regionkey"],
+    },
+    "quality_perplexity_buckets": {"documents": ["doc_id"]},
+    "sample_kcenter_coreset": {"embeddings": ["vec_id"]},
+    "multimodal_payload_dedup": {"documents": ["doc_id"]},
+    "bpe_fertility_stats": {"documents": ["doc_id"]},
 }
 
 
