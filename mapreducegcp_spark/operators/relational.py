@@ -1041,3 +1041,95 @@ def q_ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("last_order").alias("last_order"),
         )
     )
+
+
+# --------------------------------- revenue concentration (Pareto)
+
+_PARETO_BUCKETS = 10
+
+_PARETO_ORACLE = f"""
+WITH pc AS (
+  SELECT o_custkey,
+         CAST(sum(CAST({o_dec2('o_totalprice')} * 100 AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT cents,
+         SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum_cents,
+         NTILE({_PARETO_BUCKETS}) OVER (ORDER BY cents DESC, o_custkey)
+           AS decile
+  FROM pc
+),
+t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM pc)
+SELECT r.decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(r.cents) AS BIGINT) AS decile_cents,
+       CAST(max(r.cum_cents) AS BIGINT) AS cum_cents,
+       CAST(sum(r.cents) AS DOUBLE) / t.total AS share,
+       CAST(max(r.cum_cents) AS DOUBLE) / t.total AS cum_share
+FROM r CROSS JOIN t
+GROUP BY r.decile, t.total
+"""
+
+
+@register("customer_pareto_deciles", oracle=_PARETO_ORACLE, tags=("relational",))
+def q_customer_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) report: customers ranked by
+    lifetime spend, cut into deciles, each with its exact revenue
+    share and the cumulative share down the curve — the "do 20% of
+    customers carry 80% of revenue" answer, and for a training corpus
+    the same curve over sources answers "how head-heavy is my data".
+
+    Scale shape: per-customer cents (exact integers) roll up in ONE
+    map-side-combinable pass; the global descending rank AND running
+    revenue total come from the two-phase ``global_cumsum`` (range
+    exchange + per-partition offsets — NO single-partition window,
+    the ``order_global_rownum`` pattern); decile assignment is the
+    closed-form ``ntile_from_rownum`` arithmetic, checked here against
+    DuckDB's native NTILE — so the whole plan's widest operator
+    shuffles one row per customer. Shares are one IEEE division of
+    exact integers per decile row."""
+    from mapreducegcp_spark.operators.layout import global_cumsum, ntile_from_rownum
+
+    pc = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum((dec2("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    ranked = global_cumsum(
+        pc,
+        [F.col("cents").desc(), F.col("o_custkey").asc()],
+        "cents",
+        rn_out="rnk",
+        cum_out="cum_cents",
+    )
+    tot = pc.agg(
+        F.sum("cents").alias("total"), F.count("*").alias("n_cust")
+    )
+    decile = ntile_from_rownum(
+        F.col("rnk"), F.col("n_cust"), _PARETO_BUCKETS
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            decile.cast("long").alias("decile"),
+            "cents",
+            "cum_cents",
+            "total",
+        )
+        .groupBy("decile", "total")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("cents").alias("decile_cents"),
+            F.max("cum_cents").alias("cum_cents"),
+            (F.sum("cents").cast("double") / F.col("total")).alias("share"),
+            (F.max("cum_cents").cast("double") / F.col("total")).alias(
+                "cum_share"
+            ),
+        )
+        .drop("total")
+    )

@@ -1056,3 +1056,134 @@ def q_timeseries_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("revenue") - prev_rev) / prev_rev).alias("mom_growth"),
         ((F.col("revenue") - yr_rev) / yr_rev).alias("yoy_growth"),
     )
+
+
+# ------------------------------- Holt linear (double) smoothing
+
+_HOLT_ORACLE = f"""
+WITH RECURSIVE m AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+         {o_dsum(o_dec2('o_totalprice'))} AS y
+  FROM orders GROUP BY 1
+),
+mr AS (
+  SELECT ym, y, ROW_NUMBER() OVER (ORDER BY ym) AS rn FROM m
+),
+rec(rn, ym, y, level, trend, forecast) AS (
+  SELECT rn, ym, y, y, CAST(0.0 AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM mr WHERE rn = 1
+  UNION ALL
+  SELECT t.rn, t.ym, t.y, t.nl,
+         0.5 * (t.nl - t.level) + 0.5 * t.trend,
+         t.level + t.trend
+  FROM (
+    SELECT m2.rn, m2.ym, m2.y, r.level, r.trend,
+           0.5 * m2.y + 0.5 * (r.level + r.trend) AS nl
+    FROM rec r JOIN mr m2 ON m2.rn = r.rn + 1
+  ) t
+)
+SELECT ym, y AS revenue, level, trend, forecast FROM rec
+"""
+
+
+@register("timeseries_holt_smoothing", oracle=_HOLT_ORACLE, tags=("timeseries",))
+def q_timeseries_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing over the monthly revenue
+    series (alpha = beta = 0.5): per month the smoothed level, the
+    trend estimate, and the one-step-ahead forecast the model held
+    BEFORE seeing that month — the rolling-forecast baseline every
+    demand/capacity plan starts from, and the natural next step after
+    timeseries_monthly_growth's raw deltas.
+
+    Determinism: alpha = 0.5 makes every smoothing multiply an exact
+    halving (exponent decrement — no rounding), monthly revenue is the
+    decimal-exact sum cast once to double, and the recurrence is a
+    strict in-order fold over the (bounded, months-cardinality) series
+    — Spark folds a sorted struct array in ONE aggregate row, DuckDB
+    replays the identical expression tree in a recursive CTE, so
+    level/trend/forecast match bit-for-bit.
+
+    Scale shape: the corpus-sized work is the monthly rollup (map-side
+    combinable, one shuffle to months-cardinality); the fold itself is
+    a single-row higher-order ``aggregate`` over that bounded array —
+    the events_ewma_fold/sample_temperature bounded-state pattern.
+    State per step is (level, trend) + the output array; at
+    century-scale month counts this is still kilobytes."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("ym")
+        )
+        .agg(dsum(dec2("o_totalprice")).alias("y"))
+    )
+    row_t = "struct<ym:bigint,revenue:double,level:double,trend:double,forecast:double>"
+    acc_t = f"struct<level:double,trend:double,out:array<{row_t}>>"
+    folded = m.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("ym", "y"))),
+            F.expr(
+                f"cast(struct(0.0D, 0.0D, array()) as {acc_t})"
+            ),
+            lambda acc, x: F.when(
+                F.size(acc["out"]) == 0,
+                F.struct(
+                    x["y"].alias("level"),
+                    F.lit(0.0).alias("trend"),
+                    F.array(
+                        F.struct(
+                            x["ym"].alias("ym"),
+                            x["y"].alias("revenue"),
+                            x["y"].alias("level"),
+                            F.lit(0.0).alias("trend"),
+                            F.lit(None).cast("double").alias("forecast"),
+                        )
+                    ).alias("out"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (0.5 * x["y"] + 0.5 * (acc["level"] + acc["trend"])).alias(
+                        "level"
+                    ),
+                    (
+                        0.5
+                        * (
+                            (0.5 * x["y"] + 0.5 * (acc["level"] + acc["trend"]))
+                            - acc["level"]
+                        )
+                        + 0.5 * acc["trend"]
+                    ).alias("trend"),
+                    F.concat(
+                        acc["out"],
+                        F.array(
+                            F.struct(
+                                x["ym"].alias("ym"),
+                                x["y"].alias("revenue"),
+                                (
+                                    0.5 * x["y"]
+                                    + 0.5 * (acc["level"] + acc["trend"])
+                                ).alias("level"),
+                                (
+                                    0.5
+                                    * (
+                                        (
+                                            0.5 * x["y"]
+                                            + 0.5 * (acc["level"] + acc["trend"])
+                                        )
+                                        - acc["level"]
+                                    )
+                                    + 0.5 * acc["trend"]
+                                ).alias("trend"),
+                                (acc["level"] + acc["trend"]).alias("forecast"),
+                            )
+                        ),
+                    ).alias("out"),
+                )
+            ),
+            lambda acc: acc["out"],
+        ).alias("series")
+    )
+    return folded.select(F.explode("series").alias("r")).select(
+        "r.ym", "r.revenue", "r.level", "r.trend", "r.forecast"
+    )

@@ -365,3 +365,57 @@ def test_freshness_sla_verdicts(spark, monkeypatch):
     }
     assert rows["live"].lag_seconds == 0 and rows["live"].within_sla
     assert rows["stalled"].lag_seconds == 5000 and not rows["stalled"].within_sla
+
+
+def test_holt_two_point_series_exact(spark, monkeypatch):
+    """y = [4, 8]: month 1 seeds level=4, trend=0, no forecast; month 2
+    level = .5*8+.5*4 = 6, trend = .5*(6-4) = 1, forecast = 4 — all
+    binary-exact halvings."""
+    import datetime
+
+    import mapreducegcp_spark.operators.timeseries as ts_mod
+
+    orders = spark.createDataFrame(
+        [
+            (1, datetime.date(2020, 1, 10), 4.0),
+            (2, datetime.date(2020, 2, 10), 8.0),
+        ],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    )
+    monkeypatch.setattr(ts_mod, "load_table", lambda spark, sf_dir, name: orders)
+    rows = sorted(
+        all_queries()["timeseries_holt_smoothing"].fn(spark, "ignored").collect(),
+        key=lambda r: r.ym,
+    )
+    assert [r.revenue for r in rows] == [4.0, 8.0]
+    assert (rows[0].level, rows[0].trend, rows[0].forecast) == (4.0, 0.0, None)
+    assert (rows[1].level, rows[1].trend, rows[1].forecast) == (6.0, 1.0, 4.0)
+
+
+def test_pareto_four_customers_exact_shares(spark, monkeypatch):
+    """Four customers spending 40/30/20/10: with 10 buckets the first
+    four deciles hold one customer each and the cumulative share walks
+    0.4 -> 0.7 -> 0.9 -> 1.0 exactly."""
+    import datetime
+
+    import mapreducegcp_spark.operators.relational as rel_mod
+
+    d = datetime.date(2020, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (1, 101, d, 40.0),
+            (2, 102, d, 30.0),
+            (3, 103, d, 20.0),
+            (4, 104, d, 10.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double",
+    )
+    monkeypatch.setattr(rel_mod, "load_table", lambda spark, sf_dir, name: orders)
+    rows = sorted(
+        all_queries()["customer_pareto_deciles"].fn(spark, "ignored").collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == [1, 2, 3, 4]
+    assert all(r.n_customers == 1 for r in rows)
+    assert [r.share for r in rows] == [0.4, 0.3, 0.2, 0.1]
+    assert [r.cum_share for r in rows] == [0.4, 0.7, 0.9, 1.0]

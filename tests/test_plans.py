@@ -426,3 +426,26 @@ def test_referential_integrity_prunes_to_fk_column(spark):
     for cols in scans:
         names = [c.split(":")[0] for c in cols.split(",") if c]
         assert len(names) == 1, f"unpruned scan: {cols}"
+
+
+def test_pareto_deciles_no_datasized_window(spark):
+    """customer_pareto_deciles: rank and running revenue must come from
+    the two-phase global cumsum — the only window allowed is the
+    bounded pid-offset one, and the closed-form ntile arithmetic must
+    leave no NTILE window in the plan."""
+    tree, _ = _plans(spark, "customer_pareto_deciles")
+    assert "ntile" not in tree.lower(), tree[:2000]
+    lines = _window_lines(tree)
+    assert lines, "expected the pid-offsets window in the pareto plan"
+    for l in lines:
+        assert "pid#" in l, f"non-offset window in pareto plan: {l.strip()[:200]}"
+
+
+def test_holt_fold_is_bounded_state(spark):
+    """timeseries_holt_smoothing: the fold runs over ONE collected
+    months-cardinality array — the plan must be a two-exchange rollup
+    (month rollup + single-row collect), with no window and no join."""
+    tree, _ = _plans(spark, "timeseries_holt_smoothing")
+    assert _exchanges(tree) <= 2, tree[:2000]
+    assert "Window" not in tree, tree[:2000]
+    assert "Join" not in tree, tree[:2000]
