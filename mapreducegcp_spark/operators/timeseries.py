@@ -1187,3 +1187,122 @@ def q_timeseries_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(F.explode("series").alias("r")).select(
         "r.ym", "r.revenue", "r.level", "r.trend", "r.forecast"
     )
+
+
+# ------------------------------- CUSUM changepoint over daily means
+
+_CUSUM_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+dr AS (
+  SELECT day, n_events, cents,
+         (CAST(cents AS DOUBLE) / 10000) / n_events AS day_mean,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn
+  FROM d
+),
+g AS (
+  SELECT (CAST(sum(cents) AS DOUBLE) / 10000) / sum(n_events) AS gmean
+  FROM d
+),
+rec(rn, day, n_events, day_mean, cusum) AS (
+  SELECT dr.rn, dr.day, dr.n_events, dr.day_mean,
+         dr.day_mean - g.gmean
+  FROM dr CROSS JOIN g WHERE dr.rn = 1
+  UNION ALL
+  SELECT dr.rn, dr.day, dr.n_events, dr.day_mean,
+         r.cusum + (dr.day_mean - g.gmean)
+  FROM rec r
+  JOIN dr ON dr.rn = r.rn + 1
+  CROSS JOIN g
+),
+peak AS (
+  SELECT min(day) AS peak_day FROM rec
+  WHERE abs(cusum) = (SELECT max(abs(cusum)) FROM rec)
+)
+SELECT r.day, r.n_events, r.day_mean, r.cusum,
+       (r.day = p.peak_day) AS is_changepoint
+FROM rec r CROSS JOIN peak p
+"""
+
+
+@register("events_cusum_changepoint", oracle=_CUSUM_ORACLE, tags=("timeseries",))
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily event-value series: per
+    day the cumulative sum of (day mean - corpus mean), and a flag on
+    the day where |CUSUM| peaks — the classic Page-style estimate of
+    WHERE a level shift happened. dq_distribution_drift answers "did
+    the distribution move between two slices"; this answers "on which
+    day did the stream's level break", the question an on-call
+    engineer actually asks.
+
+    Determinism composition: day sums are exact DECIMAL(18,4) lifted
+    to integer ten-thousandths, means are a fixed two-step IEEE
+    division, the CUSUM recurrence is a strict in-order fold over the
+    bounded daily series (Spark: one-row higher-order aggregate;
+    DuckDB: recursive CTE replaying the identical expression tree),
+    and the peak is argmax with a min-day tiebreak — bit-identical end
+    to end. Scale: the corpus-sized stage is one map-side-combinable
+    daily rollup; everything after is days-cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("value").cast("decimal(18,4)") * 10000).cast("long")).alias(
+            "cents"
+        ),
+    )
+    day_mean = (F.col("cents").cast("double") / 10000) / F.col("n_events")
+    dr = d.select("day", "n_events", day_mean.alias("day_mean"))
+    g = d.agg(
+        ((F.sum("cents").cast("double") / 10000) / F.sum("n_events")).alias(
+            "gmean"
+        )
+    )
+    row_t = "struct<day:string,n_events:bigint,day_mean:double,cusum:double>"
+    acc_t = f"struct<s:double,out:array<{row_t}>>"
+    folded = dr.crossJoin(F.broadcast(g)).agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("day", "n_events", "day_mean", "gmean")
+                )
+            ),
+            F.expr(f"cast(struct(0.0D, array()) as {acc_t})"),
+            lambda acc, x: F.struct(
+                (acc["s"] + (x["day_mean"] - x["gmean"])).alias("s"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            x["day"].alias("day"),
+                            x["n_events"].alias("n_events"),
+                            x["day_mean"].alias("day_mean"),
+                            (acc["s"] + (x["day_mean"] - x["gmean"])).alias(
+                                "cusum"
+                            ),
+                        )
+                    ),
+                ).alias("out"),
+            ),
+            lambda acc: acc["out"],
+        ).alias("series")
+    )
+    rows = folded.select(F.explode("series").alias("r")).select(
+        "r.day", "r.n_events", "r.day_mean", "r.cusum"
+    ).localCheckpoint(eager=False)
+    maxabs = rows.agg(F.max(F.abs("cusum")).alias("maxabs"))
+    peak = (
+        rows.crossJoin(F.broadcast(maxabs))
+        .where(F.abs(F.col("cusum")) == F.col("maxabs"))
+        .agg(F.min("day").alias("peak_day"))
+    )
+    return rows.crossJoin(F.broadcast(peak)).select(
+        "day",
+        "n_events",
+        "day_mean",
+        "cusum",
+        (F.col("day") == F.col("peak_day")).alias("is_changepoint"),
+    )

@@ -419,3 +419,34 @@ def test_pareto_four_customers_exact_shares(spark, monkeypatch):
     assert all(r.n_customers == 1 for r in rows)
     assert [r.share for r in rows] == [0.4, 0.3, 0.2, 0.1]
     assert [r.cum_share for r in rows] == [0.4, 0.7, 0.9, 1.0]
+
+
+def test_cusum_flags_the_level_shift_day(spark, monkeypatch):
+    """Three days at 0 then three at 10: gmean = 5, CUSUM walks
+    -5,-10,-15,-10,-5,0 — the |peak| sits on the last day of the old
+    level (the classic CUSUM changepoint estimate)."""
+    import datetime
+
+    import mapreducegcp_spark.operators.timeseries as ts_mod
+
+    rows = []
+    for d in range(6):
+        val = 0.0 if d < 3 else 10.0
+        rows.append(
+            (d, datetime.datetime(2024, 3, 1 + d, 12, 0, 0), 1, "t", val, "{}")
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(ts_mod, "load_table", lambda spark, sf_dir, name: ev)
+    out = {
+        r.day: r
+        for r in all_queries()["events_cusum_changepoint"].fn(spark, "ignored").collect()
+    }
+    assert [out[f"2024-03-0{d+1}"].cusum for d in range(6)] == [
+        -5.0, -10.0, -15.0, -10.0, -5.0, 0.0,
+    ]
+    flags = [d for d, r in out.items() if r.is_changepoint]
+    assert flags == ["2024-03-03"]
