@@ -1111,15 +1111,17 @@ def q_dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------ LSH vs exact: precision / recall
 
-def _lsh_eval_oracle() -> str:
-    return f"""
-WITH truth AS (SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE.strip()})),
-est AS (SELECT doc_a, doc_b FROM ({_minhash_oracle().strip()})),
-j AS (
-  SELECT coalesce(t.doc_a, e.doc_a) AS doc_a,
-         (t.doc_a IS NOT NULL) AS in_truth,
+def _pair_eval_tail_oracle(est_table: str = "est") -> str:
+    """The shared tail of every pair-set evaluation oracle: the
+    full-outer-join membership CTE over ``truth`` and ``est_table``
+    plus the tp/fp/fn/precision/recall rollup. The empty-denominator
+    CASE guard (Spark x/0 yields NULL; DuckDB's IEEE behavior is
+    version-dependent) lives ONLY here — lsh_eval and simhash_eval
+    both append this after their own pair-set CTEs."""
+    return f"""j AS (
+  SELECT (t.doc_a IS NOT NULL) AS in_truth,
          (e.doc_a IS NOT NULL) AS in_est
-  FROM truth t FULL OUTER JOIN est e
+  FROM truth t FULL OUTER JOIN {est_table} e
     ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
 )
 SELECT CAST(sum(CASE WHEN in_truth AND in_est THEN 1 ELSE 0 END) AS BIGINT) AS tp,
@@ -1135,6 +1137,42 @@ SELECT CAST(sum(CASE WHEN in_truth AND in_est THEN 1 ELSE 0 END) AS BIGINT) AS t
             ELSE NULL END AS recall
 FROM j
 """
+
+
+def pair_set_eval(truth: DataFrame, est: DataFrame) -> DataFrame:
+    """Confusion-matrix rollup over two (doc_a, doc_b) pair sets —
+    tp / fp / fn / precision / recall as ONE full-outer-join + agg,
+    O(pairs). Explicit NULL on empty denominators: Spark's x/0 yields
+    NULL but DuckDB's IEEE double division is version-dependent
+    (NaN/inf), so the when/CASE pins both engines to NULL on
+    degenerate corpora. Mirrors ``_pair_eval_tail_oracle`` — a fix to
+    either side's null/zero handling belongs in this pair of helpers,
+    nowhere else."""
+    t = truth.select("doc_a", "doc_b").withColumn("in_truth", F.lit(True))
+    e = est.select("doc_a", "doc_b").withColumn("in_est", F.lit(True))
+    j = t.join(e, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce(F.col("in_truth"), F.lit(False)).alias("in_truth"),
+        F.coalesce(F.col("in_est"), F.lit(False)).alias("in_est"),
+    )
+    tp = F.sum(F.when(F.col("in_truth") & F.col("in_est"), 1).otherwise(0))
+    fp = F.sum(F.when(F.col("in_est") & ~F.col("in_truth"), 1).otherwise(0))
+    fn = F.sum(F.when(F.col("in_truth") & ~F.col("in_est"), 1).otherwise(0))
+    n_est = F.sum(F.when(F.col("in_est"), 1).otherwise(0))
+    n_truth = F.sum(F.when(F.col("in_truth"), 1).otherwise(0))
+    return j.agg(
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        F.when(n_est > 0, tp.cast("double") / n_est).alias("precision"),
+        F.when(n_truth > 0, tp.cast("double") / n_truth).alias("recall"),
+    )
+
+
+def _lsh_eval_oracle() -> str:
+    return f"""
+WITH truth AS (SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE.strip()})),
+est AS (SELECT doc_a, doc_b FROM ({_minhash_oracle().strip()})),
+{_pair_eval_tail_oracle("est")}"""
 
 
 @register("dedup_lsh_eval", oracle=_lsh_eval_oracle(), tags=("llm-pipeline",))
@@ -1158,27 +1196,7 @@ def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared = _doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
     truth = jaccard_pair_graph(spark, sf_dir, shared)
     est = q_dedup_minhash_lsh(spark, sf_dir, shared).select("doc_a", "doc_b")
-    t = truth.withColumn("in_truth", F.lit(True))
-    e = est.withColumn("in_est", F.lit(True))
-    j = t.join(e, ["doc_a", "doc_b"], "full_outer").select(
-        F.coalesce(F.col("in_truth"), F.lit(False)).alias("in_truth"),
-        F.coalesce(F.col("in_est"), F.lit(False)).alias("in_est"),
-    )
-    tp = F.sum(F.when(F.col("in_truth") & F.col("in_est"), 1).otherwise(0))
-    fp = F.sum(F.when(F.col("in_est") & ~F.col("in_truth"), 1).otherwise(0))
-    fn = F.sum(F.when(F.col("in_truth") & ~F.col("in_est"), 1).otherwise(0))
-    n_est = F.sum(F.when(F.col("in_est"), 1).otherwise(0))
-    n_truth = F.sum(F.when(F.col("in_truth"), 1).otherwise(0))
-    # Explicit NULL on empty denominators: Spark's x/0 yields NULL but
-    # DuckDB's IEEE double division is version-dependent (NaN/inf) —
-    # the when/CASE pins both engines to NULL on degenerate corpora.
-    return j.agg(
-        tp.alias("tp"),
-        fp.alias("fp"),
-        fn.alias("fn"),
-        F.when(n_est > 0, tp.cast("double") / n_est).alias("precision"),
-        F.when(n_truth > 0, tp.cast("double") / n_truth).alias("recall"),
-    )
+    return pair_set_eval(truth, est)
 
 
 # ---------------------------- SimHash banding vs exact: precision / recall
@@ -1221,25 +1239,7 @@ def _simhash_eval_oracle() -> str:
     return f"""
 WITH {_simhash_pairs_oracle().strip().lstrip()},
 truth AS (SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE.strip()})),
-j AS (
-  SELECT (t.doc_a IS NOT NULL) AS in_truth,
-         (e.doc_a IS NOT NULL) AS in_est
-  FROM truth t FULL OUTER JOIN spairs e
-    ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
-)
-SELECT CAST(sum(CASE WHEN in_truth AND in_est THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-       CAST(sum(CASE WHEN in_est AND NOT in_truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-       CAST(sum(CASE WHEN in_truth AND NOT in_est THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-       CASE WHEN sum(CASE WHEN in_est THEN 1 ELSE 0 END) > 0
-            THEN CAST(sum(CASE WHEN in_truth AND in_est THEN 1 ELSE 0 END) AS DOUBLE)
-                   / sum(CASE WHEN in_est THEN 1 ELSE 0 END)
-            ELSE NULL END AS precision,
-       CASE WHEN sum(CASE WHEN in_truth THEN 1 ELSE 0 END) > 0
-            THEN CAST(sum(CASE WHEN in_truth AND in_est THEN 1 ELSE 0 END) AS DOUBLE)
-                   / sum(CASE WHEN in_truth THEN 1 ELSE 0 END)
-            ELSE NULL END AS recall
-FROM j
-"""
+{_pair_eval_tail_oracle("spairs")}"""
 
 
 @register("dedup_simhash_eval", oracle=_simhash_eval_oracle(), tags=("llm-pipeline",))
@@ -1300,24 +1300,7 @@ def q_dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     truth = jaccard_pair_graph(spark, sf_dir)
-    t = truth.withColumn("in_truth", F.lit(True))
-    e = est.withColumn("in_est", F.lit(True))
-    j = t.join(e, ["doc_a", "doc_b"], "full_outer").select(
-        F.coalesce(F.col("in_truth"), F.lit(False)).alias("in_truth"),
-        F.coalesce(F.col("in_est"), F.lit(False)).alias("in_est"),
-    )
-    tp = F.sum(F.when(F.col("in_truth") & F.col("in_est"), 1).otherwise(0))
-    fp = F.sum(F.when(F.col("in_est") & ~F.col("in_truth"), 1).otherwise(0))
-    fn = F.sum(F.when(F.col("in_truth") & ~F.col("in_est"), 1).otherwise(0))
-    n_est = F.sum(F.when(F.col("in_est"), 1).otherwise(0))
-    n_truth = F.sum(F.when(F.col("in_truth"), 1).otherwise(0))
-    return j.agg(
-        tp.alias("tp"),
-        fp.alias("fp"),
-        fn.alias("fn"),
-        F.when(n_est > 0, tp.cast("double") / n_est).alias("precision"),
-        F.when(n_truth > 0, tp.cast("double") / n_truth).alias("recall"),
-    )
+    return pair_set_eval(truth, est)
 
 
 q_dedup_simhash_eval.__doc__ = q_dedup_simhash_eval.__doc__.format(

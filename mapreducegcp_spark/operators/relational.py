@@ -1093,12 +1093,15 @@ def q_customer_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers per decile row."""
     from mapreducegcp_spark.operators.layout import global_cumsum, ntile_from_rownum
 
+    # `pc` feeds both the two-phase cumsum and the totals agg; the lazy
+    # checkpoint pins the orders scan + per-customer rollup to run once.
     pc = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
             F.sum((dec2("o_totalprice") * 100).cast("long")).alias("cents")
         )
+        .localCheckpoint(eager=False)
     )
     ranked = global_cumsum(
         pc,

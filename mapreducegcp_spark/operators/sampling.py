@@ -746,7 +746,7 @@ def _kcenter_oracle() -> str:
         p = i - 1
         parts.append(
             f"""c{i} AS (
-  SELECT vec_id, embedding, dmin FROM d{p}
+  SELECT vec_id, embedding, dmin FROM d{p} WHERE dmin > 0
   ORDER BY dmin DESC, vec_id LIMIT 1
 )"""
         )
@@ -784,8 +784,13 @@ def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored dmin — never a k-way distance matrix, never a shuffle; the
     round's argmax is a TakeOrdered reduction. State between rounds is
     lazily checkpointed so round r doesn't replay rounds 1..r-1.
-    Squared-L2 is a fixed-order fold (functions/vectors.py convention),
-    so the DuckDB chained-CTE replay is bit-identical, ties and all."""
+    Selection stops early when no candidate has dmin > 0 — an empty
+    table yields 0 rows and n < k (or all-duplicate) inputs yield
+    min(k, distinct-point) centers instead of re-selecting a covered
+    point; the oracle's WHERE dmin > 0 collapses its CTE chain at the
+    same round, so both engines stop identically. Squared-L2 is a
+    fixed-order fold (functions/vectors.py convention), so the DuckDB
+    chained-CTE replay is bit-identical, ties and all."""
     from mapreducegcp_spark.functions.vectors import _c as _vc
 
     def d2(a, center_vals: list[float]) -> F.Column:
@@ -796,14 +801,26 @@ def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
+    schema = "sel_order long, vec_id long, cover_radius_sq double"
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    seeds = emb.orderBy("vec_id").limit(1).collect()
+    if not seeds:
+        return spark.createDataFrame([], schema)
+    seed = seeds[0]
     out = [(1, int(seed["vec_id"]), None)]
     state = emb.select(
         "vec_id", "embedding", d2("embedding", seed["embedding"]).alias("dmin")
     ).localCheckpoint(eager=False)
     for i in range(2, _KCENTER_K + 1):
-        far = state.orderBy(F.desc("dmin"), F.asc("vec_id")).limit(1).collect()[0]
+        fars = (
+            state.where(F.col("dmin") > 0)
+            .orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not fars:
+            break
+        far = fars[0]
         out.append((i, int(far["vec_id"]), float(far["dmin"])))
         if i < _KCENTER_K:
             state = state.select(
@@ -811,9 +828,7 @@ def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "embedding",
                 F.least("dmin", d2("embedding", far["embedding"])).alias("dmin"),
             ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        out, "sel_order long, vec_id long, cover_radius_sq double"
-    )
+    return spark.createDataFrame(out, schema)
 
 
 q_sample_kcenter_coreset.__doc__ = q_sample_kcenter_coreset.__doc__.format(
@@ -858,10 +873,13 @@ def q_dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type keys), the corpus head is a 1-row broadcast, output
     rows = streams."""
     ev = load_table(spark, sf_dir, "events")
+    # One corpus scan: the head is max(latest) over the stream-sized
+    # rollup, not a second scan of events; the lazy checkpoint keeps
+    # the rollup from recomputing for its two consumers.
     per = ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"), F.max("ts").alias("latest")
-    )
-    ref = ev.agg(F.max("ts").alias("head"))
+    ).localCheckpoint(eager=False)
+    ref = per.agg(F.max("latest").alias("head"))
     lag = F.unix_timestamp("head") - F.unix_timestamp("latest")
     return per.crossJoin(F.broadcast(ref)).select(
         "event_type",

@@ -1106,21 +1106,56 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_bpe_train_merges.__doc__ = q_bpe_train_merges.__doc__.format(N=_BPE_TRAIN_ROUNDS)
 
 
-def _bpe_encode_oracle() -> str:
-    """DuckDB mirror of bpe_encode_corpus: learn the same merges with
-    the trainer chain (over the vocabulary), then join each document's
-    tokens to the encoded-vocab lengths and roll up per doc."""
+def _bpe_encoded_chain_oracle(doc_words_cols: str = "doc_id") -> str:
+    """The shared WITH-prefix of every learned-BPE oracle: the
+    trainer's recursive-CTE chain up to ``syms{{N}}`` (final SELECT
+    stripped — the ``rindex`` anchor lives ONLY here), an ``encoded``
+    CTE of per-word symbol counts, and a ``doc_words`` CTE exploding
+    each document's tokens alongside ``doc_words_cols``. Consumers
+    (encode, fertility, tokenizer-dataset) append their own final
+    SELECT over ``doc_words JOIN encoded``."""
     toks = TOKEN_ORACLE_EXPR.format(col="text")
     trainer = _bpe_train_oracle()
-    # reuse the trainer's CTE chain up to syms{N}; strip its final SELECT
     chain = trainer[: trainer.rindex("SELECT CAST(1 AS BIGINT)")].rstrip().rstrip(",")
     n = _BPE_TRAIN_ROUNDS
     return f"""{chain},
 encoded AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms FROM syms{n}),
 doc_words AS (
-  SELECT doc_id, unnest(list_filter({toks}, t -> t <> '')) AS word
+  SELECT {doc_words_cols}, unnest(list_filter({toks}, t -> t <> '')) AS word
   FROM documents
-)
+)"""
+
+
+def _encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, n_syms) over the DISTINCT-WORD vocabulary under the
+    learned BPE merges: train the merges (vocab-sized driver loop),
+    then fold ALL of them into one chained higher-order projection —
+    the shared Spark-side prefix of encode/fertility/tokenizer-dataset.
+    Map-only over the Heaps'-law-small vocab; never touches doc text."""
+    merges = [
+        (r["left_sym"], r["right_sym"], r["merged"])
+        for r in q_bpe_train_merges(spark, sf_dir).collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(F.explode(tokens("text")).alias("word")).distinct()
+    syms_expr = "filter(split(word, ''), x -> x <> '')"
+    for left, right, merged in merges:
+        syms_expr = (
+            f"aggregate({syms_expr}, cast(array() as array<string>), (acc, x) -> "
+            f"if(size(acc) > 0 and element_at(acc, -1) = '{left}' and x = '{right}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{merged}')), "
+            "concat(acc, array(x))))"
+        )
+    return vocab.select(
+        "word", F.size(F.expr(syms_expr)).cast("long").alias("n_syms")
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    """DuckDB mirror of bpe_encode_corpus: learn the same merges with
+    the trainer chain (over the vocabulary), then join each document's
+    tokens to the encoded-vocab lengths and roll up per doc."""
+    return f"""{_bpe_encoded_chain_oracle()}
 SELECT d.doc_id,
        CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(e.n_syms) AS BIGINT) AS n_bpe_symbols
@@ -1146,26 +1181,8 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + one rollup keyed by doc_id. The DuckDB oracle re-learns
     the merges with the trainer's recursive-CTE chain, so the whole
     train-then-encode path is value-hash-checked."""
-    # learn the merges (vocab-sized driver loop, same as bpe_train_merges)
-    merges = [
-        (r["left_sym"], r["right_sym"], r["merged"])
-        for r in q_bpe_train_merges(spark, sf_dir).collect()
-    ]
+    encoded = _encoded_vocab(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    vocab = (
-        docs.select(F.explode(tokens("text")).alias("word")).distinct()
-    )
-    syms_expr = "filter(split(word, ''), x -> x <> '')"
-    for left, right, merged in merges:
-        syms_expr = (
-            f"aggregate({syms_expr}, cast(array() as array<string>), (acc, x) -> "
-            f"if(size(acc) > 0 and element_at(acc, -1) = '{left}' and x = '{right}', "
-            f"concat(slice(acc, 1, size(acc) - 1), array('{merged}')), "
-            "concat(acc, array(x))))"
-        )
-    encoded = vocab.select(
-        "word", F.size(F.expr(syms_expr)).cast("long").alias("n_syms")
-    )
     doc_words = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
     # no broadcast HINT: at test scale the tiny vocab auto-broadcasts
     # under the threshold anyway, and at billions of types a forced
@@ -1315,16 +1332,7 @@ q_search_proximity_window.__doc__ = q_search_proximity_window.__doc__.format(
 def _bpe_fertility_oracle() -> str:
     """Reuse the trainer's recursive-CTE chain (same merges), then roll
     the encoded-vocab symbol counts up per SOURCE instead of per doc."""
-    toks = TOKEN_ORACLE_EXPR.format(col="text")
-    trainer = _bpe_train_oracle()
-    chain = trainer[: trainer.rindex("SELECT CAST(1 AS BIGINT)")].rstrip().rstrip(",")
-    n = _BPE_TRAIN_ROUNDS
-    return f"""{chain},
-encoded AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms FROM syms{n}),
-doc_words AS (
-  SELECT doc_id, source, unnest(list_filter({toks}, t -> t <> '')) AS word
-  FROM documents
-)
+    return f"""{_bpe_encoded_chain_oracle("doc_id, source")}
 SELECT d.source,
        CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_words,
@@ -1354,23 +1362,8 @@ def q_bpe_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final rollup keys on source — output rows = |sources|.
     Ratios are one IEEE double division over exact BIGINT sums, so the
     DuckDB replay (same recursive-CTE merge chain) is bit-identical."""
-    merges = [
-        (r["left_sym"], r["right_sym"], r["merged"])
-        for r in q_bpe_train_merges(spark, sf_dir).collect()
-    ]
+    encoded = _encoded_vocab(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    vocab = docs.select(F.explode(tokens("text")).alias("word")).distinct()
-    syms_expr = "filter(split(word, ''), x -> x <> '')"
-    for left, right, merged in merges:
-        syms_expr = (
-            f"aggregate({syms_expr}, cast(array() as array<string>), (acc, x) -> "
-            f"if(size(acc) > 0 and element_at(acc, -1) = '{left}' and x = '{right}', "
-            f"concat(slice(acc, 1, size(acc) - 1), array('{merged}')), "
-            "concat(acc, array(x))))"
-        )
-    encoded = vocab.select(
-        "word", F.size(F.expr(syms_expr)).cast("long").alias("n_syms")
-    )
     doc_words = docs.select(
         "doc_id", "source", F.explode(tokens("text")).alias("word")
     )

@@ -1248,12 +1248,16 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     to end. Scale: the corpus-sized stage is one map-side-combinable
     daily rollup; everything after is days-cardinality."""
     ev = load_table(spark, sf_dir, "events")
+    # `d` feeds BOTH the per-day series and the global mean; Catalyst
+    # does not share subtrees, so without the lazy checkpoint the
+    # corpus-sized daily rollup would scan events twice — the lazy
+    # localCheckpoint materializes it once at the single final action.
     d = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
         F.count("*").alias("n_events"),
         F.sum((F.col("value").cast("decimal(18,4)") * 10000).cast("long")).alias(
             "cents"
         ),
-    )
+    ).localCheckpoint(eager=False)
     day_mean = (F.col("cents").cast("double") / 10000) / F.col("n_events")
     dr = d.select("day", "n_events", day_mean.alias("day_mean"))
     g = d.agg(

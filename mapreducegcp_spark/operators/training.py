@@ -779,20 +779,9 @@ def q_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _tokenizer_dataset_oracle() -> str:
     """Trainer chain -> encoded vocab -> per-doc symbol counts ->
     budget packing, as one DuckDB statement mirroring the Spark DAG."""
-    from mapreducegcp_spark.operators.textstats import (
-        _BPE_TRAIN_ROUNDS,
-        _bpe_train_oracle,
-    )
+    from mapreducegcp_spark.operators.textstats import _bpe_encoded_chain_oracle
 
-    trainer = _bpe_train_oracle()
-    chain = trainer[: trainer.rindex("SELECT CAST(1 AS BIGINT)")].rstrip().rstrip(",")
-    n = _BPE_TRAIN_ROUNDS
-    return f"""{chain},
-encoded AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms FROM syms{n}),
-doc_words AS (
-  SELECT doc_id, unnest(list_filter({_TOKS}, t -> t <> '')) AS word
-  FROM documents
-),
+    return f"""{_bpe_encoded_chain_oracle()},
 enc AS (
   SELECT d.doc_id, CAST(sum(e.n_syms) AS BIGINT) AS n_bpe_symbols
   FROM doc_words d JOIN encoded e ON d.word = e.word

@@ -251,6 +251,32 @@ def test_kcenter_farthest_first_and_radius_curve(spark, monkeypatch):
     assert rows[2].cover_radius_sq == 1.0
 
 
+def test_kcenter_stops_at_distinct_points_and_empty_input(spark, monkeypatch):
+    """With k=5 but only 3 points — two of them duplicates — selection
+    stops once every point is covered (no re-selected centers, no
+    zero-radius rows), and an empty table yields 0 rows instead of
+    crashing (the oracle's empty-CTE chain collapses the same way)."""
+    import mapreducegcp_spark.operators.sampling as samp_mod
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 0.0]), (3, [3.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    monkeypatch.setattr(samp_mod, "load_table", lambda spark, sf_dir, name: emb)
+    monkeypatch.setattr(samp_mod, "_KCENTER_K", 5)
+    rows = sorted(
+        all_queries()["sample_kcenter_coreset"].fn(spark, "ignored").collect(),
+        key=lambda r: r.sel_order,
+    )
+    # seed=1, then 2 (d2=9); 3 duplicates 2 so dmin=0 — never selected
+    assert [r.vec_id for r in rows] == [1, 2]
+    assert len({r.vec_id for r in rows}) == len(rows)
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    monkeypatch.setattr(samp_mod, "load_table", lambda spark, sf_dir, name: empty)
+    assert all_queries()["sample_kcenter_coreset"].fn(spark, "ignored").count() == 0
+
+
 def test_perplexity_buckets_rank_by_rarity(spark, monkeypatch):
     """Docs made of common tokens must land in a lower (more fluent)
     bucket than the doc built from corpus-rare tokens, and a
