@@ -1189,15 +1189,44 @@ def q_timeseries_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------- CUSUM changepoint over daily means
+# --------------------------- shared daily rollup (exact integer units)
 
-_CUSUM_ORACLE = """
-WITH RECURSIVE d AS (
+# The ONE corpus-sized stage of every daily-series operator below
+# (CUSUM, ACF, weekday seasonal, Theil-Sen): value sums lifted to
+# exact integer ten-thousandths so the rollup is map-side-combinable
+# and engine-portable; day means are a fixed two-step IEEE division.
+_DAILY_CTE = """d AS (
   SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
          CAST(count(*) AS BIGINT) AS n_events,
          CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS cents
   FROM events GROUP BY 1
-),
+)"""
+
+
+def _daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, n_events, cents) over events — the Spark mirror of
+    ``_DAILY_CTE``."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            (F.col("value").cast("decimal(18,4)") * 10000).cast("long")
+        ).alias("cents"),
+    )
+
+
+# day_mean as the fixed two-step division both engines replay
+def _day_mean() -> F.Column:
+    return (F.col("cents").cast("double") / 10000) / F.col("n_events")
+
+
+_DAY_MEAN_SQL = "(CAST(cents AS DOUBLE) / 10000) / n_events"
+
+
+# ------------------------------- CUSUM changepoint over daily means
+
+_CUSUM_ORACLE = f"""
+WITH RECURSIVE {_DAILY_CTE},
 dr AS (
   SELECT day, n_events, cents,
          (CAST(cents AS DOUBLE) / 10000) / n_events AS day_mean,
@@ -1247,19 +1276,12 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the peak is argmax with a min-day tiebreak — bit-identical end
     to end. Scale: the corpus-sized stage is one map-side-combinable
     daily rollup; everything after is days-cardinality."""
-    ev = load_table(spark, sf_dir, "events")
     # `d` feeds BOTH the per-day series and the global mean; Catalyst
     # does not share subtrees, so without the lazy checkpoint the
     # corpus-sized daily rollup would scan events twice — the lazy
     # localCheckpoint materializes it once at the single final action.
-    d = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
-        F.count("*").alias("n_events"),
-        F.sum((F.col("value").cast("decimal(18,4)") * 10000).cast("long")).alias(
-            "cents"
-        ),
-    ).localCheckpoint(eager=False)
-    day_mean = (F.col("cents").cast("double") / 10000) / F.col("n_events")
-    dr = d.select("day", "n_events", day_mean.alias("day_mean"))
+    d = _daily_rollup(spark, sf_dir).localCheckpoint(eager=False)
+    dr = d.select("day", "n_events", _day_mean().alias("day_mean"))
     g = d.agg(
         ((F.sum("cents").cast("double") / 10000) / F.sum("n_events")).alias(
             "gmean"
@@ -1309,4 +1331,256 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_mean",
         "cusum",
         (F.col("day") == F.col("peak_day")).alias("is_changepoint"),
+    )
+
+
+# ----------------------- autocorrelation of the daily value series
+
+_ACF_MAX_LAG = 7
+
+_ACF_ORACLE = f"""
+WITH {_DAILY_CTE},
+ser AS (
+  SELECT list_transform(
+           list_sort(list(struct_pack(day := day, dm := {_DAY_MEAN_SQL}))),
+           a -> a.dm) AS xs
+  FROM d
+),
+st AS (
+  SELECT xs, len(xs) AS n,
+         list_reduce(list_prepend(0.0::DOUBLE, xs), (acc, x) -> acc + x)
+           / len(xs) AS m
+  FROM ser
+),
+dev AS (
+  SELECT xs, n, m,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(xs, x -> (x - m) * (x - m))),
+           (acc, x) -> acc + x) AS den
+  FROM st
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(n - lag AS BIGINT) AS n_pairs,
+       CASE WHEN den > 0 THEN
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(range(1, n - lag + 1),
+             i -> (xs[i] - m) * (xs[i + lag] - m))),
+           (acc, x) -> acc + x) / den
+       ELSE NULL END AS acf
+FROM dev, unnest(range(1, {_ACF_MAX_LAG} + 1)) AS t(lag)
+WHERE lag < n
+"""
+
+
+@register("timeseries_autocorrelation", oracle=_ACF_ORACLE, tags=("timeseries",))
+def q_timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily mean-value series at lags
+    1..{L} — the first question about any metric series ("is
+    yesterday predictive of today? is there a weekly echo?") and the
+    diagnostic that decides between the EWMA/Holt smoothers and a
+    seasonal model. ACF is positional over the observed ordered daily
+    series (standard practice; calendar gaps collapse).
+
+    Determinism: the whole series (days-cardinality, calendar-bounded)
+    folds in ONE sorted-array higher-order aggregate — mean, variance
+    and every lagged covariance are strict in-order left folds with an
+    explicit 0.0 init, mirrored by DuckDB ``list_reduce(list_prepend
+    (0.0, ...))``, so the doubles are bit-identical. NULL acf (not a
+    division blowup) on a constant series. Scale: the corpus-sized
+    stage is the one map-side-combinable daily rollup; everything
+    after is a single row of bounded arrays."""
+    d = _daily_rollup(spark, sf_dir)
+    ser = d.select("day", _day_mean().alias("dm")).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, dm))), a -> a.dm)"
+        ).alias("xs")
+    )
+    st = ser.select(
+        "xs",
+        F.size("xs").alias("n"),
+        (
+            F.expr("aggregate(xs, 0.0D, (acc, x) -> acc + x)") / F.size("xs")
+        ).alias("m"),
+    )
+    dev = st.select(
+        "xs",
+        "n",
+        "m",
+        F.expr(
+            "aggregate(transform(xs, x -> (x - m) * (x - m)), 0.0D,"
+            " (acc, x) -> acc + x)"
+        ).alias("den"),
+    )
+    lags = dev.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))).alias("lag")
+    ).where(F.col("lag") < F.col("n"))
+    num = F.expr(
+        "aggregate(transform(sequence(1, n - lag),"
+        " i -> (element_at(xs, i) - m) * (element_at(xs, i + lag) - m)),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+    return lags.select(
+        F.col("lag").cast("long").alias("lag"),
+        (F.col("n") - F.col("lag")).cast("long").alias("n_pairs"),
+        F.when(F.col("den") > 0, num / F.col("den")).alias("acf"),
+    )
+
+
+q_timeseries_autocorrelation.__doc__ = q_timeseries_autocorrelation.__doc__.format(
+    L=_ACF_MAX_LAG
+)
+
+
+# --------------------------- weekday seasonal profile of daily means
+
+_SEASONAL_ORACLE = f"""
+WITH {_DAILY_CTE},
+dr AS (SELECT day, {_DAY_MEAN_SQL} AS dm FROM d),
+g AS (
+  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_sort(list(struct_pack(day := day, dm := dm))),
+                          a -> a.dm)), (acc, x) -> acc + x)
+           / count(*) AS gmean
+  FROM dr
+),
+wd AS (
+  SELECT CAST(dayofweek(CAST(day AS DATE)) AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n_days,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_sort(list(struct_pack(day := day, dm := dm))),
+                          a -> a.dm)), (acc, x) -> acc + x)
+           / count(*) AS weekday_mean
+  FROM dr GROUP BY 1
+)
+SELECT w.dow, w.n_days, w.weekday_mean, g.gmean AS global_mean,
+       w.weekday_mean - g.gmean AS seasonal_index,
+       CASE WHEN g.gmean <> 0 THEN w.weekday_mean / g.gmean
+            ELSE NULL END AS seasonal_ratio
+FROM wd w CROSS JOIN g
+"""
+
+
+def _ordered_mean_fold() -> F.Column:
+    # mean of day means as a strict day-ordered left fold (0.0 init),
+    # the bit-identical mirror of the oracle's list_reduce/list_prepend
+    return F.expr(
+        "aggregate(transform(array_sort(collect_list(struct(day, dm))),"
+        " a -> a.dm), 0.0D, (acc, x) -> acc + x)"
+    ) / F.count("*")
+
+
+@register("timeseries_weekday_seasonal", oracle=_SEASONAL_ORACLE, tags=("timeseries",))
+def q_timeseries_weekday_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal profile of the daily mean-value series: per
+    day-of-week (0=Sunday..6, both engines' convention after Spark's
+    ``dayofweek - 1``), the mean of that weekday's day-means, its
+    additive seasonal index against the global day-mean, and the
+    multiplicative ratio — the decomposition behind "traffic is 20%
+    low on Sundays", and the seasonal adjustment a forecaster divides
+    out before trend-fitting.
+
+    Determinism: both the global and the per-weekday means are strict
+    day-ordered folds with explicit 0.0 init (DuckDB mirrors with
+    list_reduce over list_prepend); the ratio has an explicit NULL
+    guard on a zero global mean. Scale: ONE map-side daily rollup
+    (lazily checkpointed — it feeds both the global and the weekday
+    branch), then everything is days-cardinality; output rows <= 7."""
+    d = _daily_rollup(spark, sf_dir).localCheckpoint(eager=False)
+    dr = d.select("day", _day_mean().alias("dm"))
+    g = dr.agg(_ordered_mean_fold().alias("gmean"))
+    wd = dr.groupBy(
+        (F.dayofweek(F.to_date("day")) - 1).cast("long").alias("dow")
+    ).agg(
+        F.count("*").alias("n_days"),
+        _ordered_mean_fold().alias("weekday_mean"),
+    )
+    return wd.crossJoin(F.broadcast(g)).select(
+        "dow",
+        "n_days",
+        "weekday_mean",
+        F.col("gmean").alias("global_mean"),
+        (F.col("weekday_mean") - F.col("gmean")).alias("seasonal_index"),
+        F.when(
+            F.col("gmean") != 0, F.col("weekday_mean") / F.col("gmean")
+        ).alias("seasonal_ratio"),
+    )
+
+
+# ------------------------------ Theil-Sen robust trend of daily means
+
+_THEILSEN_ORACLE = f"""
+WITH {_DAILY_CTE},
+dr AS (
+  SELECT {_DAY_MEAN_SQL} AS dm, ROW_NUMBER() OVER (ORDER BY day) AS rn
+  FROM d
+),
+slopes AS (
+  SELECT CAST(round(1e9 * (b.dm - a.dm) / (b.rn - a.rn)) AS BIGINT) AS s_nano
+  FROM dr a JOIN dr b ON b.rn > a.rn
+),
+sl AS (
+  SELECT quantile_cont(s_nano, 0.5) AS slope_nano,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM slopes
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days, sl.n_pairs, sl.slope_nano,
+       quantile_cont(CAST(round(1e9 * dr.dm - sl.slope_nano * dr.rn)
+                          AS BIGINT), 0.5) AS icept_nano
+FROM dr CROSS JOIN sl
+GROUP BY sl.n_pairs, sl.slope_nano
+"""
+
+
+@register("timeseries_theilsen_trend", oracle=_THEILSEN_ORACLE, tags=("timeseries",))
+def q_timeseries_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily mean-value series: the
+    median of all pairwise slopes (and the median-residual intercept)
+    — the estimator that shrugs off the outlier days that wreck OLS
+    (agg_ols_slope_arrow is the fragile companion), and the standard
+    robust "is this metric drifting?" answer.
+
+    Determinism: slopes are quantized to integer nano-units (the xent
+    nano-nat precedent — round half-away agrees across engines), so
+    the median interpolates exact integers: Spark ``percentile`` and
+    DuckDB ``quantile_cont`` are bit-identical there. The intercept
+    replays one fixed expression tree per day against the broadcast
+    slope. Scale: the corpus-sized stage is the one daily rollup; the
+    pair join is days² — bounded by the CALENDAR, not the data (a
+    decade is ~13M pairs), and rn comes from a sorted-array posexplode,
+    not an unpartitioned window over an unbounded input."""
+    d = _daily_rollup(spark, sf_dir)
+    ser = d.select("day", _day_mean().alias("dm")).agg(
+        F.expr("array_sort(collect_list(struct(day, dm)))").alias("arr")
+    )
+    dr = (
+        ser.select(F.posexplode("arr").alias("pos", "a"))
+        .select((F.col("pos") + 1).alias("rn"), F.col("a.dm").alias("dm"))
+        .localCheckpoint(eager=False)  # feeds both pair sides + intercept
+    )
+    a = dr.select(F.col("rn").alias("rn_a"), F.col("dm").alias("dm_a"))
+    b = dr.select(F.col("rn").alias("rn_b"), F.col("dm").alias("dm_b"))
+    slopes = a.join(b, F.col("rn_b") > F.col("rn_a")).select(
+        F.round(
+            F.lit(1e9)
+            * (F.col("dm_b") - F.col("dm_a"))
+            / (F.col("rn_b") - F.col("rn_a"))
+        )
+        .cast("long")
+        .alias("s_nano")
+    )
+    sl = slopes.agg(
+        F.expr("percentile(s_nano, 0.5D)").alias("slope_nano"),
+        F.count("*").alias("n_pairs"),
+    )
+    return (
+        dr.crossJoin(F.broadcast(sl))
+        .groupBy("n_pairs", "slope_nano")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.expr(
+                "percentile(cast(round(1e9 * dm - slope_nano * rn) as long),"
+                " 0.5D)"
+            ).alias("icept_nano"),
+        )
+        .select("n_days", "n_pairs", "slope_nano", "icept_nano")
     )

@@ -73,3 +73,76 @@ def test_sessionize_covers_all_events(spark):
     total = load_table(spark, SF_DIR, "events").count()
     agg = out.groupBy().sum("n_events").collect()[0][0]
     assert agg == total
+
+
+def test_autocorrelation_alternating_series(spark, monkeypatch):
+    """A perfectly alternating daily series (1, 3, 1, 3, ...) has
+    acf(1) = -1 in the circular limit; at n=8 the sample ACF (fixed
+    denominator) gives -7/8 at lag 1 and +6/8 at lag 2."""
+    import mapreducegcp_spark.operators.timeseries as ts
+
+    rows = [
+        (i, datetime(2024, 1, 1 + i), 1, "view", 1.0 if i % 2 == 0 else 3.0, "{}")
+        for i in range(8)
+    ]
+    monkeypatch.setattr(ts, "load_table", lambda *a, **k: _events(spark, rows))
+    out = {
+        r.lag: r
+        for r in ts.q_timeseries_autocorrelation(spark, SF_DIR).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+    assert out[1].n_pairs == 7
+    assert abs(out[1].acf - (-7 / 8)) < 1e-12
+    assert abs(out[2].acf - (6 / 8)) < 1e-12
+
+
+def test_autocorrelation_constant_series_null(spark, monkeypatch):
+    """Zero variance -> acf NULL (guarded), never a division error."""
+    import mapreducegcp_spark.operators.timeseries as ts
+
+    rows = [(i, datetime(2024, 1, 1 + i), 1, "view", 5.0, "{}") for i in range(4)]
+    monkeypatch.setattr(ts, "load_table", lambda *a, **k: _events(spark, rows))
+    out = ts.q_timeseries_autocorrelation(spark, SF_DIR).collect()
+    assert len(out) == 3  # lags 1..3 < n=4
+    assert all(r.acf is None for r in out)
+
+
+def test_weekday_seasonal_index_sums_and_ratio(spark, monkeypatch):
+    """Two weeks where Sundays run value 8 and all other days 1: the
+    Sunday row (dow 0) carries the whole positive seasonal index and
+    ratio = 8 / global mean; indexes weighted by n_days sum to ~0."""
+    import mapreducegcp_spark.operators.timeseries as ts
+
+    # 2024-01-07 is a Sunday
+    rows = [
+        (i, datetime(2024, 1, 7 + i), 1, "view",
+         8.0 if (datetime(2024, 1, 7 + i).weekday() == 6) else 1.0, "{}")
+        for i in range(14)
+    ]
+    monkeypatch.setattr(ts, "load_table", lambda *a, **k: _events(spark, rows))
+    out = {r.dow: r for r in ts.q_timeseries_weekday_seasonal(spark, SF_DIR).collect()}
+    assert set(out) == set(range(7))
+    gmean = (8.0 * 2 + 1.0 * 12) / 14
+    assert abs(out[0].weekday_mean - 8.0) < 1e-12
+    assert abs(out[0].global_mean - gmean) < 1e-12
+    assert abs(out[0].seasonal_ratio - 8.0 / gmean) < 1e-12
+    assert abs(sum(r.seasonal_index * r.n_days for r in out.values())) < 1e-9
+
+
+def test_theilsen_exact_on_linear_series_with_outlier(spark, monkeypatch):
+    """On y = 2*rn + 1 with one wild outlier day, the pairwise-slope
+    median still recovers slope 2 exactly (OLS would not)."""
+    import mapreducegcp_spark.operators.timeseries as ts
+
+    vals = [2 * i + 1 for i in range(1, 10)]
+    vals[4] = 1000  # outlier at rn=5
+    rows = [
+        (i, datetime(2024, 1, 1 + i), 1, "view", float(vals[i]), "{}")
+        for i in range(9)
+    ]
+    monkeypatch.setattr(ts, "load_table", lambda *a, **k: _events(spark, rows))
+    r = ts.q_timeseries_theilsen_trend(spark, SF_DIR).collect()[0]
+    assert r.n_days == 9 and r.n_pairs == 36
+    assert r.slope_nano == 2_000_000_000  # slope exactly 2
+    # median residual of (y - 2*rn) = 1 for all non-outlier days
+    assert r.icept_nano == 1_000_000_000
