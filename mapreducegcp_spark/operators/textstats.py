@@ -1327,6 +1327,118 @@ q_search_proximity_window.__doc__ = q_search_proximity_window.__doc__.format(
 )
 
 
+# ------------------------------------------ BM25 ranked retrieval
+
+_BM25_TERMS = ("hash", "vector", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 15
+
+_BM25_ORACLE = f"""
+WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+  FROM tk
+),
+dw AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS word FROM tk
+),
+tf AS (
+  SELECT doc_id, dl, word, CAST(count(*) AS BIGINT) AS tf
+  FROM dw WHERE word IN {_BM25_TERMS!r}
+  GROUP BY doc_id, dl, word
+),
+df AS (
+  SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM dw WHERE word IN {_BM25_TERMS!r}
+  GROUP BY word
+),
+sc AS (
+  SELECT t.doc_id,
+         CAST(round(1e9 * (
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * ((CAST(t.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+              / (CAST(t.tf AS DOUBLE)
+                 + {_BM25_K1} * (1.0 - {_BM25_B}
+                                 + {_BM25_B} * (CAST(t.dl AS DOUBLE) / s.avgdl))))
+         )) AS BIGINT) AS c_nano
+  FROM tf t JOIN df d USING (word) CROSS JOIN st s
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(c_nano) AS BIGINT) AS score_nano
+FROM sc GROUP BY doc_id
+ORDER BY score_nano DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@register("search_bm25_topk", oracle=_BM25_ORACLE, tags=("text-analysis",))
+def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: the top-{K} documents for a fixed
+    multi-term query under Robertson-Sparck Jones BM25 (k1={K1},
+    b={B}) — the lexical-search baseline every RAG/retrieval stack
+    measures its dense retriever against, and the missing rank-aware
+    sibling of search_trigram_index (which matches, but does not
+    score).
+
+    Determinism: per-(doc, term) contributions are quantized to
+    integer nano-units after ONE fixed expression tree (idf's ln is
+    identical libm both engines — the xent nano-nat precedent), so
+    per-doc scores sum exactly and the top-k order (score desc,
+    doc_id tiebreak) is total. Scale: one tokenize scan feeds the
+    doc-length/corpus stats and the term postings; the term filter
+    prunes the explode to |query| terms per doc BEFORE any shuffle;
+    df and the 1-row corpus stats broadcast; the final top-k is a
+    TakeOrdered reduction, never a global sort materialization."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens("text").alias("toks")).localCheckpoint(
+        eager=False  # feeds corpus stats AND the postings branch
+    )
+    st = tk.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.size("toks")).cast("double") / F.count("*")
+        ).alias("avgdl"),
+    )
+    dw = tk.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("word")
+    ).where(F.col("word").isin(*_BM25_TERMS))
+    tf = dw.groupBy("doc_id", "dl", "word").agg(F.count("*").alias("tf"))
+    df = dw.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + _BM25_K1 * (
+        F.lit(1.0) - _BM25_B + _BM25_B * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    contrib = idf * ((tf_d * (_BM25_K1 + 1.0)) / denom)
+    sc = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            F.round(F.lit(1e9) * contrib).cast("long").alias("c_nano"),
+        )
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("c_nano").alias("score_nano"),
+        )
+        .orderBy(F.desc("score_nano"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
+q_search_bm25_topk.__doc__ = q_search_bm25_topk.__doc__.format(
+    K=_BM25_TOPK, K1=_BM25_K1, B=_BM25_B
+)
+
+
 # --------------------------------- tokenizer fertility by source
 
 def _bpe_fertility_oracle() -> str:

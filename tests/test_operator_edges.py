@@ -476,3 +476,52 @@ def test_cusum_flags_the_level_shift_day(spark, monkeypatch):
     ]
     flags = [d for d, r in out.items() if r.is_changepoint]
     assert flags == ["2024-03-03"]
+
+
+def test_bm25_ranking_and_scores(spark, monkeypatch):
+    """Hand-checkable BM25: the doc matching two query terms with a
+    repeated rare-ish term outranks the single-term doc; a doc with no
+    query terms never appears; scores match the formula to 1 nano."""
+    import math
+
+    import mapreducegcp_spark.operators.textstats as ts_mod
+    from mapreducegcp_spark.operators.textstats import (
+        _BM25_B, _BM25_K1, _BM25_TERMS,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash hash vector", "en", "s", 16),
+            (2, "hash stream other words here", "en", "s", 28),
+            (3, "nothing matches at all", "en", "s", 22),
+        ],
+        DOC_SCHEMA,
+    )
+    monkeypatch.setattr(ts_mod, "load_table", lambda spark, sf_dir, name: docs)
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["search_bm25_topk"].fn(spark, "ignored").collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1].n_terms == 2 and rows[2].n_terms == 2
+    assert _BM25_TERMS == ("hash", "vector", "stream")
+
+    n, avgdl = 3, (3 + 5 + 4) / 3
+    dfs = {"hash": 2, "vector": 1, "stream": 1}
+    tfs = {1: {"hash": 2, "vector": 1}, 2: {"hash": 1, "stream": 1}}
+    dls = {1: 3, 2: 5}
+
+    def contrib(doc, term):
+        idf = math.log(1.0 + (n - dfs[term] + 0.5) / (dfs[term] + 0.5))
+        tf = float(tfs[doc][term])
+        denom = tf + _BM25_K1 * (
+            1.0 - _BM25_B + _BM25_B * (dls[doc] / avgdl)
+        )
+        return idf * ((tf * (_BM25_K1 + 1.0)) / denom)
+
+    for doc in (1, 2):
+        expect = sum(
+            int(math.floor(1e9 * contrib(doc, t) + 0.5)) for t in tfs[doc]
+        )
+        assert abs(rows[doc].score_nano - expect) <= len(tfs[doc])
+    assert rows[1].score_nano > rows[2].score_nano
