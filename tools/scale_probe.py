@@ -145,6 +145,17 @@ PROBES = {
     "sample_kcenter_coreset": {"embeddings": ["vec_id"]},
     "multimodal_payload_dedup": {"documents": ["doc_id"]},
     "bpe_fertility_stats": {"documents": ["doc_id"]},
+    # round-4c operators. Replicating events copies timestamps, so the
+    # DAY count stays constant while per-day volume grows 10x — the
+    # production shape for every daily-series op: the probed cost is
+    # the one map-side daily rollup; ACF folds, the weekday profile
+    # and the pairwise-slope join are all days-cardinality and must
+    # not move. BM25's query-term posting lists grow 10x (new docs),
+    # per-doc work constant.
+    "timeseries_autocorrelation": {"events": ["event_id", "user_id"]},
+    "timeseries_weekday_seasonal": {"events": ["event_id", "user_id"]},
+    "timeseries_theilsen_trend": {"events": ["event_id", "user_id"]},
+    "search_bm25_topk": {"documents": ["doc_id"]},
 }
 
 
