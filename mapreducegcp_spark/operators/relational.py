@@ -1136,3 +1136,72 @@ def q_customer_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("total")
     )
+
+
+# ------------------------------ Gini coefficient of customer revenue
+
+_GINI_ORACLE = f"""
+WITH pc AS (
+  SELECT o_custkey,
+         CAST(sum(CAST({o_dec2('o_totalprice')} * 100 AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rn
+  FROM pc
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CASE WHEN sum(cents) > 0 THEN
+         2.0 * CAST(sum(CAST(rn AS HUGEINT) * cents) AS DOUBLE)
+           / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+         - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE)
+       ELSE NULL END AS gini
+FROM r
+"""
+
+
+@register("customer_gini_coefficient", oracle=_GINI_ORACLE, tags=("relational",))
+def q_customer_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of lifetime customer spend — the single-number
+    summary of the Pareto curve (customer_pareto_deciles is the
+    shape; this is the scalar a dashboard tracks), via the closed
+    form G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending-sorted
+    exact integer cents.
+
+    Determinism and overflow: the rank-weighted sum runs in
+    DECIMAL(38,0) (DuckDB HUGEINT) — at 1e9 customers x 1e7 cents the
+    int64 sum would overflow, the 128-bit one cannot; the final Gini
+    is one fixed double expression over exact integers, NULL-guarded
+    on a zero-revenue corpus. Scale shape: per-customer cents roll up
+    map-side, the global ascending rank comes from the two-phase
+    range-partitioned cumsum (no single-partition window), and the
+    rank-weighted reduction is one map-side-combinable agg."""
+    from mapreducegcp_spark.operators.layout import global_cumsum
+
+    pc = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum((dec2("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    ranked = global_cumsum(
+        pc,
+        [F.col("cents").asc(), F.col("o_custkey").asc()],
+        "cents",
+        rn_out="rn",
+        cum_out="cum_cents",
+    )
+    res = ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("rn").cast("decimal(38,0)") * F.col("cents")).alias("s1"),
+    )
+    n_d = F.col("n_customers").cast("double")
+    tot_d = F.col("total_cents").cast("double")
+    gini = F.when(
+        F.col("total_cents") > 0,
+        F.lit(2.0) * F.col("s1").cast("double") / (n_d * tot_d)
+        - (n_d + F.lit(1.0)) / n_d,
+    )
+    return res.select("n_customers", "total_cents", gini.alias("gini"))

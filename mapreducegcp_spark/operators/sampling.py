@@ -888,3 +888,78 @@ def q_dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.alias("lag_seconds"),
         (lag <= _FRESHNESS_SLA_SECONDS).alias("within_sla"),
     )
+
+
+# -------------------- PPSWOR priority sample (bottom-k, weighted)
+
+_PPSWOR_K = 20
+
+
+def _ppswor_oracle() -> str:
+    from mapreducegcp_spark.functions.text import TOKEN_ORACLE_EXPR
+
+    toks = TOKEN_ORACLE_EXPR.format(col="text")
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(list_filter({toks}, t -> t <> '')) AS BIGINT) AS weight
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, weight,
+         -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+              + 0.5) / 4294967296.0) / CAST(weight AS DOUBLE) AS k
+  FROM w WHERE weight > 0
+)
+SELECT doc_id, weight,
+       CAST(round(1e12 * k) AS BIGINT) AS key_pico
+FROM keyed
+ORDER BY k, doc_id
+LIMIT {_PPSWOR_K}
+"""
+
+
+_PPSWOR_ORACLE = _ppswor_oracle()
+
+
+@register("sample_priority_ppswor", oracle=_PPSWOR_ORACLE, tags=("llm-pipeline",))
+def q_sample_priority_ppswor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement, probability proportional to
+    size (token count), as a bottom-k priority sample: each doc draws
+    a deterministic exponential key Exp(weight) = -ln(u)/w from its
+    md5-universe u, and the k smallest keys ARE a PPSWOR sample
+    (Cohen/Kaplan bottom-k sketch). This is the one-pass, mergeable
+    way to take "20 docs, long docs proportionally more likely" out of
+    a 100 TB corpus — rand() can't be re-run or audited; this can,
+    because membership is a pure function of doc_id.
+
+    Determinism: u = (hash32 + 0.5) / 2^32 is an exact dyadic double
+    (never 0 or 1, so ln is finite), the key is one fixed expression
+    tree (libm ln both engines — the xent precedent), and selection
+    orders by (key, doc_id). Scale: map-only scoring, then ONE
+    TakeOrdered bottom-k reduction — no shuffle, no sort
+    materialization; k-per-partition partials merge on the driver the
+    same way the sketch merges across streams."""
+    from mapreducegcp_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("weight")
+    ).where(F.col("weight") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    k = -F.log(u) / F.col("weight").cast("double")
+    return (
+        w.select("doc_id", "weight", k.alias("k"))
+        .orderBy(F.asc("k"), F.asc("doc_id"))
+        .limit(_PPSWOR_K)
+        .select(
+            "doc_id",
+            "weight",
+            F.round(F.lit(1e12) * F.col("k")).cast("long").alias("key_pico"),
+        )
+    )

@@ -1334,8 +1334,9 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_TOPK = 15
 
-_BM25_ORACLE = f"""
-WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+# WITH-prefix ending in a `bm25 AS (doc_id, n_terms, score_nano)` CTE —
+# shared by the top-k query and the hybrid RRF fusion.
+_BM25_SCORES_CTES = f"""tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
 st AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
@@ -1364,13 +1365,62 @@ sc AS (
                                  + {_BM25_B} * (CAST(t.dl AS DOUBLE) / s.avgdl))))
          )) AS BIGINT) AS c_nano
   FROM tf t JOIN df d USING (word) CROSS JOIN st s
-)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(sum(c_nano) AS BIGINT) AS score_nano
-FROM sc GROUP BY doc_id
+),
+bm25 AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(c_nano) AS BIGINT) AS score_nano
+  FROM sc GROUP BY doc_id
+)"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_SCORES_CTES}
+SELECT doc_id, n_terms, score_nano
+FROM bm25
 ORDER BY score_nano DESC, doc_id
 LIMIT {_BM25_TOPK}
 """
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_terms, score_nano) for every document matching at
+    least one query term — the Spark mirror of ``_BM25_SCORES_CTES``,
+    shared by the top-k query and the hybrid RRF fusion."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens("text").alias("toks")).localCheckpoint(
+        eager=False  # feeds corpus stats AND the postings branch
+    )
+    st = tk.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size("toks")).cast("double") / F.count("*")).alias("avgdl"),
+    )
+    dw = tk.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("word")
+    ).where(F.col("word").isin(*_BM25_TERMS))
+    tf = dw.groupBy("doc_id", "dl", "word").agg(F.count("*").alias("tf"))
+    df = dw.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + _BM25_K1 * (
+        F.lit(1.0)
+        - _BM25_B
+        + _BM25_B * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    contrib = idf * ((tf_d * (_BM25_K1 + 1.0)) / denom)
+    sc = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            F.round(F.lit(1e9) * contrib).cast("long").alias("c_nano"),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms"),
+        F.sum("c_nano").alias("score_nano"),
+    )
 
 
 @register("search_bm25_topk", oracle=_BM25_ORACLE, tags=("text-analysis",))
@@ -1391,44 +1441,8 @@ def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes the explode to |query| terms per doc BEFORE any shuffle;
     df and the 1-row corpus stats broadcast; the final top-k is a
     TakeOrdered reduction, never a global sort materialization."""
-    docs = load_table(spark, sf_dir, "documents")
-    tk = docs.select("doc_id", tokens("text").alias("toks")).localCheckpoint(
-        eager=False  # feeds corpus stats AND the postings branch
-    )
-    st = tk.agg(
-        F.count("*").alias("n_docs"),
-        (
-            F.sum(F.size("toks")).cast("double") / F.count("*")
-        ).alias("avgdl"),
-    )
-    dw = tk.select(
-        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("word")
-    ).where(F.col("word").isin(*_BM25_TERMS))
-    tf = dw.groupBy("doc_id", "dl", "word").agg(F.count("*").alias("tf"))
-    df = dw.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_d = F.col("tf").cast("double")
-    denom = tf_d + _BM25_K1 * (
-        F.lit(1.0) - _BM25_B + _BM25_B * (F.col("dl").cast("double") / F.col("avgdl"))
-    )
-    contrib = idf * ((tf_d * (_BM25_K1 + 1.0)) / denom)
-    sc = (
-        tf.join(F.broadcast(df), "word")
-        .crossJoin(F.broadcast(st))
-        .select(
-            "doc_id",
-            F.round(F.lit(1e9) * contrib).cast("long").alias("c_nano"),
-        )
-    )
     return (
-        sc.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_terms"),
-            F.sum("c_nano").alias("score_nano"),
-        )
+        _bm25_scores(spark, sf_dir)
         .orderBy(F.desc("score_nano"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
     )
@@ -1436,6 +1450,137 @@ def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_search_bm25_topk.__doc__ = q_search_bm25_topk.__doc__.format(
     K=_BM25_TOPK, K1=_BM25_K1, B=_BM25_B
+)
+
+
+# --------------------------- hybrid retrieval: reciprocal rank fusion
+
+_RRF_C = 60       # the standard RRF dampening constant
+_RRF_POOL = 30    # per-ranker candidate pool depth
+_RRF_TOPK = 15
+_RRF_QUERY_VEC = 0  # dense query: this vec_id's embedding
+
+
+def _rrf_oracle() -> str:
+    from mapreducegcp_spark.functions.vectors import (
+        DOT_ORACLE_EXPR,
+        NORM_ORACLE_EXPR,
+    )
+
+    d = DOT_ORACLE_EXPR.format(a="c.embedding", b="q.qe")
+    na = NORM_ORACLE_EXPR.format(a="c.embedding")
+    nb = NORM_ORACLE_EXPR.format(a="q.qe")
+    qv = _RRF_QUERY_VEC
+    return f"""
+WITH {_BM25_SCORES_CTES},
+lexp AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_nano DESC, doc_id)
+           AS lex_rank
+  FROM (SELECT * FROM bm25 WHERE doc_id <> {qv}
+        ORDER BY score_nano DESC, doc_id LIMIT {_RRF_POOL})
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {qv}),
+dns AS (
+  SELECT c.vec_id AS doc_id,
+         CASE WHEN {na} > 0 AND {nb} > 0
+              THEN {d} / ({na} * {nb}) ELSE 0.0 END AS cos
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> {qv}
+),
+vecp AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+  FROM (SELECT * FROM dns ORDER BY cos DESC, doc_id LIMIT {_RRF_POOL})
+),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+         coalesce(1.0 / CAST({_RRF_C} + l.lex_rank AS DOUBLE), 0.0)
+         + coalesce(1.0 / CAST({_RRF_C} + v.vec_rank AS DOUBLE), 0.0)
+           AS rrf_score
+  FROM lexp l FULL OUTER JOIN vecp v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT {_RRF_TOPK}
+"""
+
+
+def _rank_pool(pool: DataFrame, neg_score_sql: str, id_col: str,
+               rank_name: str) -> DataFrame:
+    """1-based rank over a bounded candidate pool (<= _RRF_POOL rows)
+    via ONE sorted-array posexplode — no unpartitioned window, and the
+    sort key (neg score, id) replays the oracle's ORDER BY exactly."""
+    arr = pool.agg(
+        F.expr(
+            f"array_sort(collect_list(struct({neg_score_sql} AS neg,"
+            f" {id_col} AS id)))"
+        ).alias("a")
+    )
+    return arr.select(F.posexplode("a").alias("p", "x")).select(
+        F.col("x.id").alias("doc_id"), (F.col("p") + 1).alias(rank_name)
+    )
+
+
+@register("search_hybrid_rrf", oracle=_rrf_oracle(), tags=("llm-pipeline",))
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion: the BM25 lexical
+    ranking and the embedding-cosine dense ranking (vec {QV}'s vector,
+    doc/vec ids are 1:1) each nominate a top-{P} pool; fusion scores
+    every nominated doc 1/({C}+rank) per ranker (absent -> 0) and
+    returns the fused top-{K} — the standard way production RAG
+    stacks combine keyword and vector search without score
+    calibration, since RRF only consumes RANKS.
+
+    Determinism: ranks are exact integers (nano-quantized BM25 scores;
+    cosine from the strict left-fold dot), pools order by (score desc,
+    id), and the fused score is a fixed two-term double expression —
+    bit-identical in the DuckDB replay. Scale: each ranker is its own
+    proven shape (posting-list scoring + TakeOrdered; broadcast query
+    vector + map-only cosine + TakeOrdered); fusion then runs on two
+    {P}-row pools ranked via sorted-array posexplode, no
+    unpartitioned window, no corpus-sized join."""
+    qv = _RRF_QUERY_VEC
+    lex_pool = (
+        _bm25_scores(spark, sf_dir)
+        .where(F.col("doc_id") != qv)
+        .orderBy(F.desc("score_nano"), F.asc("doc_id"))
+        .limit(_RRF_POOL)
+    )
+    lexp = _rank_pool(lex_pool, "-score_nano", "doc_id", "lex_rank")
+
+    from mapreducegcp_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.where(F.col("vec_id") == qv).select(F.col("embedding").alias("qe"))
+    )
+    dns = (
+        emb.where(F.col("vec_id") != qv)
+        .crossJoin(q)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine("embedding", "qe").alias("cos"),
+        )
+    )
+    vec_pool = dns.orderBy(F.desc("cos"), F.asc("doc_id")).limit(_RRF_POOL)
+    vecp = _rank_pool(vec_pool, "-cos", "doc_id", "vec_rank")
+
+    fused = lexp.join(vecp, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("lex_rank")).cast("double"),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("vec_rank")).cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        fused.select("doc_id", "lex_rank", "vec_rank", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(_RRF_TOPK)
+    )
+
+
+q_search_hybrid_rrf.__doc__ = q_search_hybrid_rrf.__doc__.format(
+    QV=_RRF_QUERY_VEC, P=_RRF_POOL, C=_RRF_C, K=_RRF_TOPK
 )
 
 

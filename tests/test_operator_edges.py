@@ -525,3 +525,93 @@ def test_bm25_ranking_and_scores(spark, monkeypatch):
         )
         assert abs(rows[doc].score_nano - expect) <= len(tfs[doc])
     assert rows[1].score_nano > rows[2].score_nano
+
+
+def test_gini_equal_and_concentrated(spark, monkeypatch):
+    """Equal per-customer revenue -> Gini ~ 0; revenue concentrated on
+    one of four customers -> matches the closed form computed by hand."""
+    import mapreducegcp_spark.operators.relational as rel_mod
+
+    def orders_of(rows):
+        return spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_totalprice double"
+        )
+
+    eq = orders_of([(i, i, 100.0) for i in range(1, 5)])
+    monkeypatch.setattr(rel_mod, "load_table", lambda s, d, n: eq)
+    r = all_queries()["customer_gini_coefficient"].fn(spark, "ignored").collect()[0]
+    assert r.n_customers == 4 and r.total_cents == 40000
+    assert abs(r.gini) < 1e-12
+
+    conc = orders_of(
+        [(1, 1, 1.0), (2, 2, 1.0), (3, 3, 1.0), (4, 4, 97.0)]
+    )
+    monkeypatch.setattr(rel_mod, "load_table", lambda s, d, n: conc)
+    r = all_queries()["customer_gini_coefficient"].fn(spark, "ignored").collect()[0]
+    # ascending cents [100,100,100,9700]: S1 = 1*100+2*100+3*100+4*9700
+    s1, tot, n = 1 * 100 + 2 * 100 + 3 * 100 + 4 * 9700, 10000, 4
+    assert abs(r.gini - (2.0 * s1 / (n * tot) - (n + 1) / n)) < 1e-12
+
+
+def test_ppswor_weights_dominate_and_zero_excluded(spark, monkeypatch):
+    """A doc with overwhelming weight is always sampled (its Exp(w) key
+    is ~0); zero-token docs are excluded; k > n returns all weighted
+    docs ordered by key."""
+    import mapreducegcp_spark.operators.sampling as samp_mod
+
+    rows = [(1, " ".join(["tok"] * 10000), "en", "s", 0),
+            (2, "a b", "en", "s", 0),
+            (3, "c d e", "en", "s", 0),
+            (4, "123 !!", "en", "s", 0)]  # zero alphabetic tokens
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    monkeypatch.setattr(samp_mod, "load_table", lambda s, d, n: docs)
+    out = all_queries()["sample_priority_ppswor"].fn(spark, "ignored").collect()
+    ids = [r.doc_id for r in out]
+    assert 4 not in ids and set(ids) == {1, 2, 3}
+    assert ids[0] == 1  # weight 10000 -> smallest key
+    assert all(r.key_pico >= 0 for r in out)
+    assert out[0].key_pico <= out[1].key_pico <= out[2].key_pico
+
+
+def test_hybrid_rrf_rewards_agreement(spark, monkeypatch):
+    """A doc ranked top by BOTH rankers must outscore docs top in only
+    one; rrf_score equals 1/(60+lex)+1/(60+vec) with absent = 0."""
+    import mapreducegcp_spark.operators.textstats as ts_mod
+
+    # doc 10: contains all three query terms AND its vector matches the
+    # query vector (vec 0); doc 20: lexical only; doc 30: dense only.
+    docs = spark.createDataFrame(
+        [
+            (0, "query doc itself", "en", "s", 0),
+            (10, "hash vector stream", "en", "s", 0),
+            (20, "hash hash vector vector stream stream filler", "en", "s", 0),
+            (30, "no terms here", "en", "s", 0),
+        ],
+        DOC_SCHEMA,
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (10, [1.0, 0.05]),
+            (30, [1.0, 0.0]),
+            (20, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    tables = {"documents": docs, "embeddings": emb}
+    monkeypatch.setattr(ts_mod, "load_table", lambda s, d, n: tables[n])
+    out = {r.doc_id: r for r in all_queries()["search_hybrid_rrf"].fn(spark, "ignored").collect()}
+    assert set(out) == {10, 20, 30}
+    # dense ranking: 30 (cos=1) then 10; lexical: 20 (higher tf) then 10
+    assert out[30].vec_rank == 1 and out[30].lex_rank is None
+    assert out[10].vec_rank == 2 and out[10].lex_rank == 2
+    assert out[20].lex_rank == 1 and out[20].vec_rank == 3
+    for r in out.values():
+        expect = (1 / (60 + r.lex_rank) if r.lex_rank else 0.0) + (
+            1 / (60 + r.vec_rank) if r.vec_rank else 0.0
+        )
+        assert abs(r.rrf_score - expect) < 1e-15
+    # docs nominated by BOTH rankers (10 and 20) beat the dense-only
+    # doc 30 despite 30 holding the single best dense rank
+    assert out[10].rrf_score > out[30].rrf_score
+    assert out[20].rrf_score > out[30].rrf_score
