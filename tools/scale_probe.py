@@ -156,6 +156,16 @@ PROBES = {
     "timeseries_weekday_seasonal": {"events": ["event_id", "user_id"]},
     "timeseries_theilsen_trend": {"events": ["event_id", "user_id"]},
     "search_bm25_topk": {"documents": ["doc_id"]},
+    # Gini's distinct customers grow 10x (near-linear two-phase cumsum
+    # + one rank-weighted agg); PPSWOR is map-only scoring + one
+    # bottom-k TakeOrdered; hybrid RRF replicates docs AND embeddings
+    # together (ids stay 1:1), each ranker's pool stays depth-30.
+    "customer_gini_coefficient": {"orders": ["o_orderkey", "o_custkey"]},
+    "sample_priority_ppswor": {"documents": ["doc_id"]},
+    "search_hybrid_rrf": {
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+    },
 }
 
 
