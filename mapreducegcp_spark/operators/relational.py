@@ -1205,3 +1205,47 @@ def q_customer_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (n_d + F.lit(1.0)) / n_d,
     )
     return res.select("n_customers", "total_cents", gini.alias("gini"))
+
+
+# ----------------------------- order-to-ship latency distribution
+
+_LATENCY_ORACLE = """
+SELECT o.o_orderpriority AS priority,
+       CAST(floor(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) / 7) AS BIGINT)
+         AS week_bucket,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority, week_bucket
+"""
+
+
+@register("latency_ship_weeks", oracle=_LATENCY_ORACLE, tags=("relational",))
+def q_latency_ship_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency histogram: per priority class, line items
+    bucketed by whole weeks between order date and ship date — the
+    operational SLA distribution ("how long until URGENT orders
+    actually ship"), and the shape comparison that exposes a priority
+    class silently degrading.
+
+    Exact integer day arithmetic on both engines (date_diff /
+    datediff), float division by 7 then floor — identical dyadic
+    steps. Scale: the one lineitem-sized stage is the orderkey join
+    (co-partitioned, the join_priority_revenue shape); the rollup
+    keys on (priority, bucket) — output is priorities x weeks, tiny.
+    At 100 TB bucketing both tables on orderkey removes the exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        li.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(days / 7).cast("long").alias("week_bucket"),
+        )
+        .agg(F.count("*").alias("n_lines"))
+    )

@@ -963,3 +963,71 @@ def q_sample_priority_ppswor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1e12) * F.col("k")).cast("long").alias("key_pico"),
         )
     )
+
+
+# -------------------------- Benford first-digit conformance audit
+
+def _benford_oracle() -> str:
+    from mapreducegcp_spark.functions.exact import o_dec2
+
+    cents = f"CAST({o_dec2('o_totalprice')} * 100 AS BIGINT)"
+    e = "log10(1.0 + 1.0 / CAST(o.digit AS DOUBLE)) * CAST(t.total AS DOUBLE)"
+    return f"""
+WITH c AS (
+  SELECT CAST(substr(CAST({cents} AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE {cents} > 0
+),
+obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM c GROUP BY digit),
+t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS total FROM obs)
+SELECT o.digit, o.n_obs,
+       log10(1.0 + 1.0 / CAST(o.digit AS DOUBLE)) AS expected_share,
+       {e} AS expected_n,
+       ((CAST(o.n_obs AS DOUBLE) - {e}) * (CAST(o.n_obs AS DOUBLE) - {e}))
+         / ({e}) AS chi2_term
+FROM obs o CROSS JOIN t
+"""
+
+
+@register("dq_benford_first_digit", oracle=_benford_oracle(), tags=("llm-pipeline",))
+def q_dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order values: observed vs expected
+    first-significant-digit distribution with per-digit chi-square
+    contributions — the classic fabricated-data / broken-generator
+    audit (hand-entered or synthesized amounts over-sample digits 5-9;
+    a capped or offset generator craters digit 1). A data-quality gate
+    for ingested numeric feeds, same family as dq_distribution_drift
+    but against a UNIVERSAL prior rather than a reference window.
+
+    Determinism: the first digit is exact string surgery on exact
+    integer cents (no float log bucketing), counts are exact, and the
+    expected shares are one fixed log10 expression (identical libm) —
+    chi-square terms replay bit-identically. Scale: one map-side
+    digit rollup (<= 9 groups), then digit-cardinality arithmetic
+    against the broadcast 1-row total."""
+    from mapreducegcp_spark.functions.exact import dec2
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (dec2("o_totalprice") * 100).cast("long")
+    obs = (
+        orders.select(cents.alias("cents"))
+        .where(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+        .localCheckpoint(eager=False)  # feeds the total AND the output
+    )
+    t = obs.agg(F.sum("n_obs").alias("total"))
+    share = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    expected = share * F.col("total").cast("double")
+    diff = F.col("n_obs").cast("double") - expected
+    return obs.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_obs",
+        share.alias("expected_share"),
+        expected.alias("expected_n"),
+        ((diff * diff) / expected).alias("chi2_term"),
+    )

@@ -615,3 +615,45 @@ def test_hybrid_rrf_rewards_agreement(spark, monkeypatch):
     # doc 30 despite 30 holding the single best dense rank
     assert out[10].rrf_score > out[30].rrf_score
     assert out[20].rrf_score > out[30].rrf_score
+
+
+def test_benford_digits_and_chi2(spark, monkeypatch):
+    """Hand-crafted amounts: digit counts are exact, zero/negative
+    amounts are excluded, and the chi-square term matches the formula."""
+    import math
+
+    import mapreducegcp_spark.operators.sampling as samp_mod
+
+    # cents first digits: 1, 1, 2, 9; the 0.0 row is excluded
+    orders = spark.createDataFrame(
+        [(1, 1.00), (2, 19.99), (3, 2.50), (4, 0.09), (5, 0.0)],
+        "o_orderkey long, o_totalprice double",
+    )
+    monkeypatch.setattr(samp_mod, "load_table", lambda s, d, n: orders)
+    out = {r.digit: r for r in all_queries()["dq_benford_first_digit"].fn(spark, "ignored").collect()}
+    assert {d: r.n_obs for d, r in out.items()} == {1: 2, 2: 1, 9: 1}
+    for d, r in out.items():
+        share = math.log10(1.0 + 1.0 / d)
+        assert abs(r.expected_share - share) < 1e-15
+        e = share * 4.0
+        assert abs(r.chi2_term - (r.n_obs - e) ** 2 / e) < 1e-12
+
+
+def test_iqr_fences_hand_case(spark, monkeypatch):
+    """Nine values 1..8 plus outlier 100: Q1/Q3 interpolate exactly,
+    and only 100 breaches the upper fence."""
+    import mapreducegcp_spark.operators.aggregates as agg_mod
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0]
+    ev = spark.createDataFrame(
+        [(i, "a", v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    monkeypatch.setattr(agg_mod, "load_table", lambda s, d, n: ev)
+    r = all_queries()["events_iqr_outliers"].fn(spark, "ignored").collect()[0]
+    assert r.n == 9
+    # cents = value * 10000; quantile_cont over 9 points: q1 at idx 2, q3 at idx 6
+    assert r.q1 == 30000.0 and r.q3 == 70000.0
+    assert r.fence_lo == 30000.0 - 1.5 * 40000.0
+    assert r.fence_hi == 70000.0 + 1.5 * 40000.0
+    assert r.n_low == 0 and r.n_high == 1
