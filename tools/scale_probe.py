@@ -166,6 +166,17 @@ PROBES = {
         "documents": ["doc_id"],
         "embeddings": ["vec_id"],
     },
+    # IQR's distinct-value table replicates its counts (values copy
+    # unchanged), Benford's digit rollup stays <= 9 groups, geomean is
+    # one map-side pass, and the latency histogram replays the
+    # co-partitioned orderkey join with a (priority x weeks) rollup.
+    "events_iqr_outliers": {"events": ["event_id", "user_id"]},
+    "agg_geometric_mean": {"orders": ["o_orderkey", "o_custkey"]},
+    "dq_benford_first_digit": {"orders": ["o_orderkey", "o_custkey"]},
+    "latency_ship_weeks": {
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+    },
 }
 
 
