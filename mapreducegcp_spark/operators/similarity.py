@@ -1119,3 +1119,172 @@ def q_embedding_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (float(_DIM_SCALE) * float(_DIM_SCALE))
         ).alias("variance"),
     )
+
+
+# --------------------- top principal direction via power iteration
+
+_PCA_ITERS = 6
+_PCA_DIM = 64  # embedding dimensionality (embedding_dim_health pins it)
+
+
+def _pca_oracle() -> str:
+    """Chained-CTE replay of the power iteration: mu from exact nano
+    sums, then _PCA_ITERS rounds of (score t = v.(x - mu), per-dim
+    nano-quantized contribution sums, renormalize). The VARCHAR-cast
+    double conversion follows the _MOM_ORACLE note (DuckDB's direct
+    HUGEINT->DOUBLE is off an ulp above 2^53; strtod is correctly
+    rounded, matching Python's float(int) on the driver side).
+    Every CTE is MATERIALIZED: DuckDB otherwise re-inlines the
+    6-deep iteration chain exponentially (126 s -> 0.1 s measured)."""
+    d = _PCA_DIM
+    parts = [
+        f"""dims AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+mus AS MATERIALIZED (
+  SELECT u.d,
+         sum(CAST(round(1e9 * CAST(embedding[u.d] AS DOUBLE)) AS BIGINT)) AS sx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM dims, unnest(range(1, {d} + 1)) u(d)
+  GROUP BY u.d
+),
+murow AS MATERIALIZED (
+  SELECT list((CAST(sx AS DOUBLE) / n) / 1e9 ORDER BY d) AS mu,
+         any_value(n) AS n
+  FROM mus
+),
+v0 AS MATERIALIZED (SELECT list_transform(range(1, {d} + 1),
+                             j -> 1.0 / sqrt(CAST({d} AS DOUBLE))) AS v)"""
+    ]
+    prev = "v0"
+    for i in range(1, _PCA_ITERS + 1):
+        parts.append(f"""t{i} AS MATERIALIZED (
+  SELECT e.embedding,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(range(1, {d} + 1),
+             j -> w.v[j] * (CAST(e.embedding[j] AS DOUBLE) - m.mu[j]))),
+           (a, b) -> a + b) AS t
+  FROM dims e CROSS JOIN {prev} w CROSS JOIN murow m
+),
+s{i} AS MATERIALIZED (
+  SELECT u.d,
+         sum(CAST(round(1e9 * t * (CAST(embedding[u.d] AS DOUBLE) - m.mu[u.d]))
+             AS HUGEINT)) AS s
+  FROM t{i} CROSS JOIN murow m, unnest(range(1, {d} + 1)) u(d)
+  GROUP BY u.d
+),
+n{i} AS MATERIALIZED (
+  SELECT sqrt(CAST(CAST(sum(s * s) AS VARCHAR) AS DOUBLE)) AS nrm FROM s{i}
+),
+v{i} AS MATERIALIZED (
+  -- nrm = 0 (all rows equal mu): keep the prior vector, mirroring the
+  -- Spark driver's early break on a degenerate corpus
+  SELECT CASE WHEN w.nrm > 0
+              THEN list(CAST(s AS DOUBLE) / w.nrm ORDER BY d)
+              ELSE any_value(p.v) END AS v
+  FROM s{i} CROSS JOIN n{i} w CROSS JOIN {prev} p
+  GROUP BY w.nrm
+)""")
+        prev = f"v{i}"
+    last = prev
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(u.d - 1 AS BIGINT) AS dim,
+       CAST(round(1e9 * (CASE WHEN w.v[1] < 0 THEN -w.v[u.d]
+                              ELSE w.v[u.d] END)) AS BIGINT) AS loading_nano,
+       m.n AS n_vectors
+FROM {last} w CROSS JOIN murow m, unnest(range(1, {d} + 1)) u(d)
+"""
+    )
+
+
+@register("embedding_top_eigenvector", oracle=_pca_oracle(), tags=("llm-pipeline",))
+def q_embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (centered) embedding corpus by
+    {I} rounds of power iteration — the PCA-lite every embedding-store
+    health check wants: the dominant direction exposes a rogue
+    systematic component (an un-normalized batch, a collapsed model
+    head) that per-dimension moments (embedding_dim_health) cannot
+    see because it lives in a linear COMBINATION of dimensions.
+
+    Scale shape: each round is ONE corpus pass — score t = v.(x - mu)
+    as a strict left fold, then per-dimension contribution sums,
+    map-side-combinable into exactly {D} groups; v and mu are bounded
+    driver syncs (the k-means-centroid precedent: {I}+1 collects of
+    <= {D} values). Determinism: every cross-row sum is quantized to
+    integer nano-units first (exact + associative, so the result is
+    independent of partition order), and the driver's normalization
+    arithmetic (Python floats: correctly-rounded int->double, IEEE
+    sqrt/divide) is replayed by the oracle's VARCHAR-cast doubles —
+    bit-identical loadings, sign-fixed on the first component. At
+    1e9+ rows the nano scale would be dropped to micro for int64
+    headroom (the sums here stay under 2^53 so the driver's
+    float(int) is exact)."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    emb = emb.localCheckpoint(eager=False)  # feeds mu + every iteration
+    dims = emb.select(F.posexplode("embedding").alias("d", "x"))
+    mu_rows = (
+        dims.groupBy("d")
+        .agg(
+            F.sum(
+                F.round(F.lit(1e9) * F.col("x").cast("double")).cast("long")
+            ).alias("sx"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    if not mu_rows:
+        return spark.createDataFrame(
+            [], "dim long, loading_nano long, n_vectors long"
+        )
+    n = int(mu_rows[0]["n"])
+    mu = [0.0] * _PCA_DIM
+    for r in mu_rows:
+        mu[int(r["d"])] = (float(int(r["sx"])) / n) / 1e9
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+
+    v = [1.0 / math.sqrt(float(_PCA_DIM))] * _PCA_DIM
+    for _ in range(_PCA_ITERS):
+        v_arr = F.array(*[F.lit(x) for x in v])
+        diffs = F.zip_with(
+            F.col("embedding"), mu_arr, lambda x, m: x.cast("double") - m
+        )
+        t = F.aggregate(
+            F.zip_with(diffs, v_arr, lambda dd, vv: vv * dd),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        contrib = emb.select(t.alias("t"), F.posexplode("embedding").alias("d", "x"))
+        q = F.round(
+            F.lit(1e9)
+            * F.col("t")
+            * (
+                F.col("x").cast("double")
+                - F.element_at(mu_arr, F.col("d") + 1)
+            )
+        ).cast("long")
+        s_rows = contrib.groupBy("d").agg(F.sum(q).alias("s")).collect()
+        s = [0] * _PCA_DIM
+        for r in s_rows:
+            s[int(r["d"])] = int(r["s"])
+        nrm = math.sqrt(float(sum(x * x for x in s)))
+        if nrm == 0.0:
+            break  # degenerate corpus (all rows equal mu): keep prior v
+        v = [float(x) / nrm for x in s]
+    sign = -1.0 if v[0] < 0 else 1.0
+    out = [
+        (i, int(_py_round_half_away(1e9 * (sign * v[i]))), n)
+        for i in range(_PCA_DIM)
+    ]
+    return spark.createDataFrame(out, "dim long, loading_nano long, n_vectors long")
+
+
+def _py_round_half_away(x: float) -> int:
+    """round-half-away-from-zero over a double — the same tie rule as
+    Spark round() and DuckDB round() (Python's built-in round is
+    banker's and would diverge on exact .5)."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))

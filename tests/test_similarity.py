@@ -63,3 +63,48 @@ def test_ann_pq_recall_against_bruteforce(spark, sf_dir):
     pq = _pairs(q_similarity_ann_pq(spark, sf_dir))
     recall = len(exact & pq) / len(exact)
     assert recall >= 0.7, f"PQ recall too low: {recall}"
+
+
+def test_top_eigenvector_recovers_rank1_direction(spark, monkeypatch):
+    """A rank-1 centered corpus along (0.6, 0.8): the power iteration
+    must recover that direction, sign-fixed positive on the first
+    component, to within nano quantization."""
+    import mapreducegcp_spark.operators.similarity as sim_mod
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0]), (3, [6.0, 8.0]), (4, [-3.0, -4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    monkeypatch.setattr(sim_mod, "load_table", lambda s, d, n: emb)
+    monkeypatch.setattr(sim_mod, "_PCA_DIM", 2)
+    rows = {
+        r.dim: r
+        for r in sim_mod.q_embedding_top_eigenvector(spark, "ignored").collect()
+    }
+    assert set(rows) == {0, 1} and rows[0].n_vectors == 4
+    assert abs(rows[0].loading_nano - 600_000_000) <= 2
+    assert abs(rows[1].loading_nano - 800_000_000) <= 2
+
+
+def test_top_eigenvector_empty_and_degenerate(spark, monkeypatch):
+    """Empty corpus -> 0 rows; all-identical corpus (zero variance) ->
+    the init vector survives (no NaN, no crash)."""
+    import math
+
+    import mapreducegcp_spark.operators.similarity as sim_mod
+
+    monkeypatch.setattr(sim_mod, "_PCA_DIM", 2)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    monkeypatch.setattr(sim_mod, "load_table", lambda s, d, n: empty)
+    assert sim_mod.q_embedding_top_eigenvector(spark, "ignored").count() == 0
+
+    same = spark.createDataFrame(
+        [(1, [2.0, 2.0]), (2, [2.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    monkeypatch.setattr(sim_mod, "load_table", lambda s, d, n: same)
+    rows = {
+        r.dim: r.loading_nano
+        for r in sim_mod.q_embedding_top_eigenvector(spark, "ignored").collect()
+    }
+    init = round(1e9 / math.sqrt(2.0))
+    assert rows == {0: init, 1: init}
