@@ -177,6 +177,9 @@ PROBES = {
         "lineitem": ["l_orderkey"],
         "orders": ["o_orderkey", "o_custkey"],
     },
+    # Power iteration: per-round cost is one corpus pass (fold + 64-group
+    # map-side rollup); replication grows rows 10x, rounds stay 6.
+    "embedding_top_eigenvector": {"embeddings": ["vec_id"]},
 }
 
 
@@ -193,8 +196,14 @@ def replicate(df: DataFrame, keys: list[str], factor: int) -> DataFrame:
     return out
 
 
-def timed(df: DataFrame) -> float:
+def timed(build) -> float:
+    """Wall-clock of BUILD + materialize. ``build`` is a thunk (or a
+    DataFrame for legacy callers): driver-loop operators (BPE trainer,
+    k-center, power iteration) do their corpus passes at CONSTRUCTION
+    time via bounded collects, so timing only the final noop write
+    would silently exclude their real cost."""
     t = time.time()
+    df = build() if callable(build) else build
     df.write.format("noop").mode("overwrite").save()
     return time.time() - t
 
@@ -265,7 +274,7 @@ def skew_probe(spark: SparkSession, sf_dir: str, hot_share_pct: int = 50) -> Non
             ("salted (N_SALT=8)", salted, "false"),
         ):
             conf.set("spark.sql.adaptive.skewJoin.enabled", aqe_skew)
-            t = min(timed(build()) for _ in range(2))
+            t = min(timed(build) for _ in range(2))
             print(f"| {label} | {aqe_skew} | {t:.2f} |")
         # same rows out of both plans (salting must not change results)
         a = {tuple(r) for r in naive().collect()}
@@ -359,7 +368,7 @@ def main() -> None:
         mod = sys.modules[q.fn.__module__]
 
         # warm + 1x (best of 2)
-        t1 = min(timed(q.fn(spark, args.sf_dir)) for _ in range(2))
+        t1 = min(timed(lambda: q.fn(spark, args.sf_dir)) for _ in range(2))
 
         def scaled_load(spark_, sf_dir_, table_):
             df = base_load(spark_, sf_dir_, table_)
@@ -369,7 +378,7 @@ def main() -> None:
 
         mod.load_table = scaled_load
         try:
-            tN = min(timed(q.fn(spark, args.sf_dir)) for _ in range(2))
+            tN = min(timed(lambda: q.fn(spark, args.sf_dir)) for _ in range(2))
         finally:
             mod.load_table = base_load
         print(f"| `{name}` | {t1:.2f} | {tN:.2f} | {tN / t1:.1f} |")
