@@ -993,17 +993,21 @@ def _bpe_train_oracle() -> str:
     fold being the same left-to-right merge the Spark side runs as an
     ``aggregate`` higher-order function."""
     toks = TOKEN_ORACLE_EXPR.format(col="text")
+    # Non-recursive CTEs are MATERIALIZED: DuckDB otherwise re-inlines
+    # the N-round chain exponentially (176 s -> 0.1 s measured at
+    # sf0.01). The fold{i} members are genuinely recursive and must
+    # stay plain.
     parts = [
-        f"""vocab AS (
+        f"""vocab AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS c
   FROM (SELECT unnest(list_filter({toks}, t -> t <> '')) AS word FROM documents)
   GROUP BY word
 ),
-syms0 AS (SELECT word, c, string_split(word, '') AS syms FROM vocab)"""
+syms0 AS MATERIALIZED (SELECT word, c, string_split(word, '') AS syms FROM vocab)"""
     ]
     for i in range(1, _BPE_TRAIN_ROUNDS + 1):
         p = i - 1
-        parts.append(f"""pairs{i} AS (
+        parts.append(f"""pairs{i} AS MATERIALIZED (
   SELECT p.l AS l, p.r AS r, CAST(sum(c) AS BIGINT) AS weight
   FROM (
     SELECT unnest(list_transform(range(1, len(syms)),
@@ -1012,7 +1016,7 @@ syms0 AS (SELECT word, c, string_split(word, '') AS syms FROM vocab)"""
   )
   GROUP BY p.l, p.r
 ),
-best{i} AS (
+best{i} AS MATERIALIZED (
   SELECT l, r, l || r AS m, weight
   FROM pairs{i} ORDER BY weight DESC, l, r LIMIT 1
 ),
@@ -1025,7 +1029,7 @@ fold{i}(word, c, syms, j, acc) AS (
          ELSE list_append(f.acc, f.syms[f.j]) END
   FROM fold{i} f CROSS JOIN best{i} b WHERE f.j <= len(f.syms)
 ),
-syms{i} AS (SELECT word, c, acc AS syms FROM fold{i} WHERE j = len(syms) + 1)""")
+syms{i} AS MATERIALIZED (SELECT word, c, acc AS syms FROM fold{i} WHERE j = len(syms) + 1)""")
     rounds_sql = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS BIGINT) AS round, l AS left_sym, r AS right_sym,"
         f" m AS merged, weight FROM best{i}"
@@ -1119,8 +1123,8 @@ def _bpe_encoded_chain_oracle(doc_words_cols: str = "doc_id") -> str:
     chain = trainer[: trainer.rindex("SELECT CAST(1 AS BIGINT)")].rstrip().rstrip(",")
     n = _BPE_TRAIN_ROUNDS
     return f"""{chain},
-encoded AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms FROM syms{n}),
-doc_words AS (
+encoded AS MATERIALIZED (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms FROM syms{n}),
+doc_words AS MATERIALIZED (
   SELECT {doc_words_cols}, unnest(list_filter({toks}, t -> t <> '')) AS word
   FROM documents
 )"""
