@@ -667,8 +667,10 @@ def q_vocab_coverage_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------- bigram LM cross-entropy (add-one, fixed-point)
 
-_BIGRAM_XENT_ORACLE = f"""
-WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+# Shared prefix of both bigram LM oracles (add-one and Kneser-Ney):
+# per-doc bigram counts, corpus bigram counts, per-context totals +
+# follower-type counts. ctx's nf column is only consumed by KN.
+_BIGRAM_CTES = f"""t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
 db AS (
   SELECT doc_id, pair[1] AS w1, pair[2] AS w2, count(*) AS c
   FROM (
@@ -680,7 +682,44 @@ db AS (
   GROUP BY doc_id, w1, w2
 ),
 bc AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cb FROM db GROUP BY w1, w2),
-ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw FROM bc GROUP BY w1),
+ctx AS (
+  SELECT w1, CAST(sum(cb) AS BIGINT) AS cw, CAST(count(*) AS BIGINT) AS nf
+  FROM bc GROUP BY w1
+)"""
+
+# Shared tail: quantized-logprob rollup per doc over an lnq(w1,w2,lq) CTE.
+_BIGRAM_TAIL = f"""SELECT db.doc_id,
+       CAST(sum(db.c) AS BIGINT) AS n_bigrams,
+       CAST(sum(db.c * lnq.lq) AS BIGINT) AS logprob_q,
+       -(CAST(sum(db.c * lnq.lq) AS DOUBLE) / {_LNQ_SCALE})
+         / CAST(sum(db.c) AS DOUBLE) AS xent_nats
+FROM db JOIN lnq ON db.w1 = lnq.w1 AND db.w2 = lnq.w2
+GROUP BY db.doc_id
+"""
+
+def _doc_bigram_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2, c) — the Spark mirror of _BIGRAM_CTES' db,
+    shared by the add-one and Kneser-Ney scorers."""
+    t = docs.select("doc_id", tokens("text").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    # zip_with over shifted slices is O(tokens) per doc; an element_at
+    # over a sequence() of indices would be O(tokens^2) per doc.
+    pairs = F.zip_with(
+        F.expr("slice(toks, 1, size(toks) - 1)"),
+        F.expr("slice(toks, 2, size(toks) - 1)"),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        t.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+_BIGRAM_XENT_ORACLE = f"""
+WITH {_BIGRAM_CTES},
 v AS (
   SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vs
   FROM (SELECT unnest(toks) AS tok FROM t)
@@ -691,14 +730,7 @@ lnq AS (
                     * {_LNQ_SCALE}) AS BIGINT) AS lq
   FROM bc JOIN ctx USING (w1) CROSS JOIN v
 )
-SELECT db.doc_id,
-       CAST(sum(db.c) AS BIGINT) AS n_bigrams,
-       CAST(sum(db.c * lnq.lq) AS BIGINT) AS logprob_q,
-       -(CAST(sum(db.c * lnq.lq) AS DOUBLE) / {_LNQ_SCALE})
-         / CAST(sum(db.c) AS DOUBLE) AS xent_nats
-FROM db JOIN lnq ON db.w1 = lnq.w1 AND db.w2 = lnq.w2
-GROUP BY db.doc_id
-"""
+{_BIGRAM_TAIL}"""
 
 
 @register(
@@ -729,20 +761,7 @@ def q_text_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     before deriving the count branches (same Catalyst subtree-sharing
     note as text_unigram_xent)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", tokens("text").alias("toks")).where(F.size("toks") >= 2)
-    # zip_with over shifted slices is O(tokens) per doc; an element_at
-    # over a sequence() of indices would be O(tokens^2) per doc.
-    pairs = F.zip_with(
-        F.expr("slice(toks, 1, size(toks) - 1)"),
-        F.expr("slice(toks, 2, size(toks) - 1)"),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    db = (
-        t.select("doc_id", F.explode(pairs).alias("p"))
-        .select("doc_id", "p.w1", "p.w2")
-        .groupBy("doc_id", "w1", "w2")
-        .agg(F.count("*").alias("c"))
-    )
+    db = _doc_bigram_counts(docs)
     bc = db.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
     ctx = bc.groupBy("w1").agg(F.sum("cb").alias("cw"))
     vocab = docs.select(F.explode(tokens("text")).alias("tok")).agg(
@@ -1643,6 +1662,93 @@ def q_bpe_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_symbol"),
         )
     )
+
+
+# ------------- bigram LM cross-entropy (interpolated Kneser-Ney)
+
+_KN_DISCOUNT = 0.75
+
+_KN_XENT_ORACLE = f"""
+WITH {_BIGRAM_CTES},
+prec AS (SELECT w2, CAST(count(*) AS BIGINT) AS np FROM bc GROUP BY w2),
+btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bc),
+lnq AS (
+  SELECT bc.w1, bc.w2,
+         CAST(round(ln(
+           (CAST(cb AS DOUBLE) - {_KN_DISCOUNT}) / cw
+           + (({_KN_DISCOUNT} * nf) / cw)
+             * (CAST(np AS DOUBLE) / b)
+         ) * {_LNQ_SCALE}) AS BIGINT) AS lq
+  FROM bc JOIN ctx USING (w1) JOIN prec USING (w2) CROSS JOIN btot
+)
+{_BIGRAM_TAIL}"""
+
+
+@register(
+    "text_bigram_xent_kneser_ney",
+    oracle=_KN_XENT_ORACLE,
+    tags=("text-analysis", "llm-pipeline"),
+)
+def q_text_bigram_xent_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an interpolated Kneser-Ney
+    bigram LM (absolute discount D={D}) — the smoothing every serious
+    n-gram LM (KenLM, SRILM defaults) actually uses, where add-one
+    (text_bigram_xent) is the classroom baseline: KN backs off to
+    CONTINUATION probability (how many contexts a word follows) rather
+    than raw frequency, so "Francisco" — frequent but only ever after
+    "San" — stops looking like a plausible continuation everywhere.
+    Running both scorers gives the corpus-quality ranking a smoothing
+    sensitivity check.
+
+    Every scored doc-bigram exists in the corpus model by construction
+    (the corpus contains the docs), so cb >= 1 and the unseen-backoff
+    branch is unreachable — the max(c-D, 0) guard collapses and P is
+    one fixed expression over five exact integer counts (cb, cw,
+    follower types nf, preceder types np, total bigram types B). ln
+    quantizes to integer nano-nats per corpus bigram; per-doc
+    reductions are exact integer sums — partitioning-independent.
+
+    Scale shape is text_bigram_xent's: bigram-vocabulary-sized count
+    tables, probability join back on (w1, w2) — already the
+    aggregation key; only the 1-row bigram-type total broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    db = _doc_bigram_counts(docs)
+    bc = db.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("cb").alias("cw"), F.count("*").alias("nf")
+    )
+    prec = bc.groupBy("w2").agg(F.count("*").alias("np"))
+    btot = bc.agg(F.count("*").alias("b"))
+    p = (F.col("cb").cast("double") - _KN_DISCOUNT) / F.col("cw") + (
+        (_KN_DISCOUNT * F.col("nf")) / F.col("cw")
+    ) * (F.col("np").cast("double") / F.col("b"))
+    lnq = (
+        bc.join(ctx, "w1")
+        .join(prec, "w2")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.round(F.log(p) * _LNQ_SCALE).cast("long").alias("lq"),
+        )
+    )
+    return (
+        db.join(lnq, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("lq")).alias("logprob_q"),
+            (
+                -(F.sum(F.col("c") * F.col("lq")).cast("double") / _LNQ_SCALE)
+                / F.sum("c").cast("double")
+            ).alias("xent_nats"),
+        )
+    )
+
+
+q_text_bigram_xent_kn.__doc__ = q_text_bigram_xent_kn.__doc__.format(
+    D=_KN_DISCOUNT
+)
 
 
 # ------------------------- perplexity buckets per language (CCNet gate)

@@ -657,3 +657,30 @@ def test_iqr_fences_hand_case(spark, monkeypatch):
     assert r.fence_lo == 30000.0 - 1.5 * 40000.0
     assert r.fence_hi == 70000.0 + 1.5 * 40000.0
     assert r.n_low == 0 and r.n_high == 1
+
+
+def test_kneser_ney_hand_counts(spark, monkeypatch):
+    """Two-doc corpus with hand-computable KN probabilities: verify
+    each doc's cross-entropy against the interpolated formula."""
+    import math
+
+    import mapreducegcp_spark.operators.textstats as ts_mod
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "en", "s", 7), (2, "a c", "en", "s", 3)], DOC_SCHEMA
+    )
+    monkeypatch.setattr(ts_mod, "load_table", lambda *a, **k: docs)
+    out = {
+        r.doc_id: r
+        for r in all_queries()["text_bigram_xent_kneser_ney"].fn(spark, "ignored").collect()
+    }
+    # bc: (a,b)=2 (b,a)=1 (a,c)=1; ctx a:(cw 3, nf 2) b:(1,1); np all 1; B=3
+    d = 0.75
+    p_ab = (2 - d) / 3 + (d * 2 / 3) * (1 / 3)
+    p_ba = (1 - d) / 1 + (d * 1 / 1) * (1 / 3)
+    p_ac = (1 - d) / 3 + (d * 2 / 3) * (1 / 3)
+    assert out[1].n_bigrams == 3
+    assert abs(out[1].xent_nats - (-(2 * math.log(p_ab) + math.log(p_ba)) / 3)) < 1e-6
+    assert abs(out[2].xent_nats - (-math.log(p_ac))) < 1e-6
+    # probabilities out of each context sum to <= 1 (mass reserved by D)
+    assert p_ab + p_ac < 1.0
