@@ -55,9 +55,8 @@ def _hits(toks: Column, profile: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(prof, t)))
 
 
-@register(
-    "text_lang_id",
-    oracle=f"""
+# Shared by the lang-id query and its confusion-matrix eval.
+_LANGID_ORACLE = f"""
 WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
 s AS (
   SELECT doc_id, lang,
@@ -73,9 +72,10 @@ SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
             WHEN s_es >= s_fr THEN 'es'
             ELSE 'fr' END AS pred_lang
 FROM s
-""",
-    tags=("text-analysis",),
-)
+"""
+
+
+@register("text_lang_id", oracle=_LANGID_ORACLE, tags=("text-analysis",))
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language-ID: score each doc against per-language
     stopword sets, predict the argmax (deterministic tie-break by
@@ -91,6 +91,50 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("fr")
     )
     return t.select("doc_id", "lang", "s_en", "s_de", "s_es", "s_fr", pred.alias("pred_lang"))
+
+
+_LANGID_EVAL_ORACLE = f"""
+WITH base AS ({_LANGID_ORACLE.strip()}),
+cm AS (
+  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY lang, pred_lang
+),
+tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_total FROM cm GROUP BY lang)
+SELECT cm.lang, cm.pred_lang, cm.n, tot.lang_total,
+       CAST(cm.n AS DOUBLE) / tot.lang_total AS share
+FROM cm JOIN tot USING (lang)
+"""
+
+
+@register("text_langid_eval", oracle=_LANGID_EVAL_ORACLE, tags=("text-analysis",))
+def q_text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-profile language-ID against
+    the table's labeled ``lang`` — completing the eval-matrix pattern
+    (dedup_lsh_eval, dedup_simhash_eval, the ANN recall gates): every
+    heuristic the engine ships gets an in-engine, oracle-checked
+    accuracy statement. The diagonal share per language is its recall;
+    off-diagonal rows say WHICH languages the heuristic confuses —
+    what you check before trusting lang-id to route a 100 TB corpus.
+
+    Scale: the lang-id scan is one map-only pass; the matrix is a
+    (|langs|^2)-group rollup with map-side combine; totals join back
+    at language cardinality. Shares are one exact-integer division."""
+    base = q_text_lang_id(spark, sf_dir)
+    # cm feeds both the totals and the output join — the lazy
+    # checkpoint keeps the corpus-sized lang-id scan to ONE pass
+    cm = (
+        base.groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cm.groupBy("lang").agg(F.sum("n").alias("lang_total"))
+    return cm.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "pred_lang",
+        "n",
+        "lang_total",
+        (F.col("n").cast("double") / F.col("lang_total")).alias("share"),
+    )
 
 
 @register(

@@ -1584,3 +1584,179 @@ def q_timeseries_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_days", "n_pairs", "slope_nano", "icept_nano")
     )
+
+
+# -------------------- linear multi-touch attribution (integer cents)
+
+_ATTR_WINDOW_S = 3600  # lookback: clicks within 1h before the purchase
+
+_ATTR_ORACLE = f"""
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts,
+         CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS c_id, user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+),
+m AS (
+  SELECT p.p_id, p.user_id, p.cents, c.c_id, c.c_ts,
+         CAST(count(*) OVER (PARTITION BY p.p_id) AS BIGINT) AS k,
+         ROW_NUMBER() OVER (PARTITION BY p.p_id
+                            ORDER BY c.c_ts, c.c_id) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.c_ts <= p.p_ts
+   AND c.c_ts >= p.p_ts - INTERVAL {_ATTR_WINDOW_S} SECONDS
+),
+credit AS (
+  SELECT user_id, p_id, c_id,
+         cents // k + CASE WHEN rn <= cents % k THEN 1 ELSE 0 END AS cr
+  FROM m
+)
+SELECT user_id,
+       CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+       CAST(count(*) AS BIGINT) AS n_credited_clicks,
+       CAST(sum(cr) AS BIGINT) AS credited_cents
+FROM credit GROUP BY user_id
+"""
+
+
+@register("events_attribution_linear", oracle=_ATTR_ORACLE, tags=("timeseries",))
+def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across the SAME user's clicks in the 1-hour lookback
+    window (purchases with no window click earn no attribution rows)
+    — the marketing-credit model between last-touch
+    (asof_join_last_click) and data-driven, and the canonical
+    windowed many-to-many temporal join.
+
+    Exact money: the split is INTEGER cents via floor division with
+    the remainder pennies going to the earliest clicks (largest-
+    remainder rule, deterministic (ts, event_id) order) — per-purchase
+    credits sum back to the purchase exactly, and every rollup is an
+    exact integer sum; a double value/k split would neither re-sum
+    exactly nor hash stably. Scale: the join shuffles both sides once
+    on user_id and the time predicate bounds fan-out to the window;
+    per-purchase windows partition on p_id (purchase-sized groups,
+    never a global sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        (F.col("value").cast("decimal(18,4)") * 100).cast("long").alias("cents"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    m = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_S} SECONDS")
+        ),
+    )
+    wk = Window.partitionBy("p_id")
+    wr = Window.partitionBy("p_id").orderBy(F.asc("c_ts"), F.asc("c_id"))
+    credit = m.select(
+        "user_id",
+        "p_id",
+        "c_id",
+        "cents",
+        F.count("*").over(wk).alias("k"),
+        F.row_number().over(wr).alias("rn"),
+    ).select(
+        "user_id",
+        "p_id",
+        "c_id",
+        (
+            F.floor(F.col("cents") / F.col("k")).cast("long")
+            + F.when(F.col("rn") <= F.col("cents") % F.col("k"), 1).otherwise(0)
+        ).alias("cr"),
+    )
+    return credit.groupBy("user_id").agg(
+        F.countDistinct("p_id").alias("n_purchases"),
+        F.count("*").alias("n_credited_clicks"),
+        F.sum("cr").alias("credited_cents"),
+    )
+
+
+# ----------------------- click abandonment (no purchase in window)
+
+_ABANDON_WINDOW_S = 3600
+
+_ABANDON_ORACLE = f"""
+WITH u AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag,
+         CASE WHEN event_type = 'purchase' THEN ts END AS p_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+nxt AS (
+  SELECT user_id, ts, event_id, tag,
+         min(p_ts) OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_p
+  FROM u
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(sum(CASE WHEN next_p IS NULL
+                     OR date_diff('second', ts, next_p) > {_ABANDON_WINDOW_S}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+       CAST(sum(CASE WHEN next_p IS NULL
+                     OR date_diff('second', ts, next_p) > {_ABANDON_WINDOW_S}
+                THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS abandonment_rate
+FROM nxt WHERE tag = 0
+GROUP BY user_id
+"""
+
+
+@register("funnel_abandonment_window", oracle=_ABANDON_ORACLE, tags=("timeseries",))
+def q_funnel_abandonment_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cart-abandonment per user: clicks with NO purchase by the same
+    user within the following hour — the inverse of the conversion
+    funnel, and the segment a re-engagement campaign targets.
+
+    NOT a range anti-join (quadratic on hot users): one user_id
+    shuffle, one in-partition sort, then each click reads the NEXT
+    purchase timestamp from a running forward-min window — the
+    asof_join_last_click merge-scan shape, pointed forward. Clicks
+    sort before purchases at equal ts ((ts, tag) order), so a
+    same-second purchase counts as converted — the inclusive bound
+    both engines replay. Lag compares in exact truncated seconds;
+    the rate is one exact-integer division."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("tag"),
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("tag"), F.asc("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = u.select(
+        "user_id", "ts", "tag", F.min("p_ts").over(w).alias("next_p")
+    )
+    lag_s = F.unix_timestamp("next_p") - F.unix_timestamp("ts")
+    abandoned = F.col("next_p").isNull() | (lag_s > _ABANDON_WINDOW_S)
+    return (
+        nxt.where(F.col("tag") == 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.sum(abandoned.cast("long")).alias("n_abandoned"),
+            (
+                F.sum(abandoned.cast("long")).cast("double") / F.count("*")
+            ).alias("abandonment_rate"),
+        )
+    )

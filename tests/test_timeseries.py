@@ -146,3 +146,46 @@ def test_theilsen_exact_on_linear_series_with_outlier(spark, monkeypatch):
     assert r.slope_nano == 2_000_000_000  # slope exactly 2
     # median residual of (y - 2*rn) = 1 for all non-outlier days
     assert r.icept_nano == 1_000_000_000
+
+
+def test_attribution_integer_split_and_window(spark, monkeypatch):
+    """1001 cents over two window clicks: earliest gets the remainder
+    penny (501/500); a click outside the 1h lookback earns nothing;
+    purchases with no window click produce no rows."""
+    import mapreducegcp_spark.operators.timeseries as ts
+
+    rows = [
+        (1, T0 - timedelta(hours=2), 1, "click", 0.0, "{}"),     # outside
+        (2, T0 - timedelta(minutes=30), 1, "click", 0.0, "{}"),  # in window
+        (3, T0 - timedelta(minutes=10), 1, "click", 0.0, "{}"),  # in window
+        (4, T0, 1, "purchase", 10.01, "{}"),
+        (5, T0, 2, "purchase", 99.0, "{}"),                      # no clicks
+    ]
+    monkeypatch.setattr(ts, "load_table", lambda *a, **k: _events(spark, rows))
+    out = {r.user_id: r for r in ts.q_events_attribution_linear(spark, SF_DIR).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert (r.n_purchases, r.n_credited_clicks, r.credited_cents) == (1, 2, 1001)
+
+
+def test_abandonment_forward_window(spark, monkeypatch):
+    """Click converted by a purchase 30 min later; a lone click and a
+    click whose purchase is 2h away are abandoned; same-second
+    purchase counts as converted (inclusive bound)."""
+    import mapreducegcp_spark.operators.timeseries as ts
+
+    rows = [
+        (1, T0, 1, "click", 0.0, "{}"),
+        (2, T0 + timedelta(minutes=30), 1, "purchase", 1.0, "{}"),
+        (3, T0 + timedelta(hours=3), 1, "click", 0.0, "{}"),     # abandoned
+        (4, T0 + timedelta(hours=6), 1, "purchase", 1.0, "{}"),  # 3h later
+        (5, T0, 2, "click", 0.0, "{}"),                          # abandoned
+        (6, T0, 3, "click", 0.0, "{}"),
+        (7, T0, 3, "purchase", 1.0, "{}"),                       # same second
+    ]
+    monkeypatch.setattr(ts, "load_table", lambda *a, **k: _events(spark, rows))
+    out = {r.user_id: r for r in ts.q_funnel_abandonment_window(spark, SF_DIR).collect()}
+    assert (out[1].n_clicks, out[1].n_abandoned) == (2, 1)
+    assert (out[2].n_clicks, out[2].n_abandoned) == (1, 1)
+    assert (out[3].n_clicks, out[3].n_abandoned) == (1, 0)
+    assert out[2].abandonment_rate == 1.0
