@@ -180,6 +180,13 @@ PROBES = {
     # Power iteration: per-round cost is one corpus pass (fold + 64-group
     # map-side rollup); replication grows rows 10x, rounds stay 6.
     "embedding_top_eigenvector": {"embeddings": ["vec_id"]},
+    # KN replays the bigram-LM shape (vocab-sized count tables, join
+    # back on the agg key); attribution/abandonment replicate users so
+    # per-user event density — and thus window fan-out — is preserved.
+    "text_bigram_xent_kneser_ney": {"documents": ["doc_id"]},
+    "events_attribution_linear": {"events": ["event_id", "user_id"]},
+    "funnel_abandonment_window": {"events": ["event_id", "user_id"]},
+    "text_langid_eval": {"documents": ["doc_id"]},
 }
 
 
