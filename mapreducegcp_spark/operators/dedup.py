@@ -1306,3 +1306,41 @@ def q_dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_dedup_simhash_eval.__doc__ = q_dedup_simhash_eval.__doc__.format(
     T=SIMHASH_HAMMING_T
 )
+
+
+# -------------- semantic (embedding) vs lexical (Jaccard) dedup eval
+
+_SEMVLEX_ORACLE = f"""
+WITH truth AS (SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE.strip()})),
+est AS (
+  SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({_COSINE_DUP_ORACLE.strip()})
+),
+{_pair_eval_tail_oracle("est")}"""
+
+
+@register(
+    "dedup_semantic_vs_lexical_eval",
+    oracle=_SEMVLEX_ORACLE,
+    tags=("llm-pipeline",),
+)
+def q_dedup_semantic_vs_lexical_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-modal dedup agreement: the embedding-cosine near-dup pair
+    set (vec/doc ids are 1:1) scored against the shingle-Jaccard
+    ground truth with the shared confusion-matrix helper — the third
+    row of the fuzzy-dedup eval matrix (MinHash estimates Jaccard,
+    SimHash proxies it via bit signs, embeddings replace it with
+    SEMANTIC similarity). Low precision here is not a bug: it
+    quantifies exactly how many semantic-duplicate pairs lexical
+    dedup would keep — the number you need before deciding whether to
+    run the (more expensive) embedding pass at all.
+
+    Scale: both pair sets are the operators' own bucketed/prefiltered
+    outputs; the comparison is the O(pairs) full-outer join + rollup
+    shared with lsh_eval/simhash_eval."""
+    truth = jaccard_pair_graph(spark, sf_dir)
+    est = q_dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return pair_set_eval(truth, est)

@@ -1760,3 +1760,106 @@ def q_funnel_abandonment_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abandonment_rate"),
         )
     )
+
+
+# --------------------------------- traffic heatmap (weekday x hour)
+
+_HEATMAP_ORACLE = """
+WITH g AS (
+  SELECT CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+SELECT g.dow, g.hr, g.n, CAST(g.n AS DOUBLE) / t.total AS share
+FROM g CROSS JOIN t
+"""
+
+
+@register("events_heatmap_hour_dow", oracle=_HEATMAP_ORACLE, tags=("timeseries",))
+def q_events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic heatmap: event share per (weekday, hour-of-day) cell —
+    the capacity-planning / anomaly-baseline grid behind "is Tuesday
+    3am load normal?". Weekday convention pinned to Sunday=0 on both
+    engines (Spark dayofweek - 1 == DuckDB dayofweek, the
+    timeseries_weekday_seasonal precedent).
+
+    Scale: ONE map-side rollup into <= 168 cells (lazily checkpointed
+    — it feeds both the total and the output), then cell-cardinality
+    arithmetic against the broadcast 1-row total; shares are single
+    exact-integer divisions."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.groupBy(
+            (F.dayofweek(F.to_date("ts")) - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hr"),
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    t = g.agg(F.sum("n").alias("total"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "hr",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+    )
+
+
+# ------------------------------- moving median of the daily series
+
+_MOVMED_DAYS = 7
+
+_MOVMED_ORACLE = f"""
+WITH {_DAILY_CTE}
+SELECT day, cents,
+       quantile_cont(cents, 0.5) OVER (
+         ORDER BY day ROWS BETWEEN {_MOVMED_DAYS - 1} PRECEDING AND CURRENT ROW
+       ) AS med{_MOVMED_DAYS}
+FROM d
+"""
+
+
+@register("timeseries_moving_median", oracle=_MOVMED_ORACLE, tags=("timeseries",))
+def q_timeseries_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {W}-day moving MEDIAN of daily value totals — the
+    robust smoother that, unlike the EWMA/Holt family, passes a level
+    shift through crisply while entirely ignoring a one-day spike;
+    the standard robust baseline for "is today out of line with the
+    recent past".
+
+    Implementation avoids an unpartitioned window over an unbounded
+    input: the corpus-sized stage is the shared daily rollup; the
+    day series then folds into ONE sorted array and each day's
+    trailing slice re-sorts <= {W} exact integers — medians of
+    bigints interpolate to exact .0/.5 doubles, matching DuckDB's
+    windowed quantile_cont bit-for-bit. Days are calendar-bounded,
+    so the single-row array stage never grows with data volume."""
+    w = _MOVMED_DAYS
+    d = _daily_rollup(spark, sf_dir)
+    ser = d.agg(
+        F.expr("array_sort(collect_list(struct(day, cents)))").alias("arr")
+    )
+    rows = ser.select(
+        "arr", F.explode(F.expr("sequence(1, size(arr))")).alias("i")
+    )
+    win = (
+        f"array_sort(transform(slice(arr, greatest(1, i - {w - 1}),"
+        f" i - greatest(1, i - {w - 1}) + 1), a -> a.cents))"
+    )
+    med = (
+        f"CASE WHEN size({win}) % 2 = 1"
+        f" THEN CAST(element_at({win},"
+        f"      CAST((size({win}) + 1) DIV 2 AS INT)) AS DOUBLE)"
+        f" ELSE (CAST(element_at({win},"
+        f"        CAST(size({win}) DIV 2 AS INT)) AS DOUBLE)"
+        f"       + CAST(element_at({win},"
+        f"         CAST(size({win}) DIV 2 + 1 AS INT)) AS DOUBLE))"
+        f"      / 2.0 END"
+    )
+    return rows.select(
+        F.expr("element_at(arr, i).day").alias("day"),
+        F.expr("element_at(arr, i).cents").alias("cents"),
+        F.expr(med).alias(f"med{w}"),
+    )

@@ -189,3 +189,26 @@ def test_abandonment_forward_window(spark, monkeypatch):
     assert (out[2].n_clicks, out[2].n_abandoned) == (1, 1)
     assert (out[3].n_clicks, out[3].n_abandoned) == (1, 0)
     assert out[2].abandonment_rate == 1.0
+
+
+def test_moving_median_ignores_spike(spark, monkeypatch):
+    """Daily values 10,10,1000,10,10: the 7-day trailing median never
+    leaves 10 after day 1 except the even-count interpolations; the
+    spike day's own median is still pinned by the neighbors."""
+    import mapreducegcp_spark.operators.timeseries as ts
+
+    vals = [10.0, 10.0, 1000.0, 10.0, 10.0]
+    rows = [
+        (i, datetime(2024, 1, 1 + i), 1, "view", vals[i], "{}")
+        for i in range(5)
+    ]
+    monkeypatch.setattr(ts, "load_table", lambda *a, **k: _events(spark, rows))
+    out = sorted(
+        ts.q_timeseries_moving_median(spark, SF_DIR).collect(),
+        key=lambda r: r.day,
+    )
+    meds = [r.med7 for r in out]
+    # cents = value * 10000; windows: [10],[10,10],[10,10,1000],
+    # [10,10,10,1000] (even: (10+10)/2), [10,10,10,10,1000]
+    assert meds == [100000.0, 100000.0, 100000.0, 100000.0, 100000.0]
+    assert out[2].cents == 10_000_000
