@@ -72,3 +72,20 @@ def test_oracle_and_query_key_sets_match():
     qs = registry.query_fns()
     os_ = registry.oracle_sqls()
     assert set(qs) == set(os_)
+
+
+def test_catalog_md_matches_registry():
+    """CATALOG.md is the generated authoritative inventory; it drifted
+    silently in round 4 (registry 270 vs catalog 267). Fail loudly on
+    any future drift: the set of backtick-quoted query names in the
+    committed file must equal all_queries() exactly."""
+    import re
+    from pathlib import Path
+
+    text = (Path(registry.__file__).resolve().parent.parent / "CATALOG.md").read_text()
+    listed = set(re.findall(r"^\| `([a-z0-9_]+)` \|", text, flags=re.M))
+    registered = set(registry.all_queries())
+    assert listed == registered, (
+        f"CATALOG.md drift: missing={sorted(registered - listed)} "
+        f"extra={sorted(listed - registered)} — rerun tools/gen_catalog.py"
+    )
