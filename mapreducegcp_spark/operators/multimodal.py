@@ -7,14 +7,18 @@ frame-sample as Arrow-batched Python over ``mapInPandas``. The
 reference has no binary support at all (its KV store caps values at
 250 chars of JSON — KeyValueStore/KeyValueStore.py:25-26).
 
-The container has no image/audio codecs, so the *real* decoder is a
-clearly-marked stub (``decode_media`` raises NotImplementedError) and
-the registered queries use deterministic byte arithmetic instead —
-which keeps every piece of Spark-side plumbing (binary schema, struct
-metadata, Arrow batch shapes, mapInPandas signature, frame slicing)
-real and oracle-checkable. The testdata has no binary column either,
-so payloads are derived deterministically as ``encode(text, 'UTF-8')``
-— ASCII corpus, so DuckDB can reproduce every byte from the string.
+The container has no image/audio codec LIBRARIES (PIL/soundfile), but
+uncompressed container formats need none: ``encode_media`` writes real
+BMP / binary-PPM / PCM-WAV files (correct magic, fixed-offset header
+fields, payload as pixel/sample data) and ``decode_media`` parses the
+headers back with bounded pure-Python reads — so the decode stage is
+REAL for those three formats (see ``multimodal_decode_dims``, which
+round-trips bytes through both). Compressed formats (png/jpeg/...)
+still raise NotImplementedError: entropy coding without a codec
+library is out of scope, and a deployment wires PIL in at the same
+seam. The testdata has no binary column, so payloads are derived
+deterministically as ``encode(text, 'UTF-8')`` — ASCII corpus, so
+DuckDB can reproduce every byte from the string.
 
 Scale posture: payload bytes never leave the executor except through
 aggregated features; mapInPandas streams Arrow batches (no
@@ -42,18 +46,101 @@ FRAME_BYTES = 16  # frame-sample granularity
 FRAME_STRIDE = 4  # keep every 4th frame
 
 
-def decode_media(payload: bytes, fmt: str):
-    """Decode a binary payload into pixels/samples.
+# Uncompressed container formats the in-repo codec handles end-to-end.
+DECODE_FORMATS = ("bmp", "ppm", "wav")
 
-    Real codecs (PIL / soundfile / ffmpeg) are not available in this
-    environment; a deployment wires them in here. The Spark-side
-    contract — bytes in, ndarray out, called from Arrow batches — is
-    what the rest of the module exercises.
+
+def _codec_fns():
+    """Build (encode_media, decode_media) as self-contained closures.
+
+    Factory-local so cloudpickle ships them BY VALUE into Python
+    workers (module-level functions pickle by reference and fail when
+    the package isn't on the worker's import path — the
+    make_feature_extractor convention).
+
+    - ``bmp``: BITMAPFILEHEADER + BITMAPINFOHEADER (8bpp; no palette —
+      header-complete, and the decode path never reads the body)
+    - ``ppm``: binary P6 with ASCII ``width height`` / maxval header
+    - ``wav``: RIFF/WAVE with a PCM ``fmt `` chunk (8-bit mono) and a
+      ``data`` chunk; one byte == one sample
+
+    Pure ``struct`` at fixed offsets — no codec library. Compressed
+    formats (png/jpeg/...) raise NotImplementedError: entropy coding
+    without a codec library is out of scope; a deployment wires
+    PIL/soundfile in at this same seam.
     """
-    raise NotImplementedError(
-        f"no codec for {fmt!r} in this environment; install PIL/soundfile and "
-        "replace this stub"
-    )
+
+    def encode_media(data: bytes, fmt: str, width: int = 0, height: int = 0,
+                     sample_rate: int = 0) -> bytes:
+        import struct
+
+        if fmt == "bmp":
+            dib = struct.pack(
+                "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(data), 2835, 2835, 0, 0
+            )
+            head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
+            return head + dib + data
+        if fmt == "ppm":
+            return f"P6\n{width} {height}\n255\n".encode("ascii") + data
+        if fmt == "wav":
+            fmt_chunk = struct.pack(
+                "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate, 1, 8
+            )
+            return (
+                struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+                + fmt_chunk
+                + struct.pack("<4sI", b"data", len(data))
+                + data
+            )
+        raise NotImplementedError(f"no encoder for {fmt!r}")
+
+    def decode_media(payload: bytes, fmt: str) -> dict:
+        """Parse a container header into typed media properties.
+
+        Bounded read (fixed-offset ``struct.unpack`` / one short ASCII
+        header scan; never touches the pixel/sample body — O(1) per
+        payload regardless of size). Returns ``{"fmt", "width",
+        "height"}`` for images, ``{"fmt", "sample_rate", "n_samples"}``
+        for wav; raises ValueError on a bad magic number."""
+        import struct
+
+        if fmt == "bmp":
+            if payload[:2] != b"BM":
+                raise ValueError("bad BMP magic")
+            width, height = struct.unpack("<ii", payload[18:26])
+            return {"fmt": fmt, "width": width, "height": abs(height)}
+        if fmt == "ppm":
+            if payload[:2] != b"P6":
+                raise ValueError("bad PPM magic")
+            # header: magic, width, height, maxval as ASCII tokens
+            toks, i, tok = [], 2, b""
+            while len(toks) < 3 and i < min(len(payload), 64):
+                c = payload[i : i + 1]
+                if c.isspace():
+                    if tok:
+                        toks.append(tok)
+                        tok = b""
+                else:
+                    tok += c
+                i += 1
+            if len(toks) < 2:
+                raise ValueError("truncated PPM header")
+            return {"fmt": fmt, "width": int(toks[0]), "height": int(toks[1])}
+        if fmt == "wav":
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError("bad WAV magic")
+            sample_rate = struct.unpack("<I", payload[24:28])[0]
+            n_samples = struct.unpack("<I", payload[40:44])[0]
+            return {"fmt": fmt, "sample_rate": sample_rate, "n_samples": n_samples}
+        raise NotImplementedError(
+            f"no codec for {fmt!r} in this environment; install PIL/soundfile "
+            "and wire it in here"
+        )
+
+    return encode_media, decode_media
+
+
+encode_media, decode_media = _codec_fns()
 
 
 def with_payload(docs: DataFrame) -> DataFrame:
@@ -638,4 +725,116 @@ def q_multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("n_copies") - 1) * F.col("n_bytes")).alias(
             "bytes_reclaimable"
         ),
+    )
+
+
+# ------------------------------------------------ real decode + dims gate
+
+MIN_WIDTH = 32       # min-resolution gate for images
+MIN_HEIGHT = 24
+MIN_SAMPLE_RATE = 12000  # telephone-band audio is dropped
+
+
+def make_decode_dims_fn():
+    """mapInPandas stage: synthesize a REAL container file per payload
+    (encode_media), then parse its header back (decode_media) and emit
+    the DECODED properties — a genuine byte round-trip, not a formula
+    replay: the emitted width/height/sample_rate come out of the
+    header bytes. Closure-local so cloudpickle ships it by value; the
+    codec pair is re-built here (not referenced as module globals) so
+    it ships by value too."""
+    enc, dec = _codec_fns()
+    formats = DECODE_FORMATS
+
+    def decode_dims(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            cols = {
+                "doc_id": pdf["doc_id"],
+                "fmt": [""] * n,
+                "width": pd.array([None] * n, dtype="Int32"),
+                "height": pd.array([None] * n, dtype="Int32"),
+                "sample_rate": pd.array([None] * n, dtype="Int32"),
+                "n_samples": pd.array([None] * n, dtype="Int64"),
+            }
+            for i, (doc_id, payload) in enumerate(zip(pdf["doc_id"], pdf["payload"])):
+                fmt = formats[int(doc_id) % 3]
+                blob = enc(
+                    bytes(payload),
+                    fmt,
+                    width=int(doc_id) % 64 + 16,
+                    height=int(doc_id) % 48 + 12,
+                    sample_rate=8000 + (int(doc_id) % 4) * 4000,
+                )
+                props = dec(blob, fmt)
+                cols["fmt"][i] = fmt
+                if fmt == "wav":
+                    cols["sample_rate"][i] = props["sample_rate"]
+                    cols["n_samples"][i] = props["n_samples"]
+                else:
+                    cols["width"][i] = props["width"]
+                    cols["height"][i] = props["height"]
+            yield pd.DataFrame(cols)
+
+    return decode_dims
+
+
+@register(
+    "multimodal_decode_dims",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         ['bmp', 'ppm', 'wav'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+         CAST(doc_id % 64 + 16 AS INT) AS w,
+         CAST(doc_id % 48 + 12 AS INT) AS h,
+         CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate,
+         CAST(strlen(text) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id, fmt,
+       CASE WHEN fmt <> 'wav' THEN w END AS width,
+       CASE WHEN fmt <> 'wav' THEN h END AS height,
+       CASE WHEN fmt = 'wav' THEN rate END AS sample_rate,
+       CASE WHEN fmt = 'wav' THEN n END AS n_samples,
+       CASE WHEN fmt <> 'wav' THEN CAST(w * 1000 // h AS INT) END AS aspect_milli
+FROM m
+WHERE (fmt <> 'wav' AND w >= {MIN_WIDTH} AND h >= {MIN_HEIGHT})
+   OR (fmt = 'wav' AND rate >= {MIN_SAMPLE_RATE})
+""",
+    tags=("multimodal", "llm-pipeline"),
+)
+def q_multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode-then-gate stage of a multimodal ingest: write every
+    payload into a real container (BMP / binary-PPM / PCM-WAV — actual
+    magic bytes and fixed-offset header fields), parse the header BACK
+    with decode_media, and filter on the DECODED properties: images
+    must clear a min-resolution gate, audio a min-sample-rate gate.
+    The filter and the aspect ratio run on values that round-tripped
+    through container bytes — the oracle recomputes them closed-form
+    from doc_id, so any header-layout bug breaks the hash.
+
+    Scale: map-only (zero exchanges) — encode+parse is O(header) per
+    payload inside the Arrow batch, the gate prunes before anything
+    downstream, and only typed scalars leave the executor. At 100 TB
+    this is the stage that sits between the blob scan and the GPU
+    decode pool, deciding what is worth decoding in full."""
+    m = with_payload(load_table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    decoded = m.mapInPandas(
+        make_decode_dims_fn(),
+        schema="doc_id long, fmt string, width int, height int, "
+        "sample_rate int, n_samples long",
+    )
+    keep = (
+        (F.col("fmt") != "wav")
+        & (F.col("width") >= MIN_WIDTH)
+        & (F.col("height") >= MIN_HEIGHT)
+    ) | ((F.col("fmt") == "wav") & (F.col("sample_rate") >= MIN_SAMPLE_RATE))
+    return decoded.filter(keep).select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        "sample_rate",
+        "n_samples",
+        F.expr("CAST(width * 1000 div height AS INT)").alias("aspect_milli"),
     )

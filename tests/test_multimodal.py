@@ -6,6 +6,8 @@ from pyspark.sql.types import BinaryType, IntegerType, LongType, StringType, Str
 
 from mapreducegcp_spark.operators.multimodal import (
     decode_media,
+    encode_media,
+    q_multimodal_decode_dims,
     q_multimodal_feature_extract,
     with_payload,
 )
@@ -42,9 +44,39 @@ def test_feature_extract_runs_through_map_in_pandas(spark):
     assert dict(out.dtypes)["byte_sum"] == "bigint"
 
 
-def test_decode_stub_raises():
+def test_decode_compressed_formats_still_raise():
+    # png/jpeg need a real codec library; the seam stays explicit
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "png")
+
+
+def test_encode_decode_round_trip():
+    data = bytes(range(48))
+    bmp = decode_media(encode_media(data, "bmp", width=37, height=21), "bmp")
+    assert (bmp["width"], bmp["height"]) == (37, 21)
+    ppm = decode_media(encode_media(data, "ppm", width=640, height=480), "ppm")
+    assert (ppm["width"], ppm["height"]) == (640, 480)
+    wav = decode_media(encode_media(data, "wav", sample_rate=16000), "wav")
+    assert (wav["sample_rate"], wav["n_samples"]) == (16000, len(data))
+
+
+def test_decode_rejects_bad_magic():
+    with pytest.raises(ValueError):
+        decode_media(b"XXXX" * 16, "bmp")
+    with pytest.raises(ValueError):
+        decode_media(b"XXXX" * 16, "wav")
+
+
+def test_decode_dims_gate(spark):
+    out = q_multimodal_decode_dims(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        if r.fmt == "wav":
+            assert r.sample_rate >= 12000 and r.width is None
+        else:
+            assert r.width >= 32 and r.height >= 24
+            assert r.aspect_milli == r.width * 1000 // r.height
+            assert r.sample_rate is None
 
 
 def test_binary_file_source_ingest(spark, tmp_path):
