@@ -1245,26 +1245,28 @@ def q_embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu[int(r["d"])] = (float(int(r["sx"])) / n) / 1e9
     mu_arr = F.array(*[F.lit(m) for m in mu])
 
+    # Center ONCE and lazily checkpoint the (x - mu) double arrays: all
+    # {I} rounds fold and explode this cached projection instead of
+    # re-reading the parquet and re-subtracting mu per round (each round
+    # previously computed the diffs twice — in the score fold and again
+    # per exploded dimension). Same doubles, so loadings stay
+    # bit-identical to the oracle replay.
+    centered = emb.select(
+        F.zip_with(
+            F.col("embedding"), mu_arr, lambda x, m: x.cast("double") - m
+        ).alias("c")
+    ).localCheckpoint(eager=False)
+
     v = [1.0 / math.sqrt(float(_PCA_DIM))] * _PCA_DIM
     for _ in range(_PCA_ITERS):
         v_arr = F.array(*[F.lit(x) for x in v])
-        diffs = F.zip_with(
-            F.col("embedding"), mu_arr, lambda x, m: x.cast("double") - m
-        )
         t = F.aggregate(
-            F.zip_with(diffs, v_arr, lambda dd, vv: vv * dd),
+            F.zip_with(F.col("c"), v_arr, lambda dd, vv: vv * dd),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        contrib = emb.select(t.alias("t"), F.posexplode("embedding").alias("d", "x"))
-        q = F.round(
-            F.lit(1e9)
-            * F.col("t")
-            * (
-                F.col("x").cast("double")
-                - F.element_at(mu_arr, F.col("d") + 1)
-            )
-        ).cast("long")
+        contrib = centered.select(t.alias("t"), F.posexplode("c").alias("d", "x"))
+        q = F.round(F.lit(1e9) * F.col("t") * F.col("x")).cast("long")
         s_rows = contrib.groupBy("d").agg(F.sum(q).alias("s")).collect()
         s = [0] * _PCA_DIM
         for r in s_rows:
