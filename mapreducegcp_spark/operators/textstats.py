@@ -1045,21 +1045,24 @@ def q_text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------- BPE merge-loop trainer (N rounds)
+# ------------------------- BPE merge-loop trainer (batched rounds)
 
-_BPE_TRAIN_ROUNDS = 4
+_BPE_TRAIN_ROUNDS = 5  # driver syncs — one per round
+_BPE_BATCH = 4         # max merges learned per round (batched BPE)
+_BPE_CAND = 32         # ranked candidates collected per sync
 
 
 def _bpe_train_oracle() -> str:
-    """Generate the DuckDB mirror of the N-round BPE trainer: each
-    round is (pair count -> argmax -> recursive-CTE greedy fold), the
-    fold being the same left-to-right merge the Spark side runs as an
-    ``aggregate`` higher-order function."""
+    """Generate the DuckDB mirror of the batched N-round BPE trainer:
+    each round is (pair count -> rank -> greedy non-conflicting top-B
+    selection via a recursive CTE -> ONE combined recursive-CTE fold
+    applying the whole batch), mirroring the Spark side's single
+    higher-order ``aggregate`` per round."""
     toks = TOKEN_ORACLE_EXPR.format(col="text")
     # Non-recursive CTEs are MATERIALIZED: DuckDB otherwise re-inlines
     # the N-round chain exponentially (176 s -> 0.1 s measured at
-    # sf0.01). The fold{i} members are genuinely recursive and must
-    # stay plain.
+    # sf0.01). The sel{i}/fold{i} members are genuinely recursive and
+    # must stay plain.
     parts = [
         f"""vocab AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS c
@@ -1068,6 +1071,11 @@ def _bpe_train_oracle() -> str:
 ),
 syms0 AS MATERIALIZED (SELECT word, c, string_split(word, '') AS syms FROM vocab)"""
     ]
+    # the greedy-selection condition, repeated per accumulated column
+    pick = (
+        f"len(s.ls) < {_BPE_BATCH} AND NOT list_contains(s.used, q.l) "
+        "AND NOT list_contains(s.used, q.r)"
+    )
     for i in range(1, _BPE_TRAIN_ROUNDS + 1):
         p = i - 1
         parts.append(f"""pairs{i} AS MATERIALIZED (
@@ -1079,49 +1087,106 @@ syms0 AS MATERIALIZED (SELECT word, c, string_split(word, '') AS syms FROM vocab
   )
   GROUP BY p.l, p.r
 ),
-best{i} AS MATERIALIZED (
-  SELECT l, r, l || r AS m, weight
-  FROM pairs{i} ORDER BY weight DESC, l, r LIMIT 1
+ranked{i} AS MATERIALIZED (
+  SELECT l, r, weight,
+         CAST(row_number() OVER (ORDER BY weight DESC, l, r) AS BIGINT) AS rk
+  FROM pairs{i} ORDER BY weight DESC, l, r LIMIT {_BPE_CAND}
+),
+sel{i}(rk, used, ls, rs, ms, ws) AS (
+  SELECT CAST(0 AS BIGINT), CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[]),
+         CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[]), CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT q.rk,
+    CASE WHEN {pick} THEN list_append(list_append(s.used, q.l), q.r) ELSE s.used END,
+    CASE WHEN {pick} THEN list_append(s.ls, q.l) ELSE s.ls END,
+    CASE WHEN {pick} THEN list_append(s.rs, q.r) ELSE s.rs END,
+    CASE WHEN {pick} THEN list_append(s.ms, q.l || q.r) ELSE s.ms END,
+    CASE WHEN {pick} THEN list_append(s.ws, q.weight) ELSE s.ws END
+  FROM sel{i} s JOIN ranked{i} q ON q.rk = s.rk + 1
+),
+batch{i} AS MATERIALIZED (
+  SELECT ls, rs, ms, ws FROM sel{i} ORDER BY rk DESC LIMIT 1
 ),
 fold{i}(word, c, syms, j, acc) AS (
   SELECT v.word, v.c, v.syms, 1, CAST([] AS VARCHAR[]) FROM syms{p} v
   UNION ALL
   SELECT f.word, f.c, f.syms, f.j + 1,
-    CASE WHEN len(f.acc) > 0 AND f.acc[-1] = b.l AND f.syms[f.j] = b.r
-         THEN list_append(f.acc[1:len(f.acc)-1], b.m)
+    CASE WHEN len(f.acc) > 0 AND coalesce(list_position(b.ls, f.acc[-1]), 0) > 0
+              AND b.rs[list_position(b.ls, f.acc[-1])] = f.syms[f.j]
+         THEN list_append(f.acc[1:len(f.acc)-1], b.ms[list_position(b.ls, f.acc[-1])])
          ELSE list_append(f.acc, f.syms[f.j]) END
-  FROM fold{i} f CROSS JOIN best{i} b WHERE f.j <= len(f.syms)
+  FROM fold{i} f CROSS JOIN batch{i} b WHERE f.j <= len(f.syms)
 ),
 syms{i} AS MATERIALIZED (SELECT word, c, acc AS syms FROM fold{i} WHERE j = len(syms) + 1)""")
     rounds_sql = "\nUNION ALL\n".join(
-        f"SELECT CAST({i} AS BIGINT) AS round, l AS left_sym, r AS right_sym,"
-        f" m AS merged, weight FROM best{i}"
+        f"SELECT CAST({i} AS BIGINT) AS round, CAST(u.k AS BIGINT) AS merge_rank,"
+        f" b.ls[u.k] AS left_sym, b.rs[u.k] AS right_sym,"
+        f" b.ms[u.k] AS merged, b.ws[u.k] AS weight"
+        f" FROM batch{i} b, unnest(range(1, len(b.ls) + 1)) u(k)"
         for i in range(1, _BPE_TRAIN_ROUNDS + 1)
     )
     return "WITH RECURSIVE " + ",\n".join(parts) + "\n" + rounds_sql
 
 
+def _batch_fold_expr(batch: list[tuple[str, str, str]], inner: str) -> str:
+    """The one-pass left-to-right merge fold over a round's batch of
+    non-conflicting rules, as a SQL higher-order ``aggregate`` lambda
+    body: an if-chain over the rules (their left symbols are pairwise
+    distinct by construction, so at most one can match — chain order
+    is irrelevant but kept at batch order to mirror the oracle's
+    ``list_position`` lookup). ``inner`` is the array expression the
+    fold runs over."""
+    body = "concat(acc, array(x))"
+    for left, right, merged in reversed(batch):
+        body = (
+            f"if(size(acc) > 0 and element_at(acc, -1) = '{left}' and x = '{right}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{merged}')), {body})"
+        )
+    return f"aggregate({inner}, cast(array() as array<string>), (acc, x) -> {body})"
+
+
+def _select_batch(cand: list) -> list[tuple[str, str, str, int]]:
+    """Greedy non-conflicting selection over ranked candidates: walk
+    (weight DESC, l, r) order, keep a pair iff neither symbol was
+    used by an earlier pick this round, stop at _BPE_BATCH — the
+    standard batched-BPE trick (disjoint symbols means one combined
+    left-to-right pass applies the whole batch unambiguously)."""
+    used: set[str] = set()
+    batch: list[tuple[str, str, str, int]] = []
+    for row in cand:
+        left, right = row["l"], row["r"]
+        if len(batch) < _BPE_BATCH and left not in used and right not in used:
+            used.update((left, right))
+            batch.append((left, right, left + right, int(row["weight"])))
+    return batch
+
+
 @register("bpe_train_merges", oracle=_bpe_train_oracle(), tags=("llm-pipeline",))
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer trainer, {N} merge rounds: the iterative loop on
-    top of ``bpe_pair_counts`` — each round counts corpus-weighted
-    adjacent symbol pairs over the vocabulary, takes the argmax
-    (weight DESC, then lexicographic (left, right) — fully
-    deterministic), and applies the merge greedily left-to-right to
-    every word. Output: one row per round with the learned merge rule
-    and its weight — the merges.txt a real BPE trainer emits.
+    """Batched BPE tokenizer trainer, {N} rounds x up-to-{B} merges:
+    each round counts corpus-weighted adjacent symbol pairs over the
+    vocabulary, ranks them (weight DESC, then lexicographic (left,
+    right) — fully deterministic), greedily selects the top {B}
+    NON-CONFLICTING pairs (no symbol shared with an earlier pick —
+    the standard batched-BPE trick), and applies the whole batch in
+    ONE combined left-to-right fold. Output: one row per learned
+    merge with its round, in-round rank, rule, and weight — the
+    merges.txt a real BPE trainer emits.
 
     Scale shape: the corpus is scanned ONCE (word rollup); every round
     after that is vocabulary-sized — pair explode over distinct words,
-    a map-side-combinable rollup, a 1-row argmax driver sync (bounded,
-    the k-means-centroid pattern), and a map-only higher-order
-    ``aggregate`` fold applying the merge. Round state is lazily
-    checkpointed so round r+1 folds over materialized round-r symbols
-    instead of an r-deep replay. The greedy fold (merge the pair
-    whenever the accumulator's tail matches) is the exact semantics of
-    the reference BPE algorithm's non-overlapping left-to-right scan;
-    the DuckDB oracle replays it with a recursive-CTE fold, so every
-    round's choice is value-hash-checked across engines."""
+    a map-side-combinable rollup, ONE bounded driver sync of {C}
+    ranked candidate rows (batching is what keeps merges-per-sync
+    scaling: a 32k-merge production vocabulary at B=256 is ~128
+    syncs, not 32k), and a map-only higher-order ``aggregate`` fold
+    applying the batch. Round state is lazily checkpointed so round
+    r+1 folds over materialized round-r symbols instead of an r-deep
+    replay. Disjoint batch symbols make the combined fold exactly the
+    sequential semantics of applying each rule left-to-right; the
+    DuckDB oracle replays the selection with a recursive CTE over the
+    ranked list and the application with the same combined
+    recursive-CTE fold, so every round's choices are
+    value-hash-checked across engines."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(tokens("text")).alias("word"))
@@ -1143,34 +1208,32 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
             "c",
         )
-        best = (
+        cand = (
             pairs.groupBy("p.l", "p.r")
             .agg(F.sum("c").alias("weight"))
             .orderBy(F.desc("weight"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(_BPE_CAND)
             .collect()
         )
-        if not best:
+        batch = _select_batch(cand)
+        if not batch:
             break
-        left, right, wt = best[0]["l"], best[0]["r"], int(best[0]["weight"])
-        merged = left + right
-        out.append((rnd, left, right, merged, wt))
+        for k, (left, right, merged, wt) in enumerate(batch, 1):
+            out.append((rnd, k, left, right, merged, wt))
         syms = syms.select(
             "c",
-            F.expr(
-                "aggregate(s, cast(array() as array<string>), (acc, x) -> "
-                f"if(size(acc) > 0 and element_at(acc, -1) = '{left}' and x = '{right}', "
-                f"concat(slice(acc, 1, size(acc) - 1), array('{merged}')), "
-                "concat(acc, array(x))))"
-            ).alias("s"),
+            F.expr(_batch_fold_expr([b[:3] for b in batch], "s")).alias("s"),
         ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         out,
-        "round long, left_sym string, right_sym string, merged string, weight long",
+        "round long, merge_rank long, left_sym string, right_sym string,"
+        " merged string, weight long",
     )
 
 
-q_bpe_train_merges.__doc__ = q_bpe_train_merges.__doc__.format(N=_BPE_TRAIN_ROUNDS)
+q_bpe_train_merges.__doc__ = q_bpe_train_merges.__doc__.format(
+    N=_BPE_TRAIN_ROUNDS, B=_BPE_BATCH, C=_BPE_CAND
+)
 
 
 def _bpe_encoded_chain_oracle(doc_words_cols: str = "doc_id") -> str:
@@ -1196,23 +1259,24 @@ doc_words AS MATERIALIZED (
 def _encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(word, n_syms) over the DISTINCT-WORD vocabulary under the
     learned BPE merges: train the merges (vocab-sized driver loop),
-    then fold ALL of them into one chained higher-order projection —
-    the shared Spark-side prefix of encode/fertility/tokenizer-dataset.
+    then chain one combined fold PER ROUND into a single higher-order
+    projection — the shared Spark-side prefix of
+    encode/fertility/tokenizer-dataset. Per-round (not per-merge)
+    folds matter for fidelity: a batch applies in one left-to-right
+    pass in the trainer, and sequential per-merge replay can diverge
+    when a rule's right symbol equals another rule's merged output.
     Map-only over the Heaps'-law-small vocab; never touches doc text."""
-    merges = [
-        (r["left_sym"], r["right_sym"], r["merged"])
-        for r in q_bpe_train_merges(spark, sf_dir).collect()
-    ]
+    rounds: dict[int, list[tuple[int, str, str, str]]] = {}
+    for r in q_bpe_train_merges(spark, sf_dir).collect():
+        rounds.setdefault(int(r["round"]), []).append(
+            (int(r["merge_rank"]), r["left_sym"], r["right_sym"], r["merged"])
+        )
     docs = load_table(spark, sf_dir, "documents")
     vocab = docs.select(F.explode(tokens("text")).alias("word")).distinct()
     syms_expr = "filter(split(word, ''), x -> x <> '')"
-    for left, right, merged in merges:
-        syms_expr = (
-            f"aggregate({syms_expr}, cast(array() as array<string>), (acc, x) -> "
-            f"if(size(acc) > 0 and element_at(acc, -1) = '{left}' and x = '{right}', "
-            f"concat(slice(acc, 1, size(acc) - 1), array('{merged}')), "
-            "concat(acc, array(x))))"
-        )
+    for rnd in sorted(rounds):
+        batch = [t[1:] for t in sorted(rounds[rnd])]
+        syms_expr = _batch_fold_expr(batch, syms_expr)
     return vocab.select(
         "word", F.size(F.expr(syms_expr)).cast("long").alias("n_syms")
     )

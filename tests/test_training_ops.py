@@ -204,6 +204,33 @@ def test_bpe_trainer_greedy_merge_semantics(spark, monkeypatch):
     assert rows[2] == ("ab", "ab", "abab", 3)
 
 
+def test_bpe_batched_selection_is_nonconflicting(spark, monkeypatch):
+    """Disjoint-alphabet corpus: 'ab' and 'cd' share no symbol, so ONE
+    round must learn both merges (batched selection), ranked by weight
+    then lexicographically; 'ba' conflicts with the (a,b) pick (shares
+    both symbols) and must be left for never (after the batch applies,
+    no adjacent b,a remains in any word)."""
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab cd cd ba", "en", "s", 17)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(textstats_mod, "load_table", lambda *a, **k: docs)
+    rows = textstats_mod.q_bpe_train_merges(spark, "ignored").collect()
+    r1 = [(r.merge_rank, r.left_sym, r.right_sym, r.weight)
+          for r in rows if r.round == 1]
+    assert r1 == [(1, "a", "b", 3), (2, "c", "d", 2)]
+    # (b,a) shared symbols with pick #1 -> excluded from round 1; the
+    # standalone word 'ba' still admits it in round 2
+    assert [(r.left_sym, r.right_sym) for r in rows if r.round == 2] == [("b", "a")]
+
+
+def test_bpe_merges_per_sync_contract():
+    """Batching is the scale story: >=16 merges must be learnable in
+    <=8 driver syncs (one sync per round)."""
+    assert textstats_mod._BPE_TRAIN_ROUNDS <= 8
+    assert textstats_mod._BPE_TRAIN_ROUNDS * textstats_mod._BPE_BATCH >= 16
+
+
 def test_bpe_encode_compresses_and_bounds(spark, monkeypatch):
     """Encoded symbol count is bounded by [n_words, n_chars] and the
     learned merges actually compress the dominant word."""
