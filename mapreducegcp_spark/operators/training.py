@@ -953,3 +953,279 @@ def q_sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             SAMPLE_BUDGET * F.col("n").cast("double") / F.col("n_total").cast("double")
         ).alias("proportional_alloc"),
     )
+
+
+# ---------------- trained quality classifier (closed-form linear fit)
+
+_CLF_POS_LANG = "en"   # weak-label positive class (the curated-domain stand-in)
+_CLF_MIN_CHARS = 200   # funnel stage 0: heuristic length gate
+
+# Closed-form diagonal-LDA weight per hashed feature, quantized to
+# nano units: w_f = (mu1 - mu0) / (pooled_var + 1). Every operand is
+# an exact int64 sufficient statistic (s/q/n) and the double ops are
+# written ONCE here, parsed identically by Spark SQL and DuckDB, so
+# the rounded weights are bit-identical across engines. Single-class
+# corpora (n1 or n0 = 0) get all-zero weights rather than NaN/NULL
+# divergence.
+_WQ_EXPR = (
+    "CASE WHEN n1 = 0 OR n0 = 0 THEN CAST(0 AS BIGINT) ELSE CAST(round(1e9 * ("
+    "((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)))"
+    " / ((((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))))"
+    " + (CAST(q0 AS DOUBLE) - (CAST(s0 AS DOUBLE) * (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)))))"
+    " / CAST(n1 + n0 AS DOUBLE)) + 1.0))) AS BIGINT) END"
+)
+
+
+def _clf_chain_sql() -> str:
+    """Shared DuckDB WITH-body replaying the whole train+infer chain:
+    weak labels -> hashed TF -> per-feature class stats -> closed-form
+    nano-quantized weights -> exact-integer scores and the midpoint
+    decision rule (cross-multiplied so no division ever happens)."""
+    return f"""lab AS (
+  SELECT doc_id, n_chars,
+         CAST(CASE WHEN lang = '{_CLF_POS_LANG}' THEN 1 ELSE 0 END AS BIGINT) AS label
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, label, {_o_bucket('tok', FEATURE_DIM)} AS feature,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               CAST(CASE WHEN lang = '{_CLF_POS_LANG}' THEN 1 ELSE 0 END AS BIGINT) AS label,
+               unnest({_TOKS}) AS tok
+        FROM documents)
+  GROUP BY 1, 2, 3
+),
+cls AS (
+  SELECT CAST(coalesce(sum(label), 0) AS BIGINT) AS n1,
+         CAST(count(*) - coalesce(sum(label), 0) AS BIGINT) AS n0
+  FROM lab
+),
+fs AS (
+  SELECT feature,
+         CAST(coalesce(sum(CASE WHEN label = 1 THEN tf END), 0) AS BIGINT) AS s1,
+         CAST(coalesce(sum(CASE WHEN label = 0 THEN tf END), 0) AS BIGINT) AS s0,
+         CAST(coalesce(sum(CASE WHEN label = 1 THEN tf * tf END), 0) AS BIGINT) AS q1,
+         CAST(coalesce(sum(CASE WHEN label = 0 THEN tf * tf END), 0) AS BIGINT) AS q0
+  FROM tf GROUP BY feature
+),
+w AS (SELECT feature, s1, s0, {_WQ_EXPR} AS wq FROM fs, cls),
+thr AS (
+  SELECT CAST(coalesce(sum(wq * ((s1 * c.n0) + (s0 * c.n1))), 0) AS BIGINT) AS thr2
+  FROM w, cls c
+),
+sc AS (
+  SELECT t.doc_id, CAST(sum(w.wq * t.tf) AS BIGINT) AS score_nano
+  FROM tf t JOIN w USING (feature) GROUP BY t.doc_id
+),
+scored AS (
+  SELECT l.doc_id, l.n_chars, CAST(l.label AS INT) AS label,
+         CAST(coalesce(sc.score_nano, 0) AS BIGINT) AS score_nano,
+         CAST(CASE WHEN coalesce(sc.score_nano, 0) * ((2 * c.n1) * c.n0) > t.thr2
+                   THEN 1 ELSE 0 END AS INT) AS predicted
+  FROM lab l LEFT JOIN sc ON sc.doc_id = l.doc_id, cls c, thr t
+)"""
+
+
+def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the classifier in-engine and score every document — the
+    shared Spark-side chain of the quality_classifier_* queries.
+
+    Model: diagonal LDA (Gaussian class-conditional with pooled
+    per-feature variance — the closed-form linear classifier) over
+    {FEATURE_DIM}-bucket hashed-TF features, weakly supervised by the
+    curated-domain label (the fastText/LLaMA-style setup: positives =
+    reference-domain docs, negatives = the rest; here the positive
+    slice is lang = 'en'). Training is ONE corpus scan: explode ->
+    map-side-combinable (doc, feature) rollup -> {FEATURE_DIM}-row
+    class-stats rollup; the learned weight vector is a broadcast-sized
+    table, never a driver loop. Inference is map-only: join the TF
+    triples to the broadcast weights, one exact int64 dot product per
+    doc. The midpoint decision rule is cross-multiplied into pure
+    integer arithmetic (score * 2*n1*n0 vs sum(w*(s1*n0 + s0*n1))) so
+    predictions are exact; headroom note: at ~50k+ docs the nano
+    quantization should drop to micro to keep the cross-product
+    inside int64 (same caveat as agg_ols_slope_arrow)."""
+    docs = load_table(spark, sf_dir, "documents")
+    label = F.when(F.col("lang") == _CLF_POS_LANG, 1).otherwise(0).cast("long")
+    lab = docs.select("doc_id", "n_chars", label.alias("label"))
+    tok = docs.select(
+        "doc_id", label.alias("label"), F.explode(tokens("text")).alias("tok")
+    )
+    tf = tok.groupBy(
+        "doc_id", "label", md5_bucket(F.col("tok"), FEATURE_DIM).alias("feature")
+    ).agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint(eager=False)  # feeds class stats AND scoring
+    cls = lab.agg(
+        F.coalesce(F.sum("label"), F.lit(0)).cast("long").alias("n1"),
+        (F.count("*") - F.coalesce(F.sum("label"), F.lit(0)))
+        .cast("long")
+        .alias("n0"),
+    )
+    fs = tf.groupBy("feature").agg(
+        F.coalesce(F.sum(F.when(F.col("label") == 1, F.col("tf"))), F.lit(0))
+        .cast("long")
+        .alias("s1"),
+        F.coalesce(F.sum(F.when(F.col("label") == 0, F.col("tf"))), F.lit(0))
+        .cast("long")
+        .alias("s0"),
+        F.coalesce(
+            F.sum(F.when(F.col("label") == 1, F.col("tf") * F.col("tf"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("q1"),
+        F.coalesce(
+            F.sum(F.when(F.col("label") == 0, F.col("tf") * F.col("tf"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("q0"),
+    )
+    w = (
+        fs.crossJoin(F.broadcast(cls))
+        .select("feature", "s1", "s0", "n1", "n0", F.expr(_WQ_EXPR).alias("wq"))
+        .localCheckpoint(eager=False)  # feeds threshold AND scoring
+    )
+    thr = w.agg(
+        F.coalesce(
+            F.sum(F.col("wq") * ((F.col("s1") * F.col("n0")) + (F.col("s0") * F.col("n1")))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("thr2")
+    )
+    sc = (
+        tf.join(F.broadcast(w.select("feature", "wq")), "feature")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("wq") * F.col("tf")).cast("long").alias("score_nano"))
+    )
+    return (
+        lab.join(sc, "doc_id", "left")
+        .crossJoin(F.broadcast(cls))
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.col("label").cast("int").alias("label"),
+            F.coalesce(F.col("score_nano"), F.lit(0)).cast("long").alias("score_nano"),
+            F.when(
+                F.coalesce(F.col("score_nano"), F.lit(0))
+                * ((F.lit(2) * F.col("n1")) * F.col("n0"))
+                > F.col("thr2"),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("predicted"),
+        )
+    )
+
+
+_clf_scored.__doc__ = _clf_scored.__doc__.format(FEATURE_DIM=FEATURE_DIM)
+
+
+@register(
+    "quality_classifier_scores",
+    oracle=f"WITH {_clf_chain_sql()}\n"
+    "SELECT doc_id, label, score_nano, predicted FROM scored",
+    tags=("llm-pipeline",),
+)
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored quality filtering, train + inference in one plan:
+    fit the closed-form linear classifier (diagonal LDA over hashed-TF
+    features, weak curated-domain labels) in-engine, then score every
+    document with an exact-integer dot product and the midpoint
+    decision rule. This is the missing piece between heuristic gates
+    (text_quality_scores) and perplexity bucketing
+    (quality_perplexity_buckets): CCNet/LLaMA/RefinedWeb all filter
+    with a TRAINED scorer, not heuristics alone. See _clf_scored for
+    the scale shape; the DuckDB oracle replays the entire fit from the
+    same sufficient statistics, so learned weights, scores, and
+    predictions are all value-hash-checked."""
+    return _clf_scored(spark, sf_dir).select(
+        "doc_id", "label", "score_nano", "predicted"
+    )
+
+
+@register(
+    "quality_classifier_eval",
+    oracle=f"""WITH {_clf_chain_sql()}
+SELECT CAST(sum(CASE WHEN label = 1 AND predicted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN label = 0 AND predicted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN label = 1 AND predicted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(sum(CASE WHEN label = 0 AND predicted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       CAST((sum(CASE WHEN label = predicted THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT)
+         AS accuracy_milli
+FROM scored""",
+    tags=("llm-pipeline",),
+)
+def q_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + exact-milli accuracy of the trained quality
+    classifier against its weak labels — the in-training-set fit audit
+    a pipeline runs before trusting the scorer on held-out data (the
+    leakage-safe split variant trains on the train split only; this
+    row is the sanity floor: a linear model that cannot even separate
+    its own training labels has no signal). Single aggregation over
+    the scored frame, all counts exact.
+
+    Reading it on the bundled synthetic corpus: every language draws
+    from ONE shared vocabulary (zero lexical signal for the lang
+    label by construction), so accuracy lands near the majority-class
+    base rate — which is precisely the failure mode this row exists
+    to surface before a scorer ships."""
+    s = _clf_scored(spark, sf_dir)
+    return s.agg(
+        F.sum(((F.col("label") == 1) & (F.col("predicted") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("label") == 0) & (F.col("predicted") == 1)).cast("long")).alias("fp"),
+        F.sum(((F.col("label") == 1) & (F.col("predicted") == 0)).cast("long")).alias("fn"),
+        F.sum(((F.col("label") == 0) & (F.col("predicted") == 0)).cast("long")).alias("tn"),
+        F.expr(
+            "CAST((sum(CASE WHEN label = predicted THEN 1 ELSE 0 END) * 1000)"
+            " div count(*) AS BIGINT)"
+        ).alias("accuracy_milli"),
+    )
+
+
+@register(
+    "quality_classifier_funnel",
+    oracle=f"""WITH {_clf_chain_sql()}
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'min_chars' AS stage,
+       (SELECT CAST(count(*) AS BIGINT) FROM scored) AS n_in,
+       (SELECT CAST(count(*) AS BIGINT) FROM scored WHERE n_chars >= {_CLF_MIN_CHARS}) AS n_kept
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'classifier',
+       (SELECT CAST(count(*) AS BIGINT) FROM scored WHERE n_chars >= {_CLF_MIN_CHARS}),
+       (SELECT CAST(count(*) AS BIGINT) FROM scored
+        WHERE n_chars >= {_CLF_MIN_CHARS} AND predicted = 1)""",
+    tags=("llm-pipeline",),
+)
+def q_quality_classifier_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter-funnel integration row for the trained scorer: docs
+    flow through the heuristic length gate, survivors through the
+    classifier gate — per stage, how many entered and how many
+    survived (the kept-rate table a pipeline dashboard shows per
+    snapshot). One aggregation pass; the two stage rows unpack from a
+    single 1-row aggregate, so adding stages never adds scans."""
+    s = _clf_scored(spark, sf_dir)
+    keep_len = F.col("n_chars") >= _CLF_MIN_CHARS
+    agg = s.agg(
+        F.count("*").alias("n_all"),
+        F.sum(keep_len.cast("long")).alias("n_len"),
+        F.sum((keep_len & (F.col("predicted") == 1)).cast("long")).alias("n_clf"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("long").alias("stage_idx"),
+                    F.lit("min_chars").alias("stage"),
+                    F.col("n_all").cast("long").alias("n_in"),
+                    F.col("n_len").cast("long").alias("n_kept"),
+                ),
+                F.struct(
+                    F.lit(1).cast("long").alias("stage_idx"),
+                    F.lit("classifier").alias("stage"),
+                    F.col("n_len").cast("long").alias("n_in"),
+                    F.col("n_clf").cast("long").alias("n_kept"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")

@@ -286,3 +286,59 @@ def test_dataset_card_majority_lang_tiebreak(spark, monkeypatch):
     assert r.source == "s1"
     assert r.n_docs == 4 and r.n_exact_dups == 1
     assert r.n_langs == 2 and r.majority_lang == "en"  # 2-2 tie -> lex max
+
+
+def test_classifier_separates_synthetic_signal(spark, monkeypatch):
+    """A corpus with REAL lexical signal (disjoint vocabularies per
+    class) must be separated perfectly by the trained scorer: every
+    'en' doc above threshold, every other doc below."""
+    rows = []
+    for i in range(8):
+        rows.append((i, "alpha beta gamma delta " * 3, "en", "s", 92))
+    for i in range(8, 16):
+        rows.append((i, "uno dos tres cuatro " * 3, "es", "s", 80))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(training_mod, "load_table", lambda *a, **k: docs)
+    out = {r.doc_id: r for r in
+           training_mod.q_quality_classifier_scores(spark, "ignored").collect()}
+    assert len(out) == 16
+    for i in range(8):
+        assert out[i].label == 1 and out[i].predicted == 1
+    for i in range(8, 16):
+        assert out[i].label == 0 and out[i].predicted == 0
+    # positive-class scores strictly dominate
+    assert min(out[i].score_nano for i in range(8)) > max(
+        out[i].score_nano for i in range(8, 16)
+    )
+
+
+def test_classifier_single_class_corpus_degenerates_safely(spark, monkeypatch):
+    """All-positive corpus: no negative examples -> all weights zero,
+    score 0, nothing predicted positive (0 > 0 is false) — no
+    NaN/NULL divergence."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta", "en", "s", 10) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(training_mod, "load_table", lambda *a, **k: docs)
+    rows = training_mod.q_quality_classifier_scores(spark, "ignored").collect()
+    assert len(rows) == 4
+    assert all(r.score_nano == 0 and r.predicted == 0 for r in rows)
+
+
+def test_classifier_funnel_stages_chain(spark, monkeypatch):
+    """Stage 1's n_in must equal stage 0's n_kept, and every count is
+    monotone non-increasing down the funnel."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma", "en" if i % 2 else "de", "s",
+          150 + 100 * (i % 3)) for i in range(12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(training_mod, "load_table", lambda *a, **k: docs)
+    stages = {r.stage_idx: r for r in
+              training_mod.q_quality_classifier_funnel(spark, "ignored").collect()}
+    assert stages[0].stage == "min_chars" and stages[1].stage == "classifier"
+    assert stages[1].n_in == stages[0].n_kept
+    assert stages[0].n_in >= stages[0].n_kept >= stages[1].n_kept
