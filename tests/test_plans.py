@@ -449,3 +449,52 @@ def test_holt_fold_is_bounded_state(spark):
     assert _exchanges(tree) <= 2, tree[:2000]
     assert "Window" not in tree, tree[:2000]
     assert "Join" not in tree, tree[:2000]
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Freeze the AQE skew-join receipt: a deliberately hot join key
+    whose partition exceeds the skew threshold must come back from
+    execution with the hot side's shuffle read marked ``skewed`` in
+    the final adaptive plan (OptimizeSkewedJoin split it into
+    advisory-sized sub-reads). Thresholds are scaled down so the
+    test-scale hot partition qualifies — the same ratio a production
+    corpus hits against the 256 MB default."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+        # ~50% of rows pile onto key 0; md5 payload keeps the shuffle
+        # bytes incompressible so the hot partition's size is honest
+        left = spark.range(100_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(1_000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        df = left.join(right, "k").groupBy("v").agg(F.sum(F.length("pad")).alias("s"))
+        rows = df.collect()
+        assert rows and rows[0]["s"] > 0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skewed" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -287,6 +287,39 @@ def skew_probe(spark: SparkSession, sf_dir: str, hot_share_pct: int = 50) -> Non
         a = {tuple(r) for r in naive().collect()}
         b = {tuple(r) for r in salted().collect()}
         print(f"results identical: {a == b}")
+
+        # plan receipt: with the skew threshold scaled to this corpus
+        # (the sf0.1 hot partition is ~10 MB, far under the 256 MB
+        # production default — the same RATIO a 100 TB corpus hits
+        # against the default), OptimizeSkewedJoin must mark the hot
+        # side's shuffle read `skewed` in the final adaptive plan.
+        # Frozen as tests/test_plans.py::
+        # test_aqe_skew_join_splits_hot_partition.
+        evidence_keys = {
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "262144",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "131072",
+        }
+        saved2 = {k: conf.get(k, None) for k in evidence_keys}
+        try:
+            for k, v in evidence_keys.items():
+                conf.set(k, v)
+            df = naive()
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            n_skewed = sum("skewed" in line for line in plan.splitlines())
+            print(
+                f"plan receipt (threshold 256 KiB): {n_skewed} shuffle read(s) "
+                f"marked skewed, isFinalPlan="
+                f"{'true' if 'isFinalPlan=true' in plan else 'false'}"
+            )
+        finally:
+            for k, v in saved2.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
     finally:
         for k, v in saved.items():
             conf.set(k, v)
