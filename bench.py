@@ -98,12 +98,14 @@ def main() -> None:
     # up to 6x on short queries with a single pass). `value` sums ONLY
     # these 18 — the cross-round trend anchor.
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = raw.get(name) or (catalog[name].fn if name in catalog else None)
         if fn is None:  # a renamed headliner must not abort the whole bench
             print(f"bench: headline query {name!r} not registered", file=sys.stderr)
             continue
-        timings[name] = round(min(_run(fn, spark, sf_dir) for _ in range(2)), 3)
+        runs[name] = [round(_run(fn, spark, sf_dir), 3) for _ in range(2)]
+        timings[name] = min(runs[name])
     headline_total = round(sum(timings.values()), 3)
 
     # Breadth: every other registered query, one pass each, so a
@@ -158,6 +160,12 @@ def main() -> None:
                 "value": headline_total,
                 "unit": "sec",
                 "queries": timings,
+                # both raw passes per headliner: the headline `value`
+                # sums the mins, but the spread is what distinguishes
+                # external-load interference (pass A >> pass B) from a
+                # real plan regression (both passes slow) — the round-5
+                # 2.27x false alarm in one field
+                "runs": runs,
                 "sf": _sf_of(sf_dir),
             }
         )

@@ -980,7 +980,10 @@ def _clf_chain_sql() -> str:
     """Shared DuckDB WITH-body replaying the whole train+infer chain:
     weak labels -> hashed TF -> per-feature class stats -> closed-form
     nano-quantized weights -> exact-integer scores and the midpoint
-    decision rule (cross-multiplied so no division ever happens)."""
+    decision rule (cross-multiplied so no division ever happens).
+    The midpoint cross-products go through HUGEINT here (DuckDB's
+    exact int128) mirroring Spark's DECIMAL(38,0) — same values, same
+    comparisons, just each engine's exact wide-integer type."""
     return f"""lab AS (
   SELECT doc_id, n_chars,
          CAST(CASE WHEN lang = '{_CLF_POS_LANG}' THEN 1 ELSE 0 END AS BIGINT) AS label
@@ -1010,7 +1013,9 @@ fs AS (
 ),
 w AS (SELECT feature, s1, s0, {_WQ_EXPR} AS wq FROM fs, cls),
 thr AS (
-  SELECT CAST(coalesce(sum(wq * ((s1 * c.n0) + (s0 * c.n1))), 0) AS BIGINT) AS thr2
+  SELECT CAST(coalesce(sum(CAST(wq AS HUGEINT) * ((CAST(s1 AS HUGEINT) * c.n0)
+                                                 + (CAST(s0 AS HUGEINT) * c.n1))), 0)
+              AS HUGEINT) AS thr2
   FROM w, cls c
 ),
 sc AS (
@@ -1020,7 +1025,8 @@ sc AS (
 scored AS (
   SELECT l.doc_id, l.n_chars, CAST(l.label AS INT) AS label,
          CAST(coalesce(sc.score_nano, 0) AS BIGINT) AS score_nano,
-         CAST(CASE WHEN coalesce(sc.score_nano, 0) * ((2 * c.n1) * c.n0) > t.thr2
+         CAST(CASE WHEN CAST(coalesce(sc.score_nano, 0) AS HUGEINT)
+                        * ((CAST(2 AS HUGEINT) * c.n1) * c.n0) > t.thr2
                    THEN 1 ELSE 0 END AS INT) AS predicted
   FROM lab l LEFT JOIN sc ON sc.doc_id = l.doc_id, cls c, thr t
 )"""
@@ -1042,9 +1048,13 @@ def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples to the broadcast weights, one exact int64 dot product per
     doc. The midpoint decision rule is cross-multiplied into pure
     integer arithmetic (score * 2*n1*n0 vs sum(w*(s1*n0 + s0*n1))) so
-    predictions are exact; headroom note: at ~50k+ docs the nano
-    quantization should drop to micro to keep the cross-product
-    inside int64 (same caveat as agg_ols_slope_arrow)."""
+    predictions are exact. The cross-products run in DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB) — both exact integer types to ~1e38 —
+    because nano-quantized weights times corpus-count products exhaust
+    int64 at around 50k docs; score_nano itself (one per-doc dot
+    product) stays comfortably inside int64. Overflow headroom is
+    pinned by test_classifier_decimal_midpoint_survives_int64_overflow,
+    which drives the stats past 2^63 and checks predictions cross-engine."""
     docs = load_table(spark, sf_dir, "documents")
     label = F.when(F.col("lang") == _CLF_POS_LANG, 1).otherwise(0).cast("long")
     lab = docs.select("doc_id", "n_chars", label.alias("label"))
@@ -1084,12 +1094,19 @@ def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("feature", "s1", "s0", "n1", "n0", F.expr(_WQ_EXPR).alias("wq"))
         .localCheckpoint(eager=False)  # feeds threshold AND scoring
     )
+    dec = "decimal(38,0)"
     thr = w.agg(
         F.coalesce(
-            F.sum(F.col("wq") * ((F.col("s1") * F.col("n0")) + (F.col("s0") * F.col("n1")))),
-            F.lit(0),
+            F.sum(
+                F.col("wq").cast(dec)
+                * (
+                    (F.col("s1").cast(dec) * F.col("n0"))
+                    + (F.col("s0").cast(dec) * F.col("n1"))
+                )
+            ),
+            F.lit(0).cast(dec),
         )
-        .cast("long")
+        .cast(dec)
         .alias("thr2")
     )
     sc = (
@@ -1107,8 +1124,8 @@ def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").cast("int").alias("label"),
             F.coalesce(F.col("score_nano"), F.lit(0)).cast("long").alias("score_nano"),
             F.when(
-                F.coalesce(F.col("score_nano"), F.lit(0))
-                * ((F.lit(2) * F.col("n1")) * F.col("n0"))
+                F.coalesce(F.col("score_nano"), F.lit(0)).cast(dec)
+                * ((F.lit(2).cast(dec) * F.col("n1")) * F.col("n0"))
                 > F.col("thr2"),
                 1,
             )
