@@ -333,3 +333,79 @@ def test_dedup_within_watermark_uses_bounded_state_operator(spark):
         for r in load_table(spark, SF_DIR, "events").select("user_id", "event_type").distinct().collect()
     }
     assert got == want
+
+
+def test_stateful_user_stats_on_rocksdb_state_store(spark):
+    """VERDICT r5 ask #6: the config every production deployment flips.
+    Run the heaviest stateful query's exact plan with the RocksDB
+    state-store provider, assert the provider is REALLY in effect
+    (rocksdb* custom metrics on the state operator) and that results
+    match the batch aggregate bit-for-bit — state semantics must be
+    provider-independent."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapreducegcp_spark.streaming.events import (
+        STATE_SCHEMA,
+        _USER_STATS_SCHEMA,
+        events_stream,
+        make_user_stats_fn,
+        stream_partitions,
+    )
+
+    ROCKS = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKS)
+    try:
+        stats = (
+            events_stream(spark, SF_DIR)
+            .select("user_id", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                make_user_stats_fn(),
+                outputStructType=_USER_STATS_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        with stream_partitions(spark):
+            q = (
+                stats.writeStream.format("memory")
+                .queryName("rocksdb_user_stats")
+                .outputMode("update")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                prog = q.lastProgress
+            finally:
+                q.stop()
+        op = prog["stateOperators"][0]
+        assert op["operatorName"] == "applyInPandasWithState"
+        rocks_metrics = [
+            k for k in op.get("customMetrics", {}) if k.startswith("rocksdb")
+        ]
+        assert len(rocks_metrics) >= 10, rocks_metrics  # provider really on
+        got = {
+            (r.user_id, r.n_events, r.total_cents)
+            for r in spark.table("rocksdb_user_stats").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+    )
+    want = {(r.user_id, r.n_events, r.total_cents) for r in batch.collect()}
+    assert got == want and got
