@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Cross-round bench adjudicator — automates the interference-vs-
+regression call done by hand in rounds 3 and 5.
+
+Diffs the last two ``BENCH_r{N}.json`` artifacts (and, when both are
+committed, the ``BENCH_BREADTH.json`` content at each one's commit),
+flags >1.5x movers, and cross-references ``git log`` for whether each
+mover's implementing module changed between the artifacts:
+
+- mover + module changed      -> real suspect, lists the commits
+- mover + module untouched    -> measurement interference signature
+  (the round-5 false alarm: 2.27x headline, zero relevant commits)
+
+Per-query ``runs`` spread (recorded since round 6) sharpens the call:
+a pass-A >> pass-B spread inside one artifact is external load landing
+mid-run, not a plan change.
+
+Usage:
+    python tools/bench_trend.py                 # last two BENCH_r*.json
+    python tools/bench_trend.py OLD.json NEW.json
+    python tools/bench_trend.py --threshold 2.0
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+THRESHOLD = 1.5
+MIN_BASE_SEC = 0.15  # ratios over sub-150ms baselines are timer noise
+
+
+def _load_parsed(path: Path) -> dict:
+    """Accept both the raw bench stdout object and the driver's
+    wrapper ({"parsed": {...}, "tail": ...})."""
+    doc = json.loads(path.read_text())
+    if "parsed" in doc and isinstance(doc["parsed"], dict):
+        doc = doc["parsed"]
+    if "queries" not in doc:
+        raise SystemExit(f"{path}: no 'queries' field")
+    return doc
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", str(REPO), *args],
+        capture_output=True,
+        text=True,
+        check=False,
+    ).stdout.strip()
+
+
+def _artifact_commit(path: Path) -> str | None:
+    """Commit that last touched the artifact (empty for uncommitted)."""
+    return _git("log", "-n1", "--format=%H", "--", path.name) or None
+
+
+def _module_of(query: str) -> Path | None:
+    """Repo-relative source file implementing a registered query."""
+    try:
+        from mapreducegcp_spark.registry import all_queries
+
+        fn = all_queries()[query].fn
+        mod = sys.modules.get(fn.__module__)
+        f = Path(mod.__file__).resolve()
+        return f.relative_to(REPO)
+    except Exception:  # noqa: BLE001 — unmapped query is reported, not fatal
+        return None
+
+
+def _commits_touching(path: Path | None, since: str | None, until: str | None) -> list[str]:
+    if path is None or since is None:
+        return []
+    out = _git("log", "--oneline", f"{since}..{until or 'HEAD'}", "--", str(path))
+    return [ln for ln in out.splitlines() if ln]
+
+
+def _movers(old_q: dict, new_q: dict, threshold: float) -> list[dict]:
+    out = []
+    for name in sorted(set(old_q) & set(new_q)):
+        a, b = old_q[name], new_q[name]
+        if not (isinstance(a, (int, float)) and isinstance(b, (int, float))):
+            continue
+        if a < MIN_BASE_SEC or a <= 0 or b < 0:
+            continue
+        ratio = b / a
+        if ratio > threshold or ratio < 1 / threshold:
+            out.append({"query": name, "old": a, "new": b, "ratio": round(ratio, 2)})
+    return sorted(out, key=lambda m: -m["ratio"])
+
+
+def _spread_note(runs: dict, name: str) -> str:
+    r = runs.get(name)
+    if not (isinstance(r, list) and len(r) >= 2 and min(r) > 0):
+        return ""
+    spread = max(r) / min(r)
+    if spread > 1.5:
+        return f" runs={r} (spread {spread:.1f}x -> in-run interference)"
+    return f" runs={r}"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("artifacts", nargs="*", help="OLD.json NEW.json (default: last two BENCH_r*.json)")
+    ap.add_argument("--threshold", type=float, default=THRESHOLD)
+    args = ap.parse_args()
+
+    if args.artifacts:
+        if len(args.artifacts) != 2:
+            raise SystemExit("pass exactly two artifact paths (or none)")
+        old_p, new_p = (Path(a) for a in args.artifacts)
+    else:
+        rounds = sorted(
+            REPO.glob("BENCH_r*.json"),
+            key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+        )
+        if len(rounds) < 2:
+            raise SystemExit("need at least two BENCH_r*.json artifacts")
+        old_p, new_p = rounds[-2], rounds[-1]
+
+    old, new = _load_parsed(old_p), _load_parsed(new_p)
+    old_commit = _artifact_commit(old_p)
+    new_commit = _artifact_commit(new_p)  # None (-> HEAD) if uncommitted
+    headline = {
+        "old": {"file": old_p.name, "total": old.get("value")},
+        "new": {"file": new_p.name, "total": new.get("value")},
+    }
+    movers = _movers(old["queries"], new["queries"], args.threshold)
+    runs = new.get("runs", {})
+
+    suspects, interference = [], []
+    for m in movers:
+        mod = _module_of(m["query"])
+        commits = _commits_touching(mod, old_commit, new_commit)
+        m["module"] = str(mod) if mod else None
+        m["module_commits_since_old"] = commits
+        m["spread"] = _spread_note(runs, m["query"]).strip()
+        (suspects if commits else interference).append(m)
+
+    print(json.dumps({"headline": headline, "movers": movers}, indent=1))
+    total_ratio = (
+        round(new["value"] / old["value"], 2)
+        if old.get("value") and new.get("value")
+        else None
+    )
+    print(
+        f"\nsummary: headline {old.get('value')} -> {new.get('value')} s"
+        f" ({total_ratio}x); {len(movers)} mover(s) over {args.threshold}x:"
+        f" {len(suspects)} with code changes (REAL suspects),"
+        f" {len(interference)} with untouched modules (interference"
+        f" signature)",
+        file=sys.stderr,
+    )
+    for m in suspects:
+        print(
+            f"  SUSPECT {m['query']} {m['old']}->{m['new']}s ({m['ratio']}x)"
+            f" — {m['module']} changed:",
+            file=sys.stderr,
+        )
+        for c in m["module_commits_since_old"]:
+            print(f"    {c}", file=sys.stderr)
+    for m in interference:
+        print(
+            f"  noise?  {m['query']} {m['old']}->{m['new']}s ({m['ratio']}x)"
+            f" — {m['module'] or 'unmapped'} untouched{' ' + m['spread'] if m['spread'] else ''}",
+            file=sys.stderr,
+        )
+
+
+if __name__ == "__main__":
+    main()
