@@ -1344,3 +1344,106 @@ def q_dedup_semantic_vs_lexical_eval(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     return pair_set_eval(truth, est)
+
+
+# ---------------------------------- cross-doc exact substring spans
+
+_SPAN_K = 24  # span detection unit, chars — any duplicated run of
+              # >= _SPAN_K chars contains a duplicated _SPAN_K-gram
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, strlen(text) - {_SPAN_K - 1})) AS k
+  FROM documents WHERE strlen(text) >= {_SPAN_K}
+),
+sh AS (SELECT doc_id, substr(text, k, {_SPAN_K}) AS span FROM pos),
+dup AS (
+  SELECT span FROM sh GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+),
+per AS (
+  SELECT s.doc_id, count(*) AS n_spans,
+         count(d.span) AS n_dup_spans
+  FROM sh s LEFT JOIN dup d ON s.span = d.span
+  GROUP BY s.doc_id
+)
+SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+       CAST(n_dup_spans * 1000 // n_spans AS BIGINT) AS dup_milli
+FROM per
+""",
+    tags=("llm-pipeline",),
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING duplication coverage — the span-
+    level dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), distinct from every doc-level dedup in
+    this family: it finds the duplicated TEXT RUNS themselves (license
+    boilerplate, templated headers, quoted chunks) inside otherwise-
+    unique documents. Every character position anchors a {K}-char
+    span; a span duplicated across >= 2 DISTINCT docs (within-doc
+    repetition is text_repetition_filter's job) marks its positions as
+    duplicated text. Output per doc: total spans, duplicated spans,
+    and per-mille duplicated coverage — the signal a pipeline uses to
+    cut the span (not the doc) before training.
+
+    Correctness device: any duplicated run of length >= {K} contains a
+    duplicated {K}-gram, so position coverage detects exactly the runs
+    the suffix-array method finds at this granularity.
+
+    Scale: the position explode is O(total chars) — the irreducible
+    cost of substring-level dedup (a suffix array is also linear).
+    Spans travel as 8-byte xxhash64 ids, never 24-byte strings (the
+    _doc_shingle_ids convention — collision odds at the oracle's check
+    scale ~2^-35, and the string-joining DuckDB oracle would flag any
+    miscount); the span rollup is map-side combinable; the dup table
+    holds only repeated spans; the join back is hash-partitioned on
+    the id. No pairwise anything — cost is linear in corpus size at
+    any scale."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= _SPAN_K
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, length(text) - {_SPAN_K - 1})")
+        ).alias("k"),
+        "text",
+    ).select(
+        "doc_id",
+        F.xxhash64(F.substring(F.col("text"), F.col("k"), _SPAN_K)).alias("sid"),
+    )
+    sh = sh.localCheckpoint(eager=False)  # feeds dup rollup AND join back
+    # ">= 2 distinct docs" needs no count-distinct (which would force a
+    # (sid, doc_id) pre-exchange before the sid rollup): min < max over
+    # doc_id is the same predicate, map-side combinable, ONE exchange.
+    dup = (
+        sh.groupBy("sid")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .where(F.col("mn") < F.col("mx"))
+        .select("sid")
+    )
+    return (
+        sh.join(dup.withColumn("is_dup", F.lit(1)), "sid", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count("is_dup").alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.expr("CAST(n_dup_spans * 1000 div n_spans AS BIGINT)").alias(
+                "dup_milli"
+            ),
+        )
+    )
+
+
+q_dedup_substring_spans.__doc__ = q_dedup_substring_spans.__doc__.replace(
+    "{K}", str(_SPAN_K)
+)

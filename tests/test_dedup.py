@@ -206,3 +206,38 @@ def test_pair_graph_cache_bypassed_for_unstattable_corpus(spark, monkeypatch):
     }
     assert pairs_a == {(0, 1)}
     assert pairs_b == {(1, 2)}, "cache served stale edges for an unidentifiable corpus"
+
+
+def test_substring_spans_detect_cross_doc_boilerplate(spark, monkeypatch):
+    """Two docs sharing a 40-char boilerplate run + one unique doc:
+    every position inside the shared run (and only those) counts as
+    duplicated, within-doc repetition does NOT count, and docs
+    shorter than the span unit are excluded."""
+    import mapreducegcp_spark.operators.dedup as dedup_mod
+    from mapreducegcp_spark.operators.dedup import _SPAN_K
+
+    boiler = "SPDX-License-Identifier: Apache-2.0 XXXX"  # 40 chars
+    assert len(boiler) == 40
+    rep = "zz" * 30  # within-doc repetition only (unique to doc 3)
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta epsilon zeta!!"),
+            (2, "intro words here. " + boiler),
+            (3, rep),
+            (4, "short"),  # < _SPAN_K chars -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(dedup_mod, "load_table", lambda *a, **k: docs)
+    rows = {r.doc_id: r for r in
+            dedup_mod.q_dedup_substring_spans(spark, "ignored").collect()}
+    assert set(rows) == {1, 2, 3}
+    # doc 1: boilerplate at positions 1..40 -> dup anchors 1..(40-K+1)
+    assert rows[1].n_dup_spans == 40 - _SPAN_K + 1
+    assert rows[1].n_spans == len(boiler + " alpha beta gamma delta epsilon zeta!!") - _SPAN_K + 1
+    # doc 2: same run, offset — same number of duplicated anchors
+    assert rows[2].n_dup_spans == 40 - _SPAN_K + 1
+    # doc 3: repeated text exists in ONE doc only -> zero cross-doc dups
+    assert rows[3].n_dup_spans == 0 and rows[3].n_spans == len(rep) - _SPAN_K + 1
+    for r in rows.values():
+        assert r.dup_milli == r.n_dup_spans * 1000 // r.n_spans
