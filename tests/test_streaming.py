@@ -409,3 +409,31 @@ def test_stateful_user_stats_on_rocksdb_state_store(spark):
     )
     want = {(r.user_id, r.n_events, r.total_cents) for r in batch.collect()}
     assert got == want and got
+
+
+def test_transform_with_state_api_boundary(spark):
+    """Spark 4's transformWithStateInPandas (the modern replacement for
+    applyInPandasWithState: ValueState/ListState/MapState + timers,
+    RocksDB-only) exists on the DataFrame API here, but its Python
+    worker speaks protobuf to the JVM and this container has no
+    google.protobuf — so the engine keeps the legacy API as its
+    stateful seam (stream_stateful_user_stats) and this test documents
+    the boundary: when protobuf is installed, the probe below is the
+    migration starting point."""
+    import importlib.util
+
+    from pyspark.sql import GroupedData
+
+    assert hasattr(GroupedData, "transformWithStateInPandas")
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        has_protobuf = False
+    if not has_protobuf:
+        import pytest
+
+        pytest.skip("no google.protobuf in env — transformWithState worker "
+                    "cannot start (verified: crashes with ImportError)")
+    # With protobuf present, the equivalent of make_user_stats_fn is a
+    # StatefulProcessor with one ValueState; results must match
+    # stream_stateful_user_stats exactly.
