@@ -187,6 +187,16 @@ PROBES = {
     "events_attribution_linear": {"events": ["event_id", "user_id"]},
     "funnel_abandonment_window": {"events": ["event_id", "user_id"]},
     "text_langid_eval": {"documents": ["doc_id"]},
+    # round-6 operators. Substring spans: replication duplicates every
+    # doc 10x, so EVERY span becomes cross-doc-duplicated — worst-case
+    # dup-table size (= distinct spans), exercising the rollup + join
+    # back at maximum width; cost must stay linear in positions. The
+    # multimodal manifest replays decode-gate + phash (both map-only
+    # Arrow passes) + the sharded pack; replicated payloads collapse
+    # 10:1 in the phash dedup, so the pack stage sees 1x survivors —
+    # the production shape for a re-crawled corpus.
+    "dedup_substring_spans": {"documents": ["doc_id"]},
+    "pipeline_multimodal_manifest": {"documents": ["doc_id"]},
 }
 
 
