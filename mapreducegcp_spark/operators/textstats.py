@@ -1965,3 +1965,123 @@ def q_quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(4)
         .alias("ppl_bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style rule-gate document filtering
+# --------------------------------------------------------------------------
+
+# Hard gates in the style of the Gopher/MassiveText quality rules
+# (Rae et al. 2021 §A1.1): each rule is a boolean, a document must pass
+# ALL of them. Thresholds are tuned so every rule is exercised by the
+# synthetic corpus (min-token and repetition/diversity gates each fail
+# 10-20% of docs at sf0.01); the word-length band [3, 10] is the
+# published Gopher bound kept verbatim.
+_GOPHER_MIN_TOKENS = 24
+_GOPHER_MAX_TOKENS = 100_000
+_GOPHER_WORDLEN_LO = 3.0
+_GOPHER_WORDLEN_HI = 10.0
+_GOPHER_MAX_TOP_FRAC = 0.125   # top-token occupancy (repetition gate)
+_GOPHER_MIN_DISTINCT = 0.35    # distinct-token ratio (diversity gate)
+_GOPHER_MIN_STOPS = 2          # distinct stopword kinds present
+
+_GOPHER_STOPS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+_GOPHER_ORACLE = f"""
+WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         list_sum(list_transform(toks, t -> strlen(t))) AS tok_chars,
+         list_max(list_transform(list_distinct(toks),
+                  d -> len(list_filter(toks, t -> t = d)))) AS top_cnt,
+         len(list_filter(['the','a','of','and','to','in','is','it'],
+                  s -> list_contains(toks, s))) AS stop_kinds
+  FROM tk WHERE len(toks) > 0
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_frac,
+         CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+         CAST(tok_chars AS DOUBLE) / n_tokens AS mean_tok_len,
+         stop_kinds,
+         n_tokens >= {_GOPHER_MIN_TOKENS} AND n_tokens <= {_GOPHER_MAX_TOKENS} AS r_n_tokens,
+         CAST(tok_chars AS DOUBLE) / n_tokens >= {_GOPHER_WORDLEN_LO}
+           AND CAST(tok_chars AS DOUBLE) / n_tokens <= {_GOPHER_WORDLEN_HI} AS r_word_len,
+         CAST(top_cnt AS DOUBLE) / n_tokens <= {_GOPHER_MAX_TOP_FRAC} AS r_repetition,
+         CAST(n_distinct AS DOUBLE) / n_tokens >= {_GOPHER_MIN_DISTINCT} AS r_diversity,
+         stop_kinds >= {_GOPHER_MIN_STOPS} AS r_stopwords
+  FROM m
+)
+SELECT doc_id, n_tokens, top_token_frac, distinct_ratio, mean_tok_len,
+       stop_kinds, r_n_tokens, r_word_len, r_repetition, r_diversity,
+       r_stopwords,
+       r_n_tokens AND r_word_len AND r_repetition AND r_diversity
+         AND r_stopwords AS keep
+FROM r
+"""
+
+
+@register("text_gopher_rules", oracle=_GOPHER_ORACLE, tags=("text-analysis", "llm-pipeline"))
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style HARD rule gates — the boolean-conjunction filter
+    stage of MassiveText-style corpus cleaning, complementing the
+    continuous features of text_quality_scores: token-count band,
+    mean-word-length band, top-token repetition cap, distinct-ratio
+    diversity floor, stopword-presence floor, and the final ``keep``
+    conjunction.
+
+    Scale shape: one scan, pure per-row higher-order array functions —
+    map-only, whole-stage codegen, zero shuffles. The top-token count
+    uses the O(distinct x n_tokens) in-row nested filter rather than an
+    explode + groupBy: for web-scale documents (n_tokens ~ 1e3-1e5,
+    distinct/n ~ 0.4) that is bounded per-row work that costs no
+    Exchange; a corpus with pathological million-token documents would
+    flip to the exploded tf rollup (_doc_bigram_counts shape) instead.
+
+    Reference parity: extends the tokenizer contract
+    (Worker/Worker.py:11-12,21-22) into the filter stage the reference
+    never had; north-star LLM-pipeline operator (SURVEY.md §7 Phase 3).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    t = docs.select("doc_id", tokens("text").alias("toks")).where(F.size("toks") > 0)
+    m = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.aggregate("toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x)).alias(
+            "tok_chars"
+        ),
+        F.array_max(
+            F.transform(
+                F.array_distinct("toks"),
+                lambda d: F.size(F.filter("toks", lambda t_: t_ == d)),
+            )
+        ).alias("top_cnt"),
+        F.size(F.filter(stops, lambda s: F.array_contains("toks", s))).alias("stop_kinds"),
+    )
+    n = F.col("n_tokens")
+    top_frac = F.col("top_cnt").cast("double") / n
+    dratio = F.col("n_distinct").cast("double") / n
+    wlen = F.col("tok_chars").cast("double") / n
+    r_n = (n >= _GOPHER_MIN_TOKENS) & (n <= _GOPHER_MAX_TOKENS)
+    r_w = (wlen >= _GOPHER_WORDLEN_LO) & (wlen <= _GOPHER_WORDLEN_HI)
+    r_r = top_frac <= _GOPHER_MAX_TOP_FRAC
+    r_d = dratio >= _GOPHER_MIN_DISTINCT
+    r_s = F.col("stop_kinds") >= _GOPHER_MIN_STOPS
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        top_frac.alias("top_token_frac"),
+        dratio.alias("distinct_ratio"),
+        wlen.alias("mean_tok_len"),
+        "stop_kinds",
+        r_n.alias("r_n_tokens"),
+        r_w.alias("r_word_len"),
+        r_r.alias("r_repetition"),
+        r_d.alias("r_diversity"),
+        r_s.alias("r_stopwords"),
+        (r_n & r_w & r_r & r_d & r_s).alias("keep"),
+    )

@@ -684,3 +684,36 @@ def test_kneser_ney_hand_counts(spark, monkeypatch):
     assert abs(out[2].xent_nats - (-math.log(p_ac))) < 1e-6
     # probabilities out of each context sum to <= 1 (mass reserved by D)
     assert p_ab + p_ac < 1.0
+
+
+def test_gopher_rules_each_gate_fires_independently(spark, monkeypatch):
+    """Hand-built docs that each violate exactly one Gopher gate: too
+    few tokens, a repetition-dominated doc, and a clean doc that keeps.
+    The diversity gate must use DISTINCT/total, the repetition gate the
+    TOP token's occupancy, and ``keep`` the full conjunction."""
+    import mapreducegcp_spark.operators.textstats as ts_mod
+
+    clean = " ".join(
+        ["the a of and to in is it"] + [f"word{c}xy" for c in "abcdefghijklmnopqrst"]
+    )  # 28 tokens, all distinct, stopwords present, mean len 157/28 ~ 5.6
+    short = "the apple of anyone today indeed ishtar item"  # 8 tokens < 24
+    reps = " ".join(
+        ["the a of and to in is it"] + ["drums"] * 8 + [f"extra{c}" for c in "abcdefghijkl"]
+    )  # 28 tokens, 'drums' occupies 8/28 > 0.125 -> r_repetition fails
+    docs = spark.createDataFrame(
+        [(1, clean, "en", "s", 1), (2, short, "en", "s", 1), (3, reps, "en", "s", 1)],
+        DOC_SCHEMA,
+    )
+    monkeypatch.setattr(ts_mod, "load_table", lambda s, d, n: docs)
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["text_gopher_rules"].fn(spark, "ignored").collect()
+    }
+    assert rows[1].keep and all(
+        [rows[1].r_n_tokens, rows[1].r_word_len, rows[1].r_repetition,
+         rows[1].r_diversity, rows[1].r_stopwords]
+    )
+    assert not rows[2].keep and not rows[2].r_n_tokens and rows[2].r_stopwords
+    assert not rows[3].keep and not rows[3].r_repetition and rows[3].r_n_tokens
+    assert rows[3].top_token_frac == pytest.approx(8 / 28)
+    assert rows[1].distinct_ratio == pytest.approx(1.0)
