@@ -492,3 +492,80 @@ def _register_schema_evolution():
 
 
 _register_schema_evolution()
+
+
+# --------------------------------------------- binaryFile source (raw-media ingest)
+
+_BINFILE_STRIDE = 10  # one payload file per 10 docs keeps file count bounded
+
+_BINFILE_ORACLE = f"""
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id % {_BINFILE_STRIDE} = 0
+"""
+
+
+def _register_binaryfile_source():
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreducegcp_spark.registry import register
+    from mapreducegcp_spark.sources.catalog import load_table
+
+    @register("source_binaryfile_payloads", oracle=_BINFILE_ORACLE, tags=("sources", "multimodal"))
+    def q_source_binaryfile_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Ingest a directory of opaque media files through Spark's
+        built-in ``binaryFile`` source — the standard path for image/
+        audio/video corpora at scale (one object per asset, read as
+        (path, modificationTime, length, content:binary)).
+
+        Fixture side: executors write one ``doc<id>.bin`` per selected
+        document via foreachPartition (distributed write, no driver
+        materialization — on a cluster this directory is the object
+        store the crawlers filled). Read side: binaryFile with a
+        pathGlobFilter; asset id recovered from the path, payload
+        verified by content md5 against the source-of-truth text.
+
+        Scale notes: binary files are NOT splittable — parallelism is
+        file-granular, and ``spark.sql.files.maxPartitionBytes`` packs
+        many small assets per task (the small-file problem is the
+        operational hazard; the compaction answer is layout.compact).
+        Column pruning applies to the file-level columns: a
+        metadata-only query never reads content bytes.
+        """
+        docs = load_table(spark, sf_dir, "documents")
+        sel = docs.where(F.col("doc_id") % _BINFILE_STRIDE == 0).select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        )
+        sf_tag = os.path.basename(os.path.normpath(sf_dir))
+        out = f"/tmp/mapreducegcp_spark_binfiles/{sf_tag}"
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+
+        def write_part(rows):
+            # local closure: cloudpickles cleanly regardless of how the
+            # driver imported this module (see verify-skill gotcha)
+            for r in rows:
+                tmp_name = f"{out}/.doc{r['doc_id']}.tmp"
+                with open(tmp_name, "wb") as f:
+                    f.write(bytes(r["payload"]))
+                os.replace(tmp_name, f"{out}/doc{r['doc_id']}.bin")
+
+        sel.foreachPartition(write_part)
+        back = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(out)
+        )
+        return back.select(
+            F.regexp_extract(F.col("path"), r"doc(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+
+
+_register_binaryfile_source()

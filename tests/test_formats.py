@@ -198,3 +198,38 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
         kv = it.next()
         metrics[kv._1()] = kv._2().value()
     assert metrics.get("numPartitions") == len(_DPP_DATES), metrics
+
+
+def test_binaryfile_source_roundtrip_and_metadata_pruning(spark):
+    """binaryFile ingest: content md5 must match the md5 of the source
+    text, and a metadata-only projection must prune `content` out of
+    the scan's ReadSchema (file bytes untouched)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mapreducegcp_spark.registry import all_queries
+    from mapreducegcp_spark.sources.catalog import load_table
+
+    out = all_queries()["source_binaryfile_payloads"].fn(spark, SF_DIR)
+    got = {r.doc_id: (r.n_bytes, r.content_md5) for r in out.collect()}
+    src = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .collect()
+    }
+    assert set(got) == set(src) and len(got) > 0
+    for did, text in src.items():
+        raw = text.encode("utf-8")
+        assert got[did] == (len(raw), hashlib.md5(raw).hexdigest())
+
+    # metadata-only plan: ReadSchema must not include the content column
+    meta_only = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load("/tmp/mapreducegcp_spark_binfiles/sf0.001")
+        .select("path", "length")
+    )
+    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan
