@@ -498,3 +498,55 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark):
+    """Freeze the runtime-filter receipt: for a shuffle join whose
+    build side is small and selective, Catalyst's InjectRuntimeFilter
+    must plant a bloom_filter_might_contain predicate on the probe
+    side — the engine-native version of join_bloom_prefilter
+    (operators/sketches.py), pruning probe rows BEFORE their Exchange.
+    Thresholds are scaled down so the test-scale join qualifies; at
+    production defaults (10 MB creation side) the same rule fires for
+    any dimension-sized build side."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        # force a shuffle join (runtime bloom filters target shuffle
+        # exchanges; a broadcast join already semi-joins for free)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB"
+        )
+        probe = spark.range(200_000).select(
+            F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("pad")
+        )
+        build = (
+            spark.range(10_000)
+            .select(F.col("id").alias("k"), F.lit(1).alias("v"))
+            .where(F.col("k") % 100 == 0)  # selective: 100 of 10k keys survive
+        )
+        df = probe.join(build, "k").groupBy("v").agg(F.count("*").alias("n"))
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:3000]
+        assert "bloom_filter_agg" in plan, plan[:3000]
+        assert df.collect()[0]["n"] == 100
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
