@@ -1128,13 +1128,15 @@ _PCA_DIM = 64  # embedding dimensionality (embedding_dim_health pins it)
 
 
 def _pca_oracle() -> str:
-    """Chained-CTE replay of the power iteration: mu from exact nano
-    sums, then _PCA_ITERS rounds of (score t = v.(x - mu), per-dim
-    nano-quantized contribution sums, renormalize). The VARCHAR-cast
-    double conversion follows the _MOM_ORACLE note (DuckDB's direct
-    HUGEINT->DOUBLE is off an ulp above 2^53; strtod is correctly
-    rounded, matching Python's float(int) on the driver side).
-    Every CTE is MATERIALIZED: DuckDB otherwise re-inlines the
+    """Chained-CTE replay of the Gram-matrix power iteration: mu from
+    exact nano sums, ONE pass of per-row nano-quantized centered
+    products into the {d}x{d} Gram matrix, then _PCA_ITERS matvec
+    rounds over the constant-size matrix as strict ordered left folds
+    (mirroring the Spark driver's explicit-order Python loops). The
+    VARCHAR-cast double conversion follows the _MOM_ORACLE note
+    (DuckDB's direct HUGEINT->DOUBLE is off an ulp above 2^53; strtod
+    is correctly rounded, matching Python's float(int) on the driver
+    side). Every CTE is MATERIALIZED: DuckDB otherwise re-inlines the
     6-deep iteration chain exponentially (126 s -> 0.1 s measured)."""
     d = _PCA_DIM
     parts = [
@@ -1151,37 +1153,46 @@ murow AS MATERIALIZED (
          any_value(n) AS n
   FROM mus
 ),
+gram AS MATERIALIZED (
+  SELECT p.i, p.j,
+         sum(CAST(round(1e9 * (CAST(e.embedding[p.i] AS DOUBLE) - m.mu[p.i])
+                            * (CAST(e.embedding[p.j] AS DOUBLE) - m.mu[p.j]))
+             AS HUGEINT)) AS g
+  FROM dims e CROSS JOIN murow m,
+       (SELECT u.i, w.j FROM unnest(range(1, {d} + 1)) u(i),
+                             unnest(range(1, {d} + 1)) w(j)) p
+  GROUP BY p.i, p.j
+),
+grow AS MATERIALIZED (
+  SELECT i, list(CAST(CAST(g AS VARCHAR) AS DOUBLE) ORDER BY j) AS gr
+  FROM gram GROUP BY i
+),
+gmat AS MATERIALIZED (SELECT list(gr ORDER BY i) AS gm FROM grow),
 v0 AS MATERIALIZED (SELECT list_transform(range(1, {d} + 1),
                              j -> 1.0 / sqrt(CAST({d} AS DOUBLE))) AS v)"""
     ]
     prev = "v0"
     for i in range(1, _PCA_ITERS + 1):
         parts.append(f"""t{i} AS MATERIALIZED (
-  SELECT e.embedding,
-         list_reduce(list_prepend(0.0::DOUBLE,
-           list_transform(range(1, {d} + 1),
-             j -> w.v[j] * (CAST(e.embedding[j] AS DOUBLE) - m.mu[j]))),
-           (a, b) -> a + b) AS t
-  FROM dims e CROSS JOIN {prev} w CROSS JOIN murow m
-),
-s{i} AS MATERIALIZED (
-  SELECT u.d,
-         sum(CAST(round(1e9 * t * (CAST(embedding[u.d] AS DOUBLE) - m.mu[u.d]))
-             AS HUGEINT)) AS s
-  FROM t{i} CROSS JOIN murow m, unnest(range(1, {d} + 1)) u(d)
-  GROUP BY u.d
+  SELECT list_transform(range(1, {d} + 1),
+           i -> list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(range(1, {d} + 1),
+                    j -> g.gm[i][j] * w.v[j])),
+                (a, b) -> a + b)) AS t
+  FROM gmat g CROSS JOIN {prev} w
 ),
 n{i} AS MATERIALIZED (
-  SELECT sqrt(CAST(CAST(sum(s * s) AS VARCHAR) AS DOUBLE)) AS nrm FROM s{i}
+  SELECT sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(t, x -> x * x)), (a, b) -> a + b)) AS nrm
+  FROM t{i}
 ),
 v{i} AS MATERIALIZED (
   -- nrm = 0 (all rows equal mu): keep the prior vector, mirroring the
   -- Spark driver's early break on a degenerate corpus
   SELECT CASE WHEN w.nrm > 0
-              THEN list(CAST(s AS DOUBLE) / w.nrm ORDER BY d)
-              ELSE any_value(p.v) END AS v
-  FROM s{i} CROSS JOIN n{i} w CROSS JOIN {prev} p
-  GROUP BY w.nrm
+              THEN list_transform(t.t, x -> x / w.nrm)
+              ELSE p.v END AS v
+  FROM t{i} t CROSS JOIN n{i} w CROSS JOIN {prev} p
 )""")
         prev = f"v{i}"
     last = prev
@@ -1207,23 +1218,32 @@ def q_embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     head) that per-dimension moments (embedding_dim_health) cannot
     see because it lives in a linear COMBINATION of dimensions.
 
-    Scale shape: each round is ONE corpus pass — score t = v.(x - mu)
-    as a strict left fold, then per-dimension contribution sums,
-    map-side-combinable into exactly {D} groups; v and mu are bounded
-    driver syncs (the k-means-centroid precedent: {I}+1 collects of
-    <= {D} values). Determinism: every cross-row sum is quantized to
-    integer nano-units first (exact + associative, so the result is
-    independent of partition order), and the driver's normalization
-    arithmetic (Python floats: correctly-rounded int->double, IEEE
-    sqrt/divide) is replayed by the oracle's VARCHAR-cast doubles —
-    bit-identical loadings, sign-fixed on the first component. At
-    1e9+ rows the nano scale would be dropped to micro for int64
-    headroom (the sums here stay under 2^53 so the driver's
-    float(int) is exact)."""
+    Scale shape (round-6 rework): the {I} distributed matvec passes
+    collapsed into ONE corpus pass that partial-aggregates the per-row
+    centered outer products into the {D}x{D} Gram matrix — upper
+    triangle only ({D}({D}+1)/2 = 2080 map-side-combinable groups,
+    symmetric per-row rounding makes the mirror exact — a constant-
+    size mergeable summary (the sketch-family property), after which
+    all {I} power-iteration rounds are driver arithmetic over the
+    2080-entry matrix: TWO corpus passes and TWO bounded syncs total
+    (mu, Gram) regardless of iteration count, versus {I}+1 passes and
+    {I}+1 syncs before (measured 4.5 s -> 3.6 s at sf0.1 — the
+    remaining cost is the one-pass Gram rollup itself).
+    Determinism: every cross-row sum is quantized to integer
+    nano-units first (exact + associative, so the result is
+    independent of partition order), and the driver's matvec/
+    normalization arithmetic (explicit-order Python float folds:
+    correctly-rounded int->double, IEEE multiply/add/sqrt/divide) is
+    replayed by the oracle's ordered list_reduce folds over
+    VARCHAR-cast doubles — bit-identical loadings, sign-fixed on the
+    first component. At 1e9+ rows the nano scale would be dropped to
+    micro for int64 headroom (the sums here stay under 2^53 so the
+    driver's float(int) is exact)."""
     import math
 
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
-    emb = emb.localCheckpoint(eager=False)  # feeds mu + every iteration
+    # no checkpoint: the two passes re-read a narrow column scan, which
+    # measures cheaper than materializing the arrays (3.55 vs 3.7 s)
     dims = emb.select(F.posexplode("embedding").alias("d", "x"))
     mu_rows = (
         dims.groupBy("d")
@@ -1245,36 +1265,48 @@ def q_embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu[int(r["d"])] = (float(int(r["sx"])) / n) / 1e9
     mu_arr = F.array(*[F.lit(m) for m in mu])
 
-    # Center ONCE and lazily checkpoint the (x - mu) double arrays: all
-    # {I} rounds fold and explode this cached projection instead of
-    # re-reading the parquet and re-subtracting mu per round (each round
-    # previously computed the diffs twice — in the score fold and again
-    # per exploded dimension). Same doubles, so loadings stay
-    # bit-identical to the oracle replay.
+    # ONE pass: per-row centered upper-triangle outer products, nano-
+    # quantized per row (associative int sums), rolled up into 2080
+    # (i, j) groups. The collect is bounded by the SKETCH size, not the
+    # corpus (k-means-centroid precedent).
     centered = emb.select(
         F.zip_with(
             F.col("embedding"), mu_arr, lambda x, m: x.cast("double") - m
         ).alias("c")
-    ).localCheckpoint(eager=False)
+    )
+    tri = F.expr(
+        f"""flatten(transform(sequence(1, {_PCA_DIM}), i ->
+              transform(sequence(i, {_PCA_DIM}), j ->
+                named_struct('i', i, 'j', j, 'q',
+                  cast(round(1e9 * element_at(c, i) * element_at(c, j)) as long)))))"""
+    )
+    g_rows = (
+        centered.select(F.explode(tri).alias("p"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        .agg(F.sum("p.q").alias("g"))
+        .collect()
+    )
+    gram = [[0.0] * _PCA_DIM for _ in range(_PCA_DIM)]
+    for r in g_rows:
+        gij = float(int(r["g"]))
+        gram[int(r["i"]) - 1][int(r["j"]) - 1] = gij
+        gram[int(r["j"]) - 1][int(r["i"]) - 1] = gij
 
     v = [1.0 / math.sqrt(float(_PCA_DIM))] * _PCA_DIM
     for _ in range(_PCA_ITERS):
-        v_arr = F.array(*[F.lit(x) for x in v])
-        t = F.aggregate(
-            F.zip_with(F.col("c"), v_arr, lambda dd, vv: vv * dd),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        contrib = centered.select(t.alias("t"), F.posexplode("c").alias("d", "x"))
-        q = F.round(F.lit(1e9) * F.col("t") * F.col("x")).cast("long")
-        s_rows = contrib.groupBy("d").agg(F.sum(q).alias("s")).collect()
-        s = [0] * _PCA_DIM
-        for r in s_rows:
-            s[int(r["d"])] = int(r["s"])
-        nrm = math.sqrt(float(sum(x * x for x in s)))
+        t = []
+        for i in range(_PCA_DIM):
+            acc = 0.0
+            for j in range(_PCA_DIM):  # explicit order: oracle fold replays it
+                acc += gram[i][j] * v[j]
+            t.append(acc)
+        acc = 0.0
+        for x in t:
+            acc += x * x
+        nrm = math.sqrt(acc)
         if nrm == 0.0:
             break  # degenerate corpus (all rows equal mu): keep prior v
-        v = [float(x) / nrm for x in s]
+        v = [x / nrm for x in t]
     sign = -1.0 if v[0] < 0 else 1.0
     out = [
         (i, int(_py_round_half_away(1e9 * (sign * v[i]))), n)
