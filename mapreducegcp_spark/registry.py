@@ -180,6 +180,12 @@ _RECHECK_FIRST: frozenset[str] = frozenset(
         "bpe_encode_corpus",
         "bpe_fertility_stats",
         "pipeline_tokenizer_dataset",
+        # round 6: power iteration reworked to one-pass Gram matrix —
+        # new (equally-converged) loadings, new oracle replay
+        "embedding_top_eigenvector",
+        # round 6: span dedup rewritten to single-exchange pair rollup
+        # (same output values, different plan — recheck anyway)
+        "dedup_substring_spans",
     }
 )
 
