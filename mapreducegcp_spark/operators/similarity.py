@@ -1322,3 +1322,172 @@ def _py_round_half_away(x: float) -> int:
     import math
 
     return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+# --------------------------- MMR diversified re-rank (retrieve-then-rerank)
+
+_MMR_POOL = 20  # retrieval pool per query (the distributed stage's top-k)
+_MMR_K = 5      # diversified selections per query
+
+
+def _mmr_oracle() -> str:
+    """Chained-CTE replay of the greedy MMR selection (the k-center
+    argmax-chain pattern): cand = exact top-{pool} per query, s1 = the
+    pure-relevance pick, then each round carries a running greatest()
+    redundancy penalty and picks argmax(0.7*rel - 0.3*pen) with the
+    vec_id tie-break. MATERIALIZED per the BPE/PCA note (DuckDB
+    re-inlines deep CTE chains exponentially otherwise)."""
+    lam = "CAST(0.7 AS DOUBLE)"
+    mu = "CAST(0.3 AS DOUBLE)"
+    parts = [
+        f"""cand AS MATERIALIZED (
+  SELECT query_id, vec_id, embedding, rel, rn FROM (
+    SELECT q.vec_id AS query_id, c.vec_id, c.embedding,
+           {_o_cosine('q.embedding', 'c.embedding')} AS rel,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_o_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id
+           ) AS rn
+    FROM embeddings q JOIN embeddings c ON c.vec_id NOT IN ({_IDS_SQL})
+    WHERE q.vec_id IN ({_IDS_SQL}))
+  WHERE rn <= {_MMR_POOL}
+),
+s1 AS MATERIALIZED (
+  SELECT query_id, vec_id, embedding, {lam} * rel AS score
+  FROM cand WHERE rn = 1
+),
+d1 AS MATERIALIZED (
+  SELECT c.query_id, c.vec_id, c.embedding, c.rel,
+         {_o_cosine('c.embedding', 's.embedding')} AS pen
+  FROM cand c JOIN s1 s USING (query_id) WHERE c.vec_id <> s.vec_id
+)"""
+    ]
+    for r in range(2, _MMR_K + 1):
+        p = r - 1
+        parts.append(f"""s{r} AS MATERIALIZED (
+  SELECT query_id, vec_id, embedding, score FROM (
+    SELECT d.query_id, d.vec_id, d.embedding,
+           {lam} * d.rel - {mu} * d.pen AS score,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.query_id
+             ORDER BY {lam} * d.rel - {mu} * d.pen DESC, d.vec_id
+           ) AS rw
+    FROM d{p} d) WHERE rw = 1
+)""")
+        if r < _MMR_K:
+            parts.append(f"""d{r} AS MATERIALIZED (
+  SELECT d.query_id, d.vec_id, d.embedding, d.rel,
+         greatest(d.pen, {_o_cosine('d.embedding', 's.embedding')}) AS pen
+  FROM d{p} d JOIN s{r} s USING (query_id) WHERE d.vec_id <> s.vec_id
+)""")
+    rows = [
+        f"SELECT query_id, CAST({r} AS BIGINT) AS sel_order, vec_id,"
+        f" score AS mmr_score FROM s{r}"
+        for r in range(1, _MMR_K + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@register("search_mmr_rerank", oracle=_mmr_oracle(), tags=("llm-pipeline",))
+def q_search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): retrieve an exact top-{P} pool per query
+    (distributed — the similarity_topk_bruteforce stage, or any ANN
+    variant at scale), then greedily select {K} results maximizing
+    0.7*relevance - 0.3*max-similarity-to-already-selected — the
+    re-rank that stops near-duplicate corpus items from filling a
+    result page or a RAG context window.
+
+    Scale shape: retrieval is the corpus-streaming broadcast-join
+    stage; the re-rank touches only the {P}-row pool per query — a
+    bounded driver sync (pool x dim doubles, the k-center-coreset
+    precedent) followed by O(K*P) driver arithmetic. The greedy
+    chain's floats (strict 0.0-init left folds, explicit operation
+    order) are replayed by the oracle's chained CTEs bit-identically;
+    ties break on vec_id in both engines. At corpus scale the pool
+    would come from similarity_ann_* rather than the exact stage; the
+    re-rank cost is unchanged (pool-sized, not corpus-sized)."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            l2_norm("embedding").alias("q_nrm"),
+        )
+    )
+    corpus = emb.filter(~F.col("vec_id").isin(*_QUERY_IDS)).select(
+        "vec_id", "embedding", l2_norm("embedding").alias("c_nrm")
+    )
+    d = dot(F.col("q_emb"), F.col("embedding"))
+    cos = F.when(
+        (F.col("q_nrm") > 0) & (F.col("c_nrm") > 0),
+        d / (F.col("q_nrm") * F.col("c_nrm")),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("vec_id"))
+    pool_rows = (
+        corpus.crossJoin(queries)
+        .select("query_id", "vec_id", cos.alias("rel"), "embedding")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .select(
+            "query_id",
+            "vec_id",
+            "rel",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
+        )
+        .collect()
+    )
+
+    def pycos(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        if na > 0 and nb > 0:
+            return acc / (math.sqrt(na) * math.sqrt(nb))
+        return 0.0
+
+    by_q: dict[int, list] = {}
+    for r in pool_rows:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (int(r["vec_id"]), float(r["rel"]), list(r["emb_d"]))
+        )
+    out = []
+    for qid in sorted(by_q):
+        # candidates in vec_id order so strict > keeps the smallest
+        # vec_id on bit-equal score ties (the oracle's ROW_NUMBER order)
+        cands = sorted(by_q[qid])
+        pen = {vid: 0.0 for vid, _, _ in cands}
+        remaining = {vid: (rel, e) for vid, rel, e in cands}
+        for r in range(1, _MMR_K + 1):
+            # round 1 ranks by raw rel (the oracle's rn = 1), later
+            # rounds by the MMR score; comparing 0.7*rel in round 1
+            # could merge two distinct rels into one rounded float and
+            # flip the tie-break
+            best_vid, best_key, best_score = None, None, None
+            for vid, _, _ in cands:
+                if vid not in remaining:
+                    continue
+                rel = remaining[vid][0]
+                score = 0.7 * rel if r == 1 else 0.7 * rel - 0.3 * pen[vid]
+                key = rel if r == 1 else score
+                if best_key is None or key > best_key:
+                    best_vid, best_key, best_score = vid, key, score
+            if best_vid is None:
+                break
+            sel_emb = remaining.pop(best_vid)[1]
+            out.append((qid, r, best_vid, best_score))
+            for vid, _, _ in cands:
+                if vid in remaining:
+                    c = pycos(remaining[vid][1], sel_emb)
+                    pen[vid] = c if r == 1 else max(pen[vid], c)
+    return spark.createDataFrame(
+        out, "query_id long, sel_order long, vec_id long, mmr_score double"
+    )

@@ -108,3 +108,26 @@ def test_top_eigenvector_empty_and_degenerate(spark, monkeypatch):
     }
     init = round(1e9 / math.sqrt(2.0))
     assert rows == {0: init, 1: init}
+
+
+def test_mmr_rerank_diversifies_and_stops_at_pool(spark, monkeypatch):
+    """Query [1,0,0]; candidate 10 is most relevant, 11 is its near-
+    duplicate, 12 is equally relevant as 11 but orthogonal to 10. Pure
+    top-k would return 10 then 11; MMR must pick 12 second (11's
+    redundancy penalty ~1, 12's ~0) and 11 third, then stop — pool
+    exhausted at 3 < K selections."""
+    import mapreducegcp_spark.operators.similarity as sim_mod
+    from mapreducegcp_spark.registry import all_queries
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),          # the only query id present
+        (10, [1.0, 0.99, 0.0], 0),
+        (11, [1.0, 1.0, 0.0], 0),         # near-dup of 10
+        (12, [1.0, -1.0, 0.0], 0),        # diverse, same relevance as 11
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(sim_mod, "load_table", lambda s, d, n: emb)
+    out = all_queries()["search_mmr_rerank"].fn(spark, "ignored").collect()
+    picks = {r.sel_order: r.vec_id for r in out if r.query_id == 0}
+    assert picks == {1: 10, 2: 12, 3: 11}
+    assert len(out) == 3  # early break once the pool is exhausted
