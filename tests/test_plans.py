@@ -550,3 +550,17 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_gopher_rules_is_map_only(spark):
+    """text_gopher_rules: all six gates are per-row higher-order array
+    functions — the plan must contain NO exchange, no join, no window
+    (the zero-shuffle claim in the docstring and SCALE.md), and the
+    scan must prune to the two columns the rules read."""
+    tree, formatted = _plans(spark, "text_gopher_rules")
+    assert _exchanges(tree) == 0, tree[:2000]
+    assert "Join" not in tree and "Window" not in tree, tree[:2000]
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", formatted)
+    assert scans, formatted[:1000]
+    names = sorted(c.split(":")[0] for c in scans[0].split(",") if c)
+    assert names == ["doc_id", "text"], names

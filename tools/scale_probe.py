@@ -197,6 +197,14 @@ PROBES = {
     # the production shape for a re-crawled corpus.
     "dedup_substring_spans": {"documents": ["doc_id"]},
     "pipeline_multimodal_manifest": {"documents": ["doc_id"]},
+    # (the join back is gone since the round-6 rewrite; the comment
+    # above describes the worst-case duplication structure, which
+    # still holds for the single-exchange pair-rollup shape)
+    # round-6b: Gopher gates are map-only (cost = one scan, linear);
+    # MMR's retrieval pool scans a 10x corpus but the re-rank stays
+    # pool-sized — near-linear retrieval, constant rerank.
+    "text_gopher_rules": {"documents": ["doc_id"]},
+    "search_mmr_rerank": {"embeddings": ["vec_id"]},
 }
 
 
