@@ -1249,3 +1249,163 @@ def q_latency_ship_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_lines"))
     )
+
+
+# ------------------------------------ recursive CTE (Spark 4 WITH RECURSIVE)
+
+_RCTE_ORACLE = """
+WITH RECURSIVE edges AS (
+  SELECT 'R' || CAST(n_regionkey AS VARCHAR) AS parent,
+         'N' || CAST(n_nationkey AS VARCHAR) AS child
+  FROM nation
+  UNION ALL
+  SELECT 'N' || CAST(s_nationkey AS VARCHAR), 'S' || CAST(s_suppkey AS VARCHAR)
+  FROM supplier
+  UNION ALL
+  SELECT 'N' || CAST(c_nationkey AS VARCHAR), 'C' || CAST(c_custkey AS VARCHAR)
+  FROM customer
+),
+h AS (
+  SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS node,
+         r_name AS root_region,
+         CAST(0 AS BIGINT) AS depth
+  FROM region
+  UNION ALL
+  SELECT e.child, h.root_region, h.depth + 1
+  FROM edges e JOIN h ON e.parent = h.node
+)
+SELECT root_region, depth, CAST(count(*) AS BIGINT) AS n_nodes
+FROM h GROUP BY root_region, depth
+"""
+
+
+@register("sql_recursive_cte_hierarchy", oracle=_RCTE_ORACLE, tags=("relational",))
+def q_sql_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (ANSI WITH RECURSIVE, new engine surface in Spark
+    4): walk the star schema's containment hierarchy
+    region -> nation -> {supplier, customer} from the region roots,
+    carrying root region and depth through the recursion, and roll up
+    node counts per (root, depth) — the org-chart/BOM traversal shape
+    that needed a hand-rolled Pregel loop (graph_bfs_levels) before
+    the engine grew the SQL form. Both engines run the IDENTICAL
+    recursive query, so this also pins that Spark's UnionLoop
+    fixpoint semantics match the standard.
+
+    Scale: each iteration is one distributed join of the frontier
+    against the edge list; depth is bounded by the hierarchy (3
+    levels), so the loop count is schema-, not data-, sized. The
+    frontier shuffles on the join key like any other join — skew/AQE
+    handling applies per iteration."""
+    for t in ("region", "nation", "supplier", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_rc")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+          SELECT 'R' || CAST(n_regionkey AS STRING) AS parent,
+                 'N' || CAST(n_nationkey AS STRING) AS child
+          FROM nation_rc
+          UNION ALL
+          SELECT 'N' || CAST(s_nationkey AS STRING), 'S' || CAST(s_suppkey AS STRING)
+          FROM supplier_rc
+          UNION ALL
+          SELECT 'N' || CAST(c_nationkey AS STRING), 'C' || CAST(c_custkey AS STRING)
+          FROM customer_rc
+        ),
+        h AS (
+          SELECT 'R' || CAST(r_regionkey AS STRING) AS node,
+                 r_name AS root_region,
+                 CAST(0 AS BIGINT) AS depth
+          FROM region_rc
+          UNION ALL
+          SELECT e.child, h.root_region, h.depth + 1
+          FROM edges e JOIN h ON e.parent = h.node
+        )
+        SELECT root_region, depth, count(*) AS n_nodes
+        FROM h GROUP BY root_region, depth
+        """
+    )
+
+
+# --------------------------------------- SQL UDFs (scalar + table-valued)
+
+_SQLUDF_ORACLE = f"""
+WITH banded AS (
+  SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+              WHEN o_totalprice < 250000 THEN 'mid'
+              ELSE 'high' END AS band,
+         o_orderstatus || ':' ||
+           CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 250000 THEN 'mid'
+                ELSE 'high' END AS status_band,
+         o_totalprice
+  FROM orders
+),
+ranks(band, band_rank) AS (
+  VALUES ('low', CAST(1 AS BIGINT)), ('mid', CAST(2 AS BIGINT)),
+         ('high', CAST(3 AS BIGINT))
+)
+SELECT b.band, r.band_rank,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT b.status_band) AS BIGINT) AS n_status_bands,
+       {o_dsum(o_dec2('b.o_totalprice'))} AS total_price
+FROM banded b JOIN ranks r ON b.band = r.band
+GROUP BY b.band, r.band_rank
+"""
+
+
+@register("sql_udf_scalar_tvf", oracle=_SQLUDF_ORACLE, tags=("relational",))
+def q_sql_udf_scalar_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL user-defined functions (Spark 4 surface): a scalar SQL UDF
+    (price_band), a second scalar UDF COMPOSING it (status_band — UDFs
+    calling UDFs is the reuse pattern that motivates the feature), and
+    a table-valued SQL UDF (band_ranks) consumed in the FROM clause —
+    all pure SQL, so Catalyst inlines the bodies into the plan and the
+    whole query stays inside codegen (unlike a Python UDF, there is NO
+    serialization boundary; .explain shows plain CASE expressions).
+    The oracle runs the UDF bodies inlined by hand — identical
+    semantics, no UDF support needed on the DuckDB side.
+
+    The reference dispatches user Python by name through functionMap
+    (Worker/Worker.py:68-78); SQL UDFs are the declarative counterpart
+    where the user logic itself becomes plannable. Scale: inlined
+    expressions — zero cost beyond the underlying scan/rollup."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_udf")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < 100000 THEN 'low'
+                    WHEN p < 250000 THEN 'mid'
+                    ELSE 'high' END
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION status_band(s STRING, p DOUBLE)
+        RETURNS STRING
+        RETURN s || ':' || price_band(p)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION band_ranks()
+        RETURNS TABLE(band STRING, band_rank BIGINT)
+        RETURN VALUES ('low', CAST(1 AS BIGINT)), ('mid', CAST(2 AS BIGINT)),
+                      ('high', CAST(3 AS BIGINT))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT b.band, r.band_rank,
+               count(*) AS n_orders,
+               count(DISTINCT b.status_band) AS n_status_bands,
+               CAST(SUM(CAST(b.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_price
+        FROM (SELECT price_band(o_totalprice) AS band,
+                     status_band(o_orderstatus, o_totalprice) AS status_band,
+                     o_totalprice
+              FROM orders_udf) b
+        JOIN band_ranks() r ON b.band = r.band
+        GROUP BY b.band, r.band_rank
+        """
+    )

@@ -1246,3 +1246,202 @@ def q_quality_classifier_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.*")
+
+
+# --------------------------------- DSIR importance resampling (data selection)
+
+_DSIR_DIM = 128          # hashed unigram feature buckets
+_DSIR_TARGET_LANG = "en"  # the "target domain" the selector steers toward
+
+
+_DSIR_ORACLE = f"""
+WITH dc AS (
+  SELECT doc_id, lang,
+         {_o_bucket('tok', _DSIR_DIM)} AS f,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY doc_id, lang, f
+),
+bucket AS (
+  SELECT f,
+         CAST(sum(tf) AS BIGINT) AS cr,
+         CAST(sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN tf ELSE 0 END)
+              AS BIGINT) AS ct
+  FROM dc GROUP BY f
+),
+tot AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt
+  FROM bucket
+),
+llr AS (
+  SELECT f,
+         CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + {_DSIR_DIM} AS DOUBLE))
+                    * {1_000_000_000}) AS BIGINT)
+         - CAST(round(ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + {_DSIR_DIM} AS DOUBLE))
+                      * {1_000_000_000}) AS BIGINT) AS llr_nano
+  FROM bucket, tot
+)
+SELECT dc.doc_id,
+       CAST(sum(dc.tf) AS BIGINT) AS n_tokens,
+       CAST(sum(dc.tf * llr.llr_nano) AS BIGINT) AS logw_nano,
+       (sum(dc.tf * llr.llr_nano) > 0) AS selected
+FROM dc JOIN llr USING (f)
+GROUP BY dc.doc_id
+"""
+
+
+@register("sample_dsir_importance", oracle=_DSIR_ORACLE, tags=("llm-pipeline",))
+def q_sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by the log importance ratio log p_target(x)/p_raw(x)
+    under two bag-of-hashed-ngrams models — the published recipe for
+    steering a web-scale corpus toward a target domain without
+    training a classifier. Target model = the '{_DSIR_TARGET_LANG}'
+    slice of the corpus, raw model = the whole corpus; features are
+    {_DSIR_DIM} hashed unigram buckets (md5 universe — the same
+    portable hash family as feature_hashing_tf, so the featurizer is
+    value-oracle-checked); both models are add-one smoothed.
+
+    Determinism: the two per-bucket log-probabilities are quantized to
+    integer nano-nats SEPARATELY (each a round() whose 1-ulp libm
+    disagreement is ~1e-7 of the rounding step — the text_unigram_xent
+    argument), so the per-bucket log-likelihood-ratio is an exact
+    bigint and each document's log-weight is an associative integer
+    sum(tf * llr) — partitioning-independent and hash-stable.
+    `selected` marks documents more target-like than raw (logw > 0) —
+    the deterministic analogue of DSIR's Gumbel resampling step.
+
+    Scale shape: one (doc, bucket) rollup with map-side combine (at
+    most {_DSIR_DIM} rows per doc); the bucket/LLR model is
+    {_DSIR_DIM} rows — model-sized, broadcast back; one doc_id rollup
+    ends the plan. No state scales with the corpus except the two
+    exchanges, both combiner-reduced. The reference engine's closest
+    surface is wordcount (Worker/Worker.py:9-24); this is the
+    importance-weighted generalization a training pipeline needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    dc = (
+        docs.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "lang", md5_bucket(F.col("tok"), _DSIR_DIM).alias("f"))
+        .agg(F.count("*").alias("tf"))
+    )
+    bucket = dc.groupBy("f").agg(
+        F.sum("tf").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("tf")).otherwise(F.lit(0))
+        ).alias("ct"),
+    )
+    tot = bucket.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+
+    def _lnq(cnt: F.Column, total: F.Column) -> F.Column:
+        return F.round(
+            F.log(
+                (cnt + F.lit(1)).cast("double")
+                / (total + F.lit(_DSIR_DIM)).cast("double")
+            )
+            * F.lit(1_000_000_000)
+        ).cast("long")
+
+    llr = bucket.crossJoin(F.broadcast(tot)).select(
+        "f",
+        (_lnq(F.col("ct"), F.col("tt")) - _lnq(F.col("cr"), F.col("tr"))).alias(
+            "llr_nano"
+        ),
+    )
+    return (
+        dc.join(F.broadcast(llr), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("llr_nano")).alias("logw_nano"),
+            (F.sum(F.col("tf") * F.col("llr_nano")) > 0).alias("selected"),
+        )
+    )
+
+
+# ------------------------------- token-budget planning (epochs per source)
+
+_BUDGET_MULT = 4  # train-token budget as a multiple of the corpus token mass
+
+
+_BUDGET_ORACLE = f"""
+WITH src AS (
+  SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+denom AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+         list_reduce(
+           list_transform(
+             list_sort(list(struct_pack(source := source, n_tokens := n_tokens))),
+             r -> sqrt(CAST(r.n_tokens AS DOUBLE))
+           ),
+           (a, b) -> a + b) AS d
+  FROM src
+)
+SELECT s.source,
+       s.n_tokens,
+       sqrt(CAST(s.n_tokens AS DOUBLE)) / denom.d AS temp_weight,
+       CAST(round(CAST({_BUDGET_MULT} AS DOUBLE) * CAST(denom.tok_total AS DOUBLE)
+                  * (sqrt(CAST(s.n_tokens AS DOUBLE)) / denom.d)) AS BIGINT)
+         AS allocated_tokens,
+       CAST(least(
+           CAST(round(CAST({_BUDGET_MULT} AS DOUBLE) * CAST(denom.tok_total AS DOUBLE)
+                      * (sqrt(CAST(s.n_tokens AS DOUBLE)) / denom.d)) AS BIGINT),
+           s.n_tokens) AS BIGINT) AS fresh_tokens,
+       CAST(greatest(
+           CAST(round(CAST({_BUDGET_MULT} AS DOUBLE) * CAST(denom.tok_total AS DOUBLE)
+                      * (sqrt(CAST(s.n_tokens AS DOUBLE)) / denom.d)) AS BIGINT)
+           - s.n_tokens, 0) AS BIGINT) AS repeated_tokens
+FROM src s, denom
+"""
+
+
+@register("pipeline_token_budget_plan", oracle=_BUDGET_ORACLE, tags=("llm-pipeline",))
+def q_pipeline_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget planner for a data-constrained training run
+    (Muennighoff et al. 2023 regime): given a train budget of
+    {_BUDGET_MULT}x the corpus token mass and temperature-scaled
+    (alpha = 0.5) source weights, allocate tokens per source and split
+    the allocation into fresh vs repeated tokens — the table that
+    tells you each source's epoch count before the run starts.
+
+    Shares sample_temperature's determinism contract: exact bigint
+    token masses, the sqrt-fold normalizer accumulated in SOURCE ORDER
+    over a bounded collected array (one row per source — model-sized,
+    not data-sized), and every derived quantity is either an exact
+    bigint (round once, then integer min/max) or a short fixed
+    sequence of IEEE ops on identical operands in both engines.
+
+    Scale: one corpus scan for the per-source rollup; everything after
+    operates on the source-count-sized table. Map-side combine does
+    the heavy lifting; the plan is corpus-size-free past the first
+    exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = (
+        docs.select("source", F.size(tokens("text")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    denom = src.agg(
+        F.sum("n_tokens").alias("tok_total"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "n_tokens"))),
+            F.lit(0.0),
+            lambda acc, r: acc + F.sqrt(r["n_tokens"].cast("double")),
+        ).alias("d"),
+    )
+    w = F.sqrt(F.col("n_tokens").cast("double")) / F.col("d")
+    alloc = F.round(
+        F.lit(float(_BUDGET_MULT)) * F.col("tok_total").cast("double") * w
+    ).cast("long")
+    return src.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_tokens",
+        w.alias("temp_weight"),
+        alloc.alias("allocated_tokens"),
+        F.least(alloc, F.col("n_tokens")).alias("fresh_tokens"),
+        F.greatest(alloc - F.col("n_tokens"), F.lit(0).cast("long")).alias(
+            "repeated_tokens"
+        ),
+    )
