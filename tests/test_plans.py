@@ -564,3 +564,38 @@ def test_gopher_rules_is_map_only(spark):
     assert scans, formatted[:1000]
     names = sorted(c.split(":")[0] for c in scans[0].split(",") if c)
     assert names == ["doc_id", "text"], names
+
+
+def test_dsir_model_broadcasts_not_shuffles_docs(spark):
+    """sample_dsir_importance: the 128-row bucket/LLR model must come
+    back to the (doc, bucket) table as a BROADCAST join — if it ever
+    degrades to a shuffle join, the doc-term side pays a second
+    data-sized exchange for a model-sized table. The two legitimate
+    exchanges are the combiner-reduced (doc,f) and f rollups plus the
+    final doc_id rollup."""
+    tree, _ = _plans(spark, "sample_dsir_importance")
+    assert "BroadcastHashJoin" in tree, tree[:2000]
+    assert "SortMergeJoin" not in tree, tree[:2000]
+
+
+def test_sql_udfs_inline_to_codegen(spark):
+    """sql_udf_scalar_tvf: SQL UDF bodies must inline into the plan as
+    plain CASE/concat expressions — NO Python evaluation node of any
+    kind (that's the whole point of SQL UDFs vs F.udf), and the
+    table-valued UDF's VALUES body must plan as a LocalTableScan
+    joined broadcast, never a shuffle."""
+    tree, _ = _plans(spark, "sql_udf_scalar_tvf")
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert bad not in tree, tree[:2000]
+    assert "CASE WHEN" in tree, tree[:2000]
+    assert "BroadcastHashJoin" in tree, tree[:2000]
+
+
+def test_recursive_cte_plans_union_loop(spark):
+    """sql_recursive_cte_hierarchy: the WITH RECURSIVE plan must carry
+    Spark 4's UnionLoop fixpoint operator (the engine-native recursion
+    — if a rewrite ever flattens it to a static union the recursion
+    semantics silently cap at one level)."""
+    df = all_queries()["sql_recursive_cte_hierarchy"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "UnionLoop" in plan, plan[:2000]

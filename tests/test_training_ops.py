@@ -417,3 +417,84 @@ def test_classifier_decimal_midpoint_survives_int64_overflow(spark, monkeypatch)
     )
     assert abs(thr2) > 2**63, thr2
     assert max_score_prod > 2**63, max_score_prod
+
+
+def test_dsir_separable_corpus_selects_targetlike(spark, monkeypatch):
+    """Target-language docs use 'alpha', raw-only docs use 'beta'
+    (distinct md5 buckets, verified): the LLR must push alpha-docs to
+    positive log-weight (selected) and beta-docs negative — the
+    steering property that IS DSIR."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha", "en", "s", 0),
+            (2, "alpha alpha", "en", "s", 0),
+            (3, "beta beta beta", "de", "s", 0),
+            (4, "beta beta", "fr", "s", 0),
+        ],
+        DOC_SCHEMA,
+    )
+    _patch(monkeypatch, training_mod, docs)
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["sample_dsir_importance"].fn(spark, "x").collect()
+    }
+    assert rows[1].logw_nano > 0 and rows[1].selected
+    assert rows[2].logw_nano > 0 and rows[2].selected
+    assert rows[3].logw_nano < 0 and not rows[3].selected
+    assert rows[4].logw_nano < 0 and not rows[4].selected
+    # weight accumulates per token: more alpha tokens -> larger weight
+    assert rows[1].logw_nano > rows[2].logw_nano
+
+
+def test_dsir_alltarget_corpus_is_neutral(spark, monkeypatch):
+    """When every doc is in the target language the target and raw
+    models coincide (ct == cr, Tt == Tr), every bucket's LLR is
+    exactly 0, and no document is 'selected' — degenerate input, not
+    an error or a spurious all-pass."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en", "s", 0), (2, "gamma", "en", "s", 0)],
+        DOC_SCHEMA,
+    )
+    _patch(monkeypatch, training_mod, docs)
+    rows = all_queries()["sample_dsir_importance"].fn(spark, "x").collect()
+    assert all(r.logw_nano == 0 and not r.selected for r in rows)
+
+
+def test_token_budget_single_source_epochs(spark, monkeypatch):
+    """One source: temperature weight is exactly 1.0, so the whole
+    4x budget lands on it — fresh = corpus mass, repeated = 3x (the
+    epoch arithmetic in the exact-integer domain)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "en", "only", 0), (2, "e f", "en", "only", 0)],
+        DOC_SCHEMA,
+    )
+    _patch(monkeypatch, training_mod, docs)
+    rows = all_queries()["pipeline_token_budget_plan"].fn(spark, "x").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_tokens == 6 and r.temp_weight == 1.0
+    assert r.allocated_tokens == 24
+    assert r.fresh_tokens == 6 and r.repeated_tokens == 18
+
+
+def test_token_budget_allocation_conserves_and_splits(spark, monkeypatch):
+    """Two sources: allocations sum to the budget within rounding (one
+    round() per source), and fresh+repeated == allocated per source
+    with fresh capped at the source's own mass."""
+    big = " ".join(["tok"] * 90)
+    small = " ".join(["tok"] * 10)
+    docs = spark.createDataFrame(
+        [(1, big, "en", "crawl", 0), (2, small, "en", "books", 0)], DOC_SCHEMA
+    )
+    _patch(monkeypatch, training_mod, docs)
+    rows = {
+        r.source: r
+        for r in all_queries()["pipeline_token_budget_plan"].fn(spark, "x").collect()
+    }
+    total_alloc = sum(r.allocated_tokens for r in rows.values())
+    assert abs(total_alloc - 4 * 100) <= len(rows)  # one round() each
+    for r in rows.values():
+        assert r.fresh_tokens + r.repeated_tokens == r.allocated_tokens
+        assert r.fresh_tokens <= r.n_tokens
+    # temperature: the small source is over-sampled relative to share
+    assert rows["books"].repeated_tokens > 0

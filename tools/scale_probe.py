@@ -205,6 +205,20 @@ PROBES = {
     # pool-sized — near-linear retrieval, constant rerank.
     "text_gopher_rules": {"documents": ["doc_id"]},
     "search_mmr_rerank": {"embeddings": ["vec_id"]},
+    # round-6c: DSIR replays the hashed-TF shape (bucket model is
+    # 128 rows regardless of corpus size; both exchanges combiner-
+    # reduced) — cost must stay linear in tokens. The budget planner
+    # is one map-side rollup to a source-sized table. The recursive
+    # CTE's frontier join grows 10x per iteration with iteration
+    # count fixed by the schema; SQL UDFs inline to expressions, so
+    # the probe measures the plain scan+rollup underneath.
+    "sample_dsir_importance": {"documents": ["doc_id"]},
+    "pipeline_token_budget_plan": {"documents": ["doc_id"]},
+    "sql_recursive_cte_hierarchy": {
+        "supplier": ["s_suppkey"],
+        "customer": ["c_custkey"],
+    },
+    "sql_udf_scalar_tvf": {"orders": ["o_orderkey", "o_custkey"]},
 }
 
 
