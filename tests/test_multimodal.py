@@ -44,10 +44,55 @@ def test_feature_extract_runs_through_map_in_pandas(spark):
     assert dict(out.dtypes)["byte_sum"] == "bigint"
 
 
-def test_decode_compressed_formats_still_raise():
-    # png/jpeg need a real codec library; the seam stays explicit
+def test_decode_jpeg_still_raises_png_does_not():
+    # jpeg needs a real codec library; the seam stays explicit. png is
+    # decoded in-repo now — a 4-byte payload is a TRUNCATED signature,
+    # a ValueError at the public codec seam, not a missing codec.
     with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff\xe0", "jpeg")
+    with pytest.raises(ValueError):
         decode_media(b"\x89PNG", "png")
+
+
+def test_png_roundtrip_exercises_all_five_filters():
+    """Pixels must survive compress -> filter -> inflate -> unfilter
+    byte-for-byte; with h >= 5 the encoder emits every standard filter
+    type (row % 5), so a decoder faking any filter breaks equality."""
+    data = bytes((i * 37 + 11) % 256 for i in range(500))
+    for w, h in [(23, 15), (8, 4), (1, 1), (16, 5)]:
+        p = decode_media(encode_media(data, "png", width=w, height=h), "png")
+        assert (p["width"], p["height"]) == (w, h)
+        assert p["pixels"] == (data + b"\x00" * (w * h))[: w * h]
+        assert p["n_filter_types"] == min(h, 5)
+
+
+def test_png_corrupt_inputs_raise_valueerror():
+    blob = bytearray(encode_media(b"x" * 64, "png", width=8, height=8))
+    # flip one IDAT payload byte -> CRC mismatch, never a bare error
+    blob[50] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_media(bytes(blob), "png")
+    with pytest.raises(ValueError):  # truncated mid-chunk
+        decode_media(bytes(encode_media(b"y" * 64, "png", width=8, height=8))[:-6], "png")
+    with pytest.raises(ValueError):  # wrong magic entirely
+        decode_media(b"NOTAPNGNOTAPNG" + b"\x00" * 32, "png")
+
+
+def test_png_unsupported_profile_raises_notimplemented():
+    """A real RGBA/16-bit/interlaced png must hit the explicit profile
+    boundary, not mis-decode: rebuild the IHDR with color type 6."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG\r\n\x1a\n" + chunk, "png")
 
 
 def test_encode_decode_round_trip():

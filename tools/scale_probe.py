@@ -219,6 +219,9 @@ PROBES = {
         "customer": ["c_custkey"],
     },
     "sql_udf_scalar_tvf": {"orders": ["o_orderkey", "o_custkey"]},
+    # png round-trip is map-only compress+decode per payload — pure
+    # linear scan cost, the decode-dims posture with real DEFLATE.
+    "multimodal_png_roundtrip": {"documents": ["doc_id"]},
 }
 
 
