@@ -178,3 +178,23 @@ def test_multimodal_manifest_composes_gate_dedup_pack(spark, sf_dir):
         by_stream.setdefault((r.fmt, r.shard), []).append(r.seq_id)
     for ids in by_stream.values():
         assert sorted(ids) == list(range(len(ids)))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=600),
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=16),
+)
+def test_png_roundtrip_property(data, w, h):
+    """For ARBITRARY payload bytes and dims, encode->decode must
+    restore exactly the truncated/zero-padded pixel buffer — the
+    filter math (incl. Paeth tie-breaks and the 0-byte/1-px edges)
+    has no data-dependent escape hatch."""
+    p = decode_media(encode_media(data, "png", width=w, height=h), "png")
+    assert p["pixels"] == (data + b"\x00" * (w * h))[: w * h]
+    assert (p["width"], p["height"]) == (w, h)
