@@ -11,14 +11,18 @@ The container has no image/audio codec LIBRARIES (PIL/soundfile), but
 the in-repo codec is real anyway: ``encode_media`` writes real BMP /
 binary-PPM / PCM-WAV files (correct magic, fixed-offset header fields,
 payload as pixel/sample data) plus real zlib-compressed PNG (8-bit
-grayscale, per-row standard filters, CRC'd chunks), and
-``decode_media`` parses them back — bounded header reads for the
-uncompressed trio (``multimodal_decode_dims``) and a FULL
-entropy-coded decode for PNG (chunk walk + CRC verify + inflate +
-all-five-filter unfiltering, ``multimodal_png_roundtrip``). JPEG
-(DCT + Huffman) still raises NotImplementedError — that seam is where
-a deployment wires PIL in. The testdata has no binary column, so
-payloads are derived
+grayscale, per-row standard filters, CRC'd chunks) and real baseline
+JPEG (ITU T.81: 8x8 DCT, Annex-K quant + Huffman tables, JFIF/DQT/
+SOF0/DHT/SOS markers, byte stuffing), and ``decode_media`` parses
+them back — bounded header reads for the uncompressed trio
+(``multimodal_decode_dims``) and FULL entropy-coded decodes for PNG
+(chunk walk + CRC verify + inflate + all-five-filter unfiltering,
+``multimodal_png_roundtrip``) and JPEG (marker walk, DHT/DQT parse,
+Huffman + RLE coefficient decode, dequantize + inverse DCT,
+``multimodal_jpeg_roundtrip``). Profiles beyond 8-bit single-
+component baseline (progressive, chroma-subsampled color) raise
+NotImplementedError — that seam is where a deployment wires PIL in.
+The testdata has no binary column, so payloads are derived
 deterministically as ``encode(text, 'UTF-8')`` — ASCII corpus, so
 DuckDB can reproduce every byte from the string.
 
@@ -51,6 +55,63 @@ FRAME_STRIDE = 4  # keep every 4th frame
 # Uncompressed container formats the in-repo codec handles end-to-end.
 DECODE_FORMATS = ("bmp", "ppm", "wav")
 
+# ---- baseline JPEG constants (ITU T.81 Annex K) -----------------------
+# The luminance quantization table from Annex K.1 (raster order), scaled
+# by the IJG quality rule. Module-level so the oracle SQL below can pin
+# the SAME error bound the executors compute; the codec closures capture
+# these by value through cloudpickle's global capture (the PNG_W_MOD
+# convention, proven by multimodal_png_roundtrip's driver row).
+_JPEG_BASE_Q = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+JPEG_QUALITY = 95  # IJG scaling: q' = max(1, (q*(200-2*quality)+50)//100)
+JPEG_QTAB = tuple(
+    max(1, (q * (200 - 2 * JPEG_QUALITY) + 50) // 100) for q in _JPEG_BASE_Q
+)
+# Provable per-pixel reconstruction bound: every quantized coefficient
+# carries error <= q_k/2, every 2-D DCT basis function has amplitude
+# <= 1/4, so |pixel error| <= sum_k(q_k/2)/4 = sum(Q)/8; +2 covers the
+# final pixel rounding and float slack. A correct codec can NEVER
+# exceed it; a broken Huffman/DCT path lands ~uniform garbage far above.
+JPEG_ERR_BOUND = sum(JPEG_QTAB) // 8 + 2
+
+# Standard Huffman tables, Annex K.3: BITS (codes per length 1..16) and
+# HUFFVAL for DC/AC luminance. The DHT segment ships them in-file, so
+# the decoder is table-agnostic — these are the interop-standard choice.
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
 
 def _codec_fns():
     """Build (encode_media, decode_media) as self-contained closures.
@@ -72,9 +133,20 @@ def _codec_fns():
       all five standard filter types — a full entropy-coded decode in
       stdlib only.
 
-    No codec library anywhere. JPEG raises NotImplementedError:
-    DCT + Huffman without a codec library is out of scope; a
-    deployment wires PIL/soundfile in at this same seam.
+    - ``jpeg``: real baseline JPEG (ITU T.81) — 8-bit grayscale,
+      single component: level shift, 8x8 float DCT, Annex-K luminance
+      quantization at quality ``JPEG_QUALITY``, differential-DC +
+      run-length-AC Huffman coding with the Annex-K standard tables
+      (shipped in-file via DHT, so the decoder stays table-agnostic),
+      0xFF byte stuffing, JFIF/DQT/SOF0/DHT/SOS/EOI marker framing.
+      The decoder re-parses DQT/DHT from the file, Huffman-decodes
+      every coefficient, dequantizes, inverse-DCTs, and crops the
+      8-aligned block grid back to the declared dims.
+
+    No codec library anywhere. Profiles beyond what the encoder
+    writes (progressive/extended SOFs, multi-component color, 16-bit
+    quant tables, restart markers) raise NotImplementedError — the
+    seam where a deployment wires PIL/soundfile in.
     """
 
     def _paeth(a: int, b: int, c: int) -> int:
@@ -85,6 +157,335 @@ def _codec_fns():
         if pb <= pc:
             return b
         return c
+
+    def _jpeg_tables():
+        """Zigzag scan order + the orthonormal 8x8 DCT-II matrix."""
+        import math
+
+        import numpy as np
+
+        zz = []
+        for s in range(15):
+            rng = range(s, -1, -1) if s % 2 == 0 else range(s + 1)
+            for r in rng:
+                c = s - r
+                if r < 8 and c < 8:
+                    zz.append(r * 8 + c)
+        C = np.array(
+            [
+                [
+                    math.sqrt((1 if u == 0 else 2) / 8.0)
+                    * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                    for x in range(8)
+                ]
+                for u in range(8)
+            ]
+        )
+        return zz, C
+
+    def _jpeg_huff_codes(bits, vals):
+        """Canonical Huffman codes from a (BITS, HUFFVAL) table pair."""
+        codes, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                codes[vals[k]] = (code, ln)
+                k += 1
+                code += 1
+            code <<= 1
+        return codes
+
+    # Decode LUTs keyed by the raw (BITS, HUFFVAL) bytes: peek 16 bits,
+    # one list index gives (symbol, code length). Built once per Python
+    # worker per distinct table (all payloads share the Annex-K tables,
+    # so the 64k-entry build amortizes across the whole Arrow batch).
+    _jpeg_lut_cache: dict = {}
+
+    def _jpeg_lut(bv):
+        lut = _jpeg_lut_cache.get(bv)
+        if lut is None:
+            bits, vals = bv
+            lut = [None] * 65536
+            code, k = 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    base = code << (16 - ln)
+                    entry = (vals[k], ln)
+                    for f in range(1 << (16 - ln)):
+                        lut[base + f] = entry
+                    k += 1
+                    code += 1
+                code <<= 1
+            _jpeg_lut_cache[bv] = lut
+        return lut
+
+    def _jpeg_encode(data: bytes, width: int, height: int) -> bytes:
+        import struct
+
+        import numpy as np
+
+        if width <= 0 or height <= 0:
+            raise ValueError("jpeg needs positive dims")
+        zz, C = _jpeg_tables()
+        q = np.array(JPEG_QTAB, dtype=np.float64).reshape(8, 8)
+        px = (data + b"\x00" * (width * height))[: width * height]
+        img = (
+            np.frombuffer(px, dtype=np.uint8)
+            .reshape(height, width)
+            .astype(np.float64)
+        )
+        H8, W8 = (height + 7) // 8 * 8, (width + 7) // 8 * 8
+        # edge-replicate padding keeps block boundaries smooth (fewer
+        # AC coefficients than zero-padding); the decoder crops it off
+        img = np.pad(img, ((0, H8 - height), (0, W8 - width)), mode="edge")
+        dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+        ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+        out = bytearray()
+        acc = nbits = 0
+
+        def put(code, ln):
+            nonlocal acc, nbits
+            acc = (acc << ln) | (code & ((1 << ln) - 1))
+            nbits += ln
+            while nbits >= 8:
+                b = (acc >> (nbits - 8)) & 0xFF
+                out.append(b)
+                if b == 0xFF:  # byte stuffing: 0xFF in the scan -> 0xFF00
+                    out.append(0x00)
+                nbits -= 8
+                acc &= (1 << nbits) - 1
+
+        prev_dc = 0
+        for by in range(0, H8, 8):
+            for bx in range(0, W8, 8):
+                blk = img[by : by + 8, bx : bx + 8] - 128.0
+                qc = np.rint((C @ blk @ C.T) / q).astype(np.int64)
+                seq = [int(qc.flat[i]) for i in zz]
+                diff = seq[0] - prev_dc
+                prev_dc = seq[0]
+                s = abs(diff).bit_length()
+                put(*dc_codes[s])
+                if s:
+                    put(diff if diff > 0 else diff + (1 << s) - 1, s)
+                last_nz = 0
+                for k in range(63, 0, -1):
+                    if seq[k]:
+                        last_nz = k
+                        break
+                run = 0
+                for k in range(1, last_nz + 1):
+                    v = seq[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        put(*ac_codes[0xF0])  # ZRL: 16 zeros
+                        run -= 16
+                    s = abs(v).bit_length()
+                    put(*ac_codes[(run << 4) | s])
+                    put(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    put(*ac_codes[0x00])  # EOB
+        if nbits:
+            put((1 << (8 - nbits)) - 1, 8 - nbits)  # pad scan with 1-bits
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+        app0 = seg(
+            0xE0,
+            b"JFIF\x00"
+            + bytes([1, 1, 0])
+            + struct.pack(">HH", 1, 1)
+            + bytes([0, 0]),
+        )
+        dqt = seg(0xDB, bytes([0x00]) + bytes(JPEG_QTAB[zz[j]] for j in range(64)))
+        sof0 = seg(
+            0xC0,
+            bytes([8]) + struct.pack(">HH", height, width) + bytes([1, 1, 0x11, 0]),
+        )
+        dht = seg(
+            0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        ) + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + bytes(out) + b"\xff\xd9"
+
+    def _jpeg_decode(payload: bytes) -> dict:
+        import struct
+
+        import numpy as np
+
+        if payload[:2] != b"\xff\xd8":
+            raise ValueError("bad JPEG magic")
+        zz, C = _jpeg_tables()
+        pos, qtabs, huff, dims, scan_start = 2, {}, {}, None, None
+        dc_id = ac_id = 0
+        while pos + 1 < len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("JPEG marker desync")
+            marker = payload[pos + 1]
+            if marker == 0xD9:
+                raise ValueError("JPEG has no scan")
+            pos += 2
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue  # standalone markers carry no segment body
+            if pos + 2 > len(payload):
+                raise ValueError("truncated JPEG segment header")
+            (ln,) = struct.unpack(">H", payload[pos : pos + 2])
+            body = payload[pos + 2 : pos + ln]
+            if ln < 2 or len(body) != ln - 2:
+                raise ValueError("truncated JPEG segment body")
+            if marker == 0xDB:
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 15
+                    if pq != 0:
+                        raise NotImplementedError("16-bit quant table")
+                    if len(body) < i + 65:
+                        raise ValueError("truncated DQT")
+                    tab = [0] * 64
+                    for j in range(64):  # DQT bodies are in zigzag order
+                        tab[zz[j]] = body[i + 1 + j]
+                    qtabs[tq] = np.array(tab, dtype=np.float64).reshape(8, 8)
+                    i += 65
+            elif marker == 0xC4:
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 15
+                    bits = body[i + 1 : i + 17]
+                    if len(bits) < 16:
+                        raise ValueError("truncated DHT")
+                    n = sum(bits)
+                    vals = body[i + 17 : i + 17 + n]
+                    if len(vals) < n:
+                        raise ValueError("truncated DHT values")
+                    huff[(tc, th)] = (bytes(bits), bytes(vals))
+                    i += 17 + n
+            elif marker in (0xC0, 0xC1):
+                if len(body) < 9:
+                    raise ValueError("truncated SOF")
+                prec, nc = body[0], body[5]
+                h, w = struct.unpack(">HH", body[1:5])
+                if prec != 8 or nc != 1:
+                    raise NotImplementedError(
+                        "jpeg profile beyond 8-bit single-component baseline"
+                    )
+                if body[7] != 0x11:
+                    raise NotImplementedError("subsampled jpeg")
+                dims = (w, h, body[8])
+            elif marker in (
+                0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+            ):
+                raise NotImplementedError("progressive/extended jpeg")
+            elif marker == 0xDA:
+                if dims is None:
+                    raise ValueError("SOS before SOF")
+                if body[0] != 1:
+                    raise NotImplementedError("multi-component scan")
+                dc_id, ac_id = body[2] >> 4, body[2] & 15
+                scan_start = pos + ln
+                break
+            pos += ln  # APPn / COM / unknown: skip by declared length
+        if scan_start is None:
+            raise ValueError("JPEG has no scan")
+        # entropy-coded segment: byte stuffing guarantees any 0xFF in
+        # scan data is followed by 0x00, so the first 0xFFD9 IS the EOI
+        eoi = payload.find(b"\xff\xd9", scan_start)
+        if eoi < 0:
+            raise ValueError("JPEG missing EOI")
+        segment = payload[scan_start:eoi]
+        j = segment.find(b"\xff")
+        while j >= 0:  # validate stuffing (0xFF occurrences are rare)
+            if j + 1 >= len(segment):
+                raise ValueError("truncated JPEG scan")
+            m = segment[j + 1]
+            if m != 0x00:
+                if 0xD0 <= m <= 0xD7:
+                    raise NotImplementedError("restart markers")
+                raise ValueError("unexpected marker in JPEG scan")
+            j = segment.find(b"\xff", j + 2)
+        bitsbuf = segment.replace(b"\xff\x00", b"\xff")
+        w, h, qid = dims
+        if qid not in qtabs:
+            raise ValueError("missing quant table")
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("missing huffman table")
+        q = qtabs[qid]
+        lut_dc, lut_ac = _jpeg_lut(huff[(0, dc_id)]), _jpeg_lut(huff[(1, ac_id)])
+        # windowed bit reader: keep >=16 lookahead bits in `wacc` (1-bit
+        # padded past the end, matching the encoder's scan padding);
+        # `used` tracks CONSUMED bits so decoding past the real stream
+        # still surfaces as truncation
+        total_bits = len(bitsbuf) * 8
+        wacc, wbits, wpos, used = 0, 0, 0, 0
+        nbuf = len(bitsbuf)
+
+        def peek16():
+            nonlocal wacc, wbits, wpos
+            while wbits < 16:
+                wacc = (wacc << 8) | (bitsbuf[wpos] if wpos < nbuf else 0xFF)
+                wpos += 1
+                wbits += 8
+            return (wacc >> (wbits - 16)) & 0xFFFF
+
+        def consume(n):
+            nonlocal wacc, wbits, used
+            used += n
+            if used > total_bits:
+                raise ValueError("truncated JPEG entropy data")
+            wbits -= n
+            wacc &= (1 << wbits) - 1
+
+        def readsym(lut):
+            e = lut[peek16()]
+            if e is None:
+                raise ValueError("invalid huffman code")
+            consume(e[1])
+            return e[0]
+
+        def readval(s):
+            if not s:
+                return 0
+            if wbits < s:
+                peek16()
+            v = (wacc >> (wbits - s)) & ((1 << s) - 1)
+            consume(s)
+            if v < (1 << (s - 1)):
+                v -= (1 << s) - 1
+            return v
+
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        img = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        prev_dc = 0
+        for by in range(bh):
+            for bx in range(bw):
+                coef = np.zeros(64, dtype=np.float64)
+                prev_dc += readval(readsym(lut_dc))
+                coef[zz[0]] = prev_dc
+                k = 1
+                while k < 64:
+                    sym = readsym(lut_ac)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, s = sym >> 4, sym & 15
+                    k += run
+                    if k > 63 or s == 0:
+                        raise ValueError("corrupt AC coefficients")
+                    coef[zz[k]] = readval(s)
+                    k += 1
+                blk = C.T @ (coef.reshape(8, 8) * q) @ C + 128.0
+                img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = blk
+        px = np.clip(np.rint(img[:h, :w]), 0, 255).astype(np.uint8).tobytes()
+        return {
+            "fmt": "jpeg",
+            "width": w,
+            "height": h,
+            "pixels": px,
+            "n_blocks": bw * bh,
+        }
 
     def encode_media(data: bytes, fmt: str, width: int = 0, height: int = 0,
                      sample_rate: int = 0) -> bytes:
@@ -155,6 +556,8 @@ def _codec_fns():
                 + struct.pack("<4sI", b"data", len(data))
                 + data
             )
+        if fmt == "jpeg":
+            return _jpeg_encode(data, width, height)
         raise NotImplementedError(f"no encoder for {fmt!r}")
 
     def decode_media(payload: bytes, fmt: str) -> dict:
@@ -162,15 +565,16 @@ def _codec_fns():
 
         bmp/ppm/wav: bounded read (fixed-offset ``struct.unpack`` /
         one short ASCII header scan; never touches the pixel/sample
-        body — O(1) per payload regardless of size). png: FULL decode
-        — O(pixels) — returning the unfiltered pixel bytes plus dims.
-        Returns ``{"fmt", "width", "height"}`` for images (png adds
-        ``"pixels"`` and ``"n_filter_types"``), ``{"fmt",
+        body — O(1) per payload regardless of size). png/jpeg: FULL
+        entropy-coded decode — O(pixels) — returning the decoded
+        pixel bytes plus dims. Returns ``{"fmt", "width", "height"}``
+        for images (png adds ``"pixels"`` and ``"n_filter_types"``;
+        jpeg adds ``"pixels"`` and ``"n_blocks"``), ``{"fmt",
         "sample_rate", "n_samples"}`` for wav; raises ValueError on a
         bad magic number, a payload too short to hold the declared
-        structure, or a PNG CRC/length inconsistency (corrupt uploads
-        must surface as ValueError at this public codec seam, never a
-        bare struct.error/zlib.error)."""
+        structure, or a PNG CRC / JPEG marker inconsistency (corrupt
+        uploads must surface as ValueError at this public codec seam,
+        never a bare struct.error/zlib.error)."""
         import struct
 
         if fmt == "bmp":
@@ -291,6 +695,13 @@ def _codec_fns():
                 "pixels": bytes(px),
                 "n_filter_types": len(fset),
             }
+        if fmt == "jpeg":
+            # Full baseline decode — marker walk, in-file DQT/DHT
+            # parse, Huffman + RLE coefficient decode, dequantize,
+            # inverse DCT, crop. O(pixels) per payload. Returns
+            # ``n_blocks`` (8x8 MCU count) alongside dims and the
+            # reconstructed (lossy) pixel bytes.
+            return _jpeg_decode(payload)
         raise NotImplementedError(
             f"no codec for {fmt!r} in this environment; install PIL/soundfile "
             "and wire it in here"
@@ -1199,9 +1610,117 @@ def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["roundtrip_ok"].append(px == expected)
             yield pd.DataFrame(out)
 
-    m = with_payload(load_table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    # CPU-bound Python codec stage: repartition so every core gets
+    # Arrow batches (the single local parquet file otherwise pins the
+    # whole compress+decode loop to one task — see the JPEG twin below)
+    m = (
+        with_payload(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "payload")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return m.mapInPandas(
         roundtrip,
         schema="doc_id long, width int, height int, n_pixels long, "
         "pixel_sum long, n_filter_types int, roundtrip_ok boolean",
+    )
+
+
+# ----------------- JPEG: the DCT+Huffman decode path, closed for real
+
+JPEG_W_MOD, JPEG_H_MOD = 21, 11  # per-doc dims: w in [12,32], h in [6,16]
+
+
+@register(
+    "multimodal_jpeg_roundtrip",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(doc_id % {JPEG_W_MOD} + 12 AS INT) AS w,
+         CAST(doc_id % {JPEG_H_MOD} + 6 AS INT) AS h
+  FROM documents
+)
+SELECT doc_id, w AS width, h AS height,
+       CAST(((w + 7) // 8) * ((h + 7) // 8) AS INT) AS n_blocks,
+       CAST({JPEG_ERR_BOUND} AS INT) AS err_bound,
+       TRUE AS within_tol
+FROM m
+""",
+    tags=("multimodal", "llm-pipeline"),
+)
+def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy entropy-coded image decode, end to end and for real: every
+    payload is compressed into an actual baseline JPEG (8x8 float DCT,
+    Annex-K quantization at quality 95, differential-DC + run-length-AC
+    Huffman with the standard Annex-K tables shipped in-file via DHT,
+    byte stuffing, full JFIF marker framing) and decoded back by the
+    in-repo codec: marker walk, DQT/DHT re-parse, Huffman + RLE
+    coefficient decode, dequantize, inverse DCT, crop to declared dims.
+    This closes the LAST entropy-codec boundary — rounds 4-5 carried
+    "JPEG (DCT + Huffman) raises NotImplementedError" as the one
+    documented seam; only non-baseline profiles (progressive, color,
+    restart markers) now raise.
+
+    Because the codec is lossy, the gate is not byte equality but the
+    PROVABLE reconstruction bound: each quantized coefficient carries
+    error <= q_k/2 and every 2-D DCT basis function has amplitude
+    <= 1/4, so per-pixel error <= sum(Q)/8 (+2 rounding slack) — a
+    correct codec can never exceed it, while a single mis-decoded
+    Huffman symbol lands garbage far above. Emitted per doc: dims
+    (oracle recomputes closed-form), the 8x8 block count, the bound
+    itself (pinned to the same constant in the oracle SQL, so a quiet
+    quant-table drift breaks the hash), and ``within_tol`` comparing
+    max |decoded - source| against the bound (oracle: TRUE).
+    Empirically max error is ~8 at quality 95 on this corpus — 6x
+    headroom under the gate.
+
+    Scale: map-only, zero exchanges; encode+decode is O(pixels) per
+    payload inside the Arrow batch and only typed scalars leave the
+    executor — identical posture to multimodal_png_roundtrip. The
+    reference has no binary/media path at all (its KV store caps
+    values at 250 chars — KeyValueStore/KeyValueStore.py:25-26); this
+    family is the north-star extension beyond it."""
+    enc, dec = _codec_fns()
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "n_blocks": [],
+                "err_bound": [], "within_tol": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                w = int(doc_id) % JPEG_W_MOD + 12
+                h = int(doc_id) % JPEG_H_MOD + 6
+                props = dec(enc(data, "jpeg", width=w, height=h), "jpeg")
+                expected = (data + b"\x00" * (w * h))[: w * h]
+                got = np.frombuffer(props["pixels"], np.uint8).astype(np.int16)
+                want = np.frombuffer(expected, np.uint8).astype(np.int16)
+                err = int(np.abs(got - want).max()) if got.size else 0
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(props["width"])
+                out["height"].append(props["height"])
+                out["n_blocks"].append(props["n_blocks"])
+                out["err_bound"].append(JPEG_ERR_BOUND)
+                out["within_tol"].append(
+                    err <= JPEG_ERR_BOUND and len(props["pixels"]) == w * h
+                )
+            yield pd.DataFrame(out)
+
+    # CPU-bound Python codec work: spread the Arrow batches across every
+    # core. At 100 TB the scan arrives many-partitioned already; locally
+    # the single small parquet file would otherwise pin the whole
+    # encode+decode stage to ONE task (measured 4.0 s -> ~0.7 s at
+    # sf0.1). Explicit numPartitions so AQE doesn't coalesce the tiny
+    # byte volume back down to one partition.
+    m = (
+        with_payload(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "payload")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return m.mapInPandas(
+        roundtrip,
+        schema="doc_id long, width int, height int, n_blocks int, "
+        "err_bound int, within_tol boolean",
     )

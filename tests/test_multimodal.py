@@ -44,14 +44,15 @@ def test_feature_extract_runs_through_map_in_pandas(spark):
     assert dict(out.dtypes)["byte_sum"] == "bigint"
 
 
-def test_decode_jpeg_still_raises_png_does_not():
-    # jpeg needs a real codec library; the seam stays explicit. png is
-    # decoded in-repo now — a 4-byte payload is a TRUNCATED signature,
-    # a ValueError at the public codec seam, not a missing codec.
-    with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff\xe0", "jpeg")
+def test_decode_corrupt_bytes_raise_value_error_not_missing_codec():
+    # Both entropy-coded formats decode in-repo now — corrupt/truncated
+    # bytes are a ValueError at the public codec seam, never a missing
+    # codec. (jpeg used to raise NotImplementedError here; the baseline
+    # codec closed that boundary in round 6.)
     with pytest.raises(ValueError):
-        decode_media(b"\x89PNG", "png")
+        decode_media(b"\xff\xd8\xff\xe0", "jpeg")  # truncated APP0
+    with pytest.raises(ValueError):
+        decode_media(b"\x89PNG", "png")  # truncated signature
 
 
 def test_png_roundtrip_exercises_all_five_filters():
@@ -198,3 +199,79 @@ def test_png_roundtrip_property(data, w, h):
     p = decode_media(encode_media(data, "png", width=w, height=h), "png")
     assert p["pixels"] == (data + b"\x00" * (w * h))[: w * h]
     assert (p["width"], p["height"]) == (w, h)
+
+
+def test_jpeg_roundtrip_within_provable_bound():
+    """Baseline JPEG encode->decode must land every pixel within the
+    provable quantization bound (sum(Q)/8 + 2). Dims cover the block
+    edge cases: non-multiple-of-8 both ways, single pixel, exact MCU
+    grid."""
+    from mapreducegcp_spark.operators.multimodal import JPEG_ERR_BOUND
+
+    data = bytes((i * 37 + 11) % 256 for i in range(700))
+    for w, h in [(12, 6), (32, 16), (17, 11), (1, 1), (8, 8), (9, 7)]:
+        p = decode_media(encode_media(data, "jpeg", width=w, height=h), "jpeg")
+        assert (p["width"], p["height"]) == (w, h)
+        assert p["n_blocks"] == ((w + 7) // 8) * ((h + 7) // 8)
+        expected = (data + b"\x00" * (w * h))[: w * h]
+        assert len(p["pixels"]) == w * h
+        err = max(
+            (abs(a - b) for a, b in zip(p["pixels"], expected)), default=0
+        )
+        assert err <= JPEG_ERR_BOUND, (w, h, err)
+
+
+def test_jpeg_flat_block_decodes_near_exact():
+    # A constant image is pure DC; quantized DC error is at most
+    # q_00/2 scaled by the basis amplitude (1/8) -> off by <= 1.
+    p = decode_media(encode_media(b"\x80" * 64, "jpeg", width=8, height=8), "jpeg")
+    assert all(abs(b - 0x80) <= 1 for b in p["pixels"])
+
+
+def test_jpeg_corrupt_and_profile_errors():
+    blob = encode_media(b"abc" * 50, "jpeg", width=16, height=10)
+    with pytest.raises(ValueError):
+        decode_media(b"XX" + blob[2:], "jpeg")  # bad magic
+    with pytest.raises(ValueError):
+        decode_media(b"\xff\xd8\xff\xd9", "jpeg")  # no scan
+    with pytest.raises(ValueError):
+        decode_media(blob[: len(blob) // 2], "jpeg")  # truncated mid-header
+    with pytest.raises(ValueError):
+        decode_media(blob[:-2], "jpeg")  # EOI stripped
+    i = blob.find(b"\xff\xc0")
+    with pytest.raises(NotImplementedError):  # progressive SOF2
+        decode_media(blob[: i + 1] + b"\xc2" + blob[i + 2 :], "jpeg")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=600),
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=16),
+)
+def test_jpeg_roundtrip_property(data, w, h):
+    """For ARBITRARY payload bytes and dims the lossy round-trip must
+    stay inside the provable reconstruction bound — white noise is
+    JPEG's worst case, so hypothesis probes exactly the adversarial
+    region where a subtle Huffman/DCT bug would blow past it."""
+    from mapreducegcp_spark.operators.multimodal import JPEG_ERR_BOUND
+
+    p = decode_media(encode_media(data, "jpeg", width=w, height=h), "jpeg")
+    assert (p["width"], p["height"]) == (w, h)
+    expected = (data + b"\x00" * (w * h))[: w * h]
+    err = max((abs(a - b) for a, b in zip(p["pixels"], expected)), default=0)
+    assert err <= JPEG_ERR_BOUND
+
+
+def test_jpeg_roundtrip_query_gate(spark, sf_dir):
+    from mapreducegcp_spark.operators.multimodal import (
+        JPEG_ERR_BOUND,
+        q_multimodal_jpeg_roundtrip,
+    )
+
+    rows = q_multimodal_jpeg_roundtrip(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.within_tol, r
+        assert r.err_bound == JPEG_ERR_BOUND
+        assert r.n_blocks == ((r.width + 7) // 8) * ((r.height + 7) // 8)

@@ -222,6 +222,10 @@ PROBES = {
     # png round-trip is map-only compress+decode per payload — pure
     # linear scan cost, the decode-dims posture with real DEFLATE.
     "multimodal_png_roundtrip": {"documents": ["doc_id"]},
+    # jpeg round-trip: same map-only posture with the DCT+Huffman
+    # codec; the explicit pre-codec repartition keeps the Python stage
+    # CPU-parallel at any input partitioning.
+    "multimodal_jpeg_roundtrip": {"documents": ["doc_id"]},
 }
 
 
