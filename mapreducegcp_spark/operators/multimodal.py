@@ -1724,3 +1724,127 @@ def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, width int, height int, n_blocks int, "
         "err_bound int, within_tol boolean",
     )
+
+
+# ------- codec interop: an INDEPENDENT decoder accepts our files
+
+_INTEROP_STRIDE = 7  # one asset pair per 7 docs keeps file count bounded
+
+
+@register(
+    "multimodal_image_source_interop",
+    oracle=f"""
+WITH sel AS (
+  SELECT doc_id,
+         CAST(doc_id % {JPEG_W_MOD} + 12 AS INT) AS w,
+         CAST(doc_id % {JPEG_H_MOD} + 6 AS INT) AS h
+  FROM documents WHERE doc_id % {_INTEROP_STRIDE} = 0
+)
+SELECT doc_id, fmt, w AS width, h AS height, TRUE AS pixels_ok
+FROM sel, (VALUES ('png'), ('jpeg')) AS f(fmt)
+""",
+    tags=("multimodal", "sources"),
+)
+def q_multimodal_image_source_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interop proof for BOTH in-repo entropy codecs: files written by
+    ``encode_media`` are decoded by a COMPLETELY INDEPENDENT decoder —
+    Spark's built-in ``image`` data source, which parses via the JVM's
+    javax.imageio (zero shared code with this repo's Python codecs).
+    Executors write one ``.png`` and one ``.jpg`` per selected doc via
+    foreachPartition (distributed write, no driver materialization; on
+    a cluster the directory is the shared object store), the image
+    source reads them back, and an Arrow compare checks ImageIO's
+    decoded grayscale bytes against the source text: byte-EXACT for
+    png (lossless), within the provable quantization bound for jpeg
+    (ImageIO's independent IDCT adds ~1-2 counts over our own decode;
+    observed max ~5 vs the bound of sum(Q)/8+2). A malformed CRC,
+    misordered chunk, wrong Huffman framing, or spec-divergent marker
+    would make ImageIO reject the file (mode -1) or mis-decode —
+    either breaks the value hash.
+
+    Scale: the write is map-only; the image read is file-granular like
+    every binary source; the compare is one broadcast join (doc text
+    to decoded bytes) plus an Arrow pass. The asset subsample keeps
+    the fixture bounded — production would point the image source at
+    the real corpus directory."""
+    import os
+    import shutil
+
+    enc, _ = _codec_fns()
+    docs = load_table(spark, sf_dir, "documents")
+    sel = docs.where(F.col("doc_id") % _INTEROP_STRIDE == 0).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/mapreducegcp_spark_imginterop/{sf_tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    w_mod, h_mod = JPEG_W_MOD, JPEG_H_MOD
+
+    def write_part(rows):
+        for r in rows:
+            did = int(r["doc_id"])
+            data = bytes(r["payload"])
+            w, h = did % w_mod + 12, did % h_mod + 6
+            for ext, fmt in (("png", "png"), ("jpg", "jpeg")):
+                tmp_name = f"{out}/.doc{did}.{ext}.tmp"
+                with open(tmp_name, "wb") as f:
+                    f.write(enc(data, fmt, width=w, height=h))
+                os.replace(tmp_name, f"{out}/doc{did}.{ext}")
+
+    # CPU-bound encode in the write stage: same repartition rationale
+    # as the codec round-trip queries (a single local file = one task);
+    # only the write path repartitions — the broadcast side of the
+    # compare join below collects regardless
+    sel.repartition(spark.sparkContext.defaultParallelism).foreachPartition(write_part)
+    back = spark.read.format("image").load(out).select(
+        F.regexp_extract(F.col("image.origin"), r"doc(\d+)\.(png|jpg)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.when(
+            F.regexp_extract(F.col("image.origin"), r"\.(png|jpg)$", 1) == "jpg",
+            F.lit("jpeg"),
+        )
+        .otherwise(F.lit("png"))
+        .alias("fmt"),
+        F.col("image.width").alias("width"),
+        F.col("image.height").alias("height"),
+        F.col("image.mode").alias("mode"),
+        F.col("image.nChannels").alias("n_channels"),
+        F.col("image.data").alias("decoded"),
+    )
+    joined = back.join(F.broadcast(sel.withColumnRenamed("payload", "source")), "doc_id")
+
+    bound = JPEG_ERR_BOUND
+
+    def compare(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ok = []
+            for fmt, w, h, mode, nch, dec, src in zip(
+                pdf["fmt"], pdf["width"], pdf["height"], pdf["mode"],
+                pdf["n_channels"], pdf["decoded"], pdf["source"],
+            ):
+                w, h = int(w), int(h)
+                expected = (bytes(src) + b"\x00" * (w * h))[: w * h]
+                got = bytes(dec)
+                if int(mode) != 0 or int(nch) != 1 or len(got) != w * h:
+                    ok.append(False)  # ImageIO rejected or mis-shaped it
+                    continue
+                if fmt == "png":
+                    ok.append(got == expected)
+                else:
+                    a = np.frombuffer(got, np.uint8).astype(np.int16)
+                    b = np.frombuffer(expected, np.uint8).astype(np.int16)
+                    err = int(np.abs(a - b).max()) if a.size else 0
+                    ok.append(err <= bound)
+            res = pdf[["doc_id", "fmt", "width", "height"]].copy()
+            res["pixels_ok"] = ok
+            yield res
+
+    return joined.mapInPandas(
+        compare,
+        schema="doc_id long, fmt string, width int, height int, pixels_ok boolean",
+    )

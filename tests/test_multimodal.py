@@ -275,3 +275,18 @@ def test_jpeg_roundtrip_query_gate(spark, sf_dir):
         assert r.within_tol, r
         assert r.err_bound == JPEG_ERR_BOUND
         assert r.n_blocks == ((r.width + 7) // 8) * ((r.height + 7) // 8)
+
+
+def test_image_source_interop_both_codecs(spark, sf_dir):
+    """The JVM's ImageIO (via Spark's image source) must accept and
+    correctly decode files written by BOTH in-repo codecs — an
+    independent-decoder spec-compliance check, not a self-roundtrip."""
+    from mapreducegcp_spark.operators.multimodal import (
+        q_multimodal_image_source_interop,
+    )
+
+    rows = q_multimodal_image_source_interop(spark, sf_dir).collect()
+    assert rows
+    assert {r.fmt for r in rows} == {"png", "jpeg"}
+    for r in rows:
+        assert r.pixels_ok, r
