@@ -599,3 +599,19 @@ def test_recursive_cte_plans_union_loop(spark):
     df = all_queries()["sql_recursive_cte_hierarchy"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "UnionLoop" in plan, plan[:2000]
+
+
+def test_codec_roundtrips_parallelize_python_stage(spark):
+    """Both entropy-codec round-trips must carry an explicit
+    round-robin repartition BELOW the Arrow codec stage: without it a
+    single small parquet file pins the whole CPU-bound encode+decode
+    loop to one task (measured 4x wall-clock at sf0.1). AQE must not
+    coalesce it away — the byte volume is tiny but the CPU work is
+    not."""
+    for name in ("multimodal_jpeg_roundtrip", "multimodal_png_roundtrip"):
+        tree, _ = _plans(spark, name)
+        assert "MapInPandas" in tree, name
+        assert re.search(r"Exchange roundrobinpartitioning", tree, re.I), (
+            name,
+            tree[:2000],
+        )
