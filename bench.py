@@ -117,6 +117,7 @@ def main() -> None:
     # whatever tail window the driver keeps always parses.
     if not headline_only:
         breadth: dict[str, float] = {}
+        reruns: dict[str, list[float]] = {}
         gates: list[dict] = []
         for name in sorted(catalog):
             # Headliners timed from the catalog are covered; a headliner
@@ -128,6 +129,17 @@ def main() -> None:
                 continue
             try:
                 sec = round(_run(catalog[name].fn, spark, sf_dir), 3)
+                # Suspect-rerun: a single breadth pass late in a
+                # 260-query session picks up JVM/GC noise that a
+                # standalone run doesn't (round-6: text_ngram_novelty
+                # read 5.0 s in two bench passes but 1.3 s standalone).
+                # Queries over the threshold get ONE re-run and the
+                # min, with both passes recorded — the headline's
+                # interference-proofing, bounded to the slow tail.
+                if sec > 2.5:
+                    again = round(_run(catalog[name].fn, spark, sf_dir), 3)
+                    reruns[name] = [sec, again]
+                    sec = min(sec, again)
             except Exception as e:  # noqa: BLE001 — a broken query must not hide the rest
                 sec = -1.0
                 print(f"bench error {name}: {e}", file=sys.stderr)
@@ -142,6 +154,7 @@ def main() -> None:
         breadth_doc = {
             "metric": "breadth_sec",
             "queries": breadth,
+            "reruns": reruns,
             "gate_wrappers": gates,
             "sf": _sf_of(sf_dir),
         }
