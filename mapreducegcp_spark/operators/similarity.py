@@ -1154,9 +1154,11 @@ murow AS MATERIALIZED (
   FROM mus
 ),
 gram AS MATERIALIZED (
+  -- round_even mirrors the Spark side's np.rint (half-even); the
+  -- 1e9-first multiply association matches (C * 1e9) einsum C
   SELECT p.i, p.j,
-         sum(CAST(round(1e9 * (CAST(e.embedding[p.i] AS DOUBLE) - m.mu[p.i])
-                            * (CAST(e.embedding[p.j] AS DOUBLE) - m.mu[p.j]))
+         sum(CAST(round_even(1e9 * (CAST(e.embedding[p.i] AS DOUBLE) - m.mu[p.i])
+                                 * (CAST(e.embedding[p.j] AS DOUBLE) - m.mu[p.j]), 0)
              AS HUGEINT)) AS g
   FROM dims e CROSS JOIN murow m,
        (SELECT u.i, w.j FROM unnest(range(1, {d} + 1)) u(i),
@@ -1227,11 +1229,14 @@ def q_embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     all {I} power-iteration rounds are driver arithmetic over the
     2080-entry matrix: TWO corpus passes and TWO bounded syncs total
     (mu, Gram) regardless of iteration count, versus {I}+1 passes and
-    {I}+1 syncs before (measured 4.5 s -> 3.6 s at sf0.1 — the
-    remaining cost is the one-pass Gram rollup itself).
+    {I}+1 syncs before. The Gram pass itself is an Arrow/BLAS stage
+    (one einsum per batch, int64 partials out) — the Catalyst explode
+    of 2080 structs per row measured ~3x slower (4.6 -> ~1.7 s at
+    sf0.1 warm).
     Determinism: every cross-row sum is quantized to integer
     nano-units first (exact + associative, so the result is
-    independent of partition order), and the driver's matvec/
+    independent of partition order) with HALF-EVEN rounding on both
+    engines (np.rint / DuckDB round_even), and the driver's matvec/
     normalization arithmetic (explicit-order Python float folds:
     correctly-rounded int->double, IEEE multiply/add/sqrt/divide) is
     replayed by the oracle's ordered list_reduce folds over
@@ -1265,25 +1270,41 @@ def q_embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu[int(r["d"])] = (float(int(r["sx"])) / n) / 1e9
     mu_arr = F.array(*[F.lit(m) for m in mu])
 
-    # ONE pass: per-row centered upper-triangle outer products, nano-
-    # quantized per row (associative int sums), rolled up into 2080
-    # (i, j) groups. The collect is bounded by the SKETCH size, not the
-    # corpus (k-means-centroid precedent).
+    # ONE pass: per-row centered outer products, nano-quantized per row
+    # (associative int64 sums), partial-aggregated per Arrow batch via
+    # BLAS into the 2080-entry upper triangle — the Catalyst explode of
+    # 2080 structs per row measured 3x slower than one einsum per
+    # batch. Rounding is half-even on BOTH engines (np.rint here,
+    # round_even in the oracle); the float products keep the
+    # (1e9*c_i)*c_j association the oracle replays. The collect is
+    # bounded by the SKETCH size, not the corpus (k-means precedent).
     centered = emb.select(
         F.zip_with(
             F.col("embedding"), mu_arr, lambda x, m: x.cast("double") - m
         ).alias("c")
     )
-    tri = F.expr(
-        f"""flatten(transform(sequence(1, {_PCA_DIM}), i ->
-              transform(sequence(i, {_PCA_DIM}), j ->
-                named_struct('i', i, 'j', j, 'q',
-                  cast(round(1e9 * element_at(c, i) * element_at(c, j)) as long)))))"""
-    )
+    dim = _PCA_DIM
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd_
+
+        iu = np.triu_indices(dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["c"].tolist(), dtype=np.float64)
+            S = np.rint(np.einsum("ni,nj->nij", C * 1e9, C)).astype(
+                np.int64
+            ).sum(axis=0)
+            yield pd_.DataFrame(
+                {"i": iu[0] + 1, "j": iu[1] + 1, "q": S[iu]}
+            )
+
     g_rows = (
-        centered.select(F.explode(tri).alias("p"))
-        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
-        .agg(F.sum("p.q").alias("g"))
+        centered.mapInPandas(gram_partials, schema="i int, j int, q long")
+        .groupBy("i", "j")
+        .agg(F.sum("q").alias("g"))
         .collect()
     )
     gram = [[0.0] * _PCA_DIM for _ in range(_PCA_DIM)]
