@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 from mapreducegcp_spark.functions.text import TOKEN_ORACLE_EXPR, tokens
 from mapreducegcp_spark.functions.vectors import blas_pair_candidates, dot, l2_norm
 from mapreducegcp_spark.registry import register
-from mapreducegcp_spark.sources.catalog import load_table
+from mapreducegcp_spark.sources.catalog import fan_out_scan, load_table
 
 # ------------------------------------------------------------------ exact
 
@@ -127,7 +127,9 @@ _SHINGLES = (
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # tokenize+shingle+explode is the dominant map cost of the whole
+    # fuzzy-dedup family — fan it out when the scan under-parallelizes
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), spark)
     return docs.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id", F.explode(shingles("toks")).alias("shingle")
     )
@@ -473,7 +475,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Near-dup candidates at scale: band the bits into 4×15 chunks and
     join on any equal chunk (see dedup_minhash_lsh for the pattern).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), spark)
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     bit_sums = [
@@ -1414,8 +1416,9 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     output.
     No pairwise anything — cost is linear in corpus size at any
     scale."""
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.length("text") >= _SPAN_K
+    docs = fan_out_scan(
+        load_table(spark, sf_dir, "documents").where(F.length("text") >= _SPAN_K),
+        spark,
     )
     base = docs.select(
         "doc_id",

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducegcp_spark.registry import register
-from mapreducegcp_spark.sources.catalog import load_table
+from mapreducegcp_spark.sources.catalog import fan_out_scan, load_table
 
 FORMATS = ("png", "jpeg", "wav")
 
@@ -1613,10 +1613,11 @@ def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CPU-bound Python codec stage: repartition so every core gets
     # Arrow batches (the single local parquet file otherwise pins the
     # whole compress+decode loop to one task — see the JPEG twin below)
-    m = (
-        with_payload(load_table(spark, sf_dir, "documents"))
-        .select("doc_id", "payload")
-        .repartition(spark.sparkContext.defaultParallelism)
+    m = fan_out_scan(
+        with_payload(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "payload"
+        ),
+        spark,
     )
     return m.mapInPandas(
         roundtrip,
@@ -1714,10 +1715,11 @@ def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encode+decode stage to ONE task (measured 4.0 s -> ~0.7 s at
     # sf0.1). Explicit numPartitions so AQE doesn't coalesce the tiny
     # byte volume back down to one partition.
-    m = (
-        with_payload(load_table(spark, sf_dir, "documents"))
-        .select("doc_id", "payload")
-        .repartition(spark.sparkContext.defaultParallelism)
+    m = fan_out_scan(
+        with_payload(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "payload"
+        ),
+        spark,
     )
     return m.mapInPandas(
         roundtrip,
@@ -1797,7 +1799,7 @@ def q_multimodal_image_source_interop(spark: SparkSession, sf_dir: str) -> DataF
     # as the codec round-trip queries (a single local file = one task);
     # only the write path repartitions — the broadcast side of the
     # compare join below collects regardless
-    sel.repartition(spark.sparkContext.defaultParallelism).foreachPartition(write_part)
+    fan_out_scan(sel, spark).foreachPartition(write_part)
     back = spark.read.format("image").load(out).select(
         F.regexp_extract(F.col("image.origin"), r"doc(\d+)\.(png|jpg)$", 1)
         .cast("long")

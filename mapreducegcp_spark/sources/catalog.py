@@ -100,3 +100,28 @@ def docs_from_string(spark: SparkSession, data: str) -> DataFrame:
     Reference: the else branch (Master/Master.py:222-224).
     """
     return spark.createDataFrame([("InputString", data)], "filename string, text string")
+
+
+def fan_out_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition a CPU-heavy map stage's input ONLY when
+    the upstream scan under-parallelizes.
+
+    Local fixtures are single-row-group parquet files, and row groups
+    are parquet's split granularity — so every scan arrives as ONE
+    partition and a heavy stage-1 (per-position hashing, codec work,
+    shingle explodes) serializes onto one core no matter how many the
+    box has (measured 3-4x wall-clock on the span-dedup and codec
+    queries at sf0.1). At production partitioning (many files / row
+    groups >= cores) the guard makes this a NO-OP, so no shuffle of
+    input bytes is ever added where the scan already fans out — the
+    distinction that makes the repartition scale-honest rather than a
+    local-only hack.
+
+    ``getNumPartitions`` computes file splits without running the
+    job; AQE cannot coalesce an explicit numPartitions repartition, so
+    the fan-out survives tiny byte volumes.
+    """
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
