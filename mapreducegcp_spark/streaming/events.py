@@ -38,6 +38,26 @@ WATERMARK_DELAY = "10 minutes"
 SESSION_GAP = "5 minutes"
 
 
+def _table_stream(spark: SparkSession, sf_dir: str, leaf: str, schema) -> DataFrame:
+    """File-source stream over ONE table of a scale-factor dir, for
+    both fixture layouts: a single ``{leaf}`` parquet FILE (the driver
+    fixtures) streams via a glob filter on the parent dir — the file
+    source wants a directory, and the filter keeps sibling tables out —
+    while a ``{leaf}/part-*.parquet`` DIRECTORY (production layout,
+    tools/blowup_probe.py) streams from the directory itself. The glob
+    filter tests LEAF file names, so pointing it at a multi-file layout
+    would silently match nothing and replay an empty stream — the
+    failure the isdir branch exists to prevent."""
+    path = os.path.join(sf_dir, leaf)
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", leaf)
+        .parquet(sf_dir)
+    )
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a streaming DataFrame (file-source replay).
 
@@ -54,13 +74,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the caller's session (the driver's) may not have it set.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     raw_schema = spark.read.parquet(path).schema
-    # The file source wants a directory; scope it to the events file
-    # with a glob filter so sibling tables stay out of the stream.
-    sdf = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    sdf = _table_stream(spark, sf_dir, "events.parquet", raw_schema)
     if dict(sdf.dtypes).get("ts") == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return sdf
@@ -826,13 +840,7 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest dedup."""
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
-    # same move as events_stream: the file source wants a directory,
-    # so glob-scope it to the documents file
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    return _table_stream(spark, sf_dir, "documents.parquet", schema)
 
 
 def _make_doc_minhash_udf(k_perms: int, mod: int):

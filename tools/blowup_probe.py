@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Disk-based scale blowup: materialize key-offset replicated PARQUET
+tables at 10x/100x sf0.1 volume and re-run the bench headline on them.
+
+`tools/scale_probe.py` replicates IN MEMORY (a union over the same
+cached scan), which proves plan-shape linearity but exercises neither
+the scan path nor realistic shuffle byte volumes. This probe writes the
+replicated corpus to disk as multi-file parquet — so the 10x/100x runs
+pay real columnar scans (pushdown, pruning, row-group parallelism) and
+real exchange volumes, the closest a local[32] box gets to the
+100 TB posture.
+
+Replication honesty (same rules as scale_probe.py, enforced here on
+the DATA rather than per-query):
+
+- Fact tables replicate with key offsets (FK edges offset together, so
+  join and group cardinality grow linearly and referential integrity
+  holds). `nation`/`region` are copied UNreplicated — dimensions do
+  not grow with fact volume (TPC-H fixes them at 25/5 for the same
+  reason), and keeping them small keeps the broadcast-join posture.
+- `documents.text` in copies > 0 is deterministically word-permuted
+  (each word ranked by xxhash64(word, new doc_id)): token/word counts
+  are preserved (wordcount, quality scores, tf-idf see a genuine 10x
+  corpus) while shingle sets across copies diverge, so the natural
+  near-duplicate structure replicates linearly (10x clusters of the
+  ORIGINAL size) instead of manufacturing quadratic cross-copy pairs
+  — the production shape for a corpus that grew 10x.
+- `embeddings` replicate with vec_id offsets and unchanged vectors:
+  fine for per-query top-k and IVF (output linear in queries), so the
+  brute-force-vs-IVF contrast below is apples-to-apples.
+
+Expected results (and what a failure looks like): on a FIXED 32-core
+box a linear plan shows t(10x) <= ~10 * t(1x) — usually much less
+while the 1x run under-utilizes cores — and t(100x)/t(10x) near 10.
+A plan hiding an O(n^2) step shows ~100x per decade: the labeled
+quadratic baseline `similarity_topk_bruteforce` is INCLUDED at 10x to
+show exactly that signature next to `similarity_ann_ivf`'s linear one,
+and excluded from the 100x tier (10,000x its 1x cost, by design).
+
+    python tools/blowup_probe.py --build --factor 10
+    python tools/blowup_probe.py --run --factor 10
+    (default root /tmp/blowup -> /tmp/blowup/sf1, /tmp/blowup/sf10)
+
+Paste the tables into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducegcp_spark.session import get_spark
+from mapreducegcp_spark.sources.catalog import TABLES, load_table
+
+OFFSET = 10_000_000_000
+
+# FK-consistent key offsets (the dq_referential_integrity edge map,
+# minus the nation/region edges — dims stay fixed, see module doc).
+KEYS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": None,  # copied once, never replicated
+    "region": None,
+}
+
+# headline queries excluded per factor, with the reason printed
+EXCLUDE = {
+    10: {},
+    100: {
+        "similarity_topk_bruteforce": "labeled O(n^2) baseline: 100x data = 10^4x work by design",
+        "similarity_ann_ivf": "probe trains 100x centroids from scratch per run; 10x tier covers the linear shape",
+    },
+}
+
+# words-per-doc permutation: rank every word by xxhash64(word, doc_id)
+# — deterministic, unique per replicated row (doc_id carries the copy
+# offset), preserves the word multiset exactly.
+_PERMUTE = (
+    "array_join(transform(array_sort(transform(split(text, ' '), "
+    "w -> struct(xxhash64(w, doc_id) AS h, w AS w))), s -> s.w), ' ')"
+)
+
+
+def build(spark: SparkSession, sf_dir: str, out_dir: Path, factor: int) -> None:
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        keys = KEYS[name]
+        if keys is None:
+            out = df
+            n_files = 1
+        else:
+            parts = []
+            for i in range(factor):
+                p = df
+                for k in keys:
+                    p = p.withColumn(k, (F.col(k) + F.lit(i * OFFSET)).cast("long"))
+                if name == "documents" and i > 0:
+                    p = p.withColumn("text", F.expr(_PERMUTE))
+                parts.append(p)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            # multi-file parquet so downstream scans split without any
+            # fan_out_scan help — the production partitioning
+            n_files = min(32, factor) if name != "documents" else 32
+            out = out.repartition(n_files)
+        t0 = time.time()
+        out.write.mode("overwrite").parquet(str(out_dir / f"{name}.parquet"))
+        n = spark.read.parquet(str(out_dir / f"{name}.parquet")).count()
+        print(f"built {name}: {n} rows, {n_files} file(s), {time.time() - t0:.1f}s", flush=True)
+
+
+def run(spark: SparkSession, sf_dir: str, big_dir: str, factor: int) -> None:
+    from bench import HEADLINE, _raw_overrides
+    from mapreducegcp_spark.registry import all_queries
+
+    catalog = all_queries()
+    raw = _raw_overrides()
+    skip = EXCLUDE.get(factor, {})
+
+    def timed(fn, d: str) -> float:
+        t0 = time.perf_counter()
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # warmup both directions
+    catalog["wordcount"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    catalog["wordcount"].fn(spark, big_dir).write.format("noop").mode("overwrite").save()
+
+    rows = {}
+    print(f"| query | t_1x (s) | t_{factor}x (s) | ratio |")
+    print("|---|---|---|---|")
+    for name in HEADLINE:
+        if name in skip:
+            print(f"| `{name}` | — | — | excluded: {skip[name]} |")
+            continue
+        fn = raw.get(name) or catalog[name].fn
+        t1 = min(timed(fn, sf_dir) for _ in range(2))
+        tN = min(timed(fn, big_dir) for _ in range(2))
+        rows[name] = (round(t1, 2), round(tN, 2), round(tN / t1, 1))
+        print(f"| `{name}` | {t1:.2f} | {tN:.2f} | {tN / t1:.1f} |", flush=True)
+    print(json.dumps({"factor": factor, "rows": rows}))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--root", default="/tmp/blowup")
+    ap.add_argument("--factor", type=int, default=10, choices=(10, 100))
+    ap.add_argument("--build", action="store_true")
+    ap.add_argument("--run", action="store_true")
+    args = ap.parse_args()
+
+    # sf0.1 * 10 = sf1, * 100 = sf10 — the dir name feeds bench's _sf_of
+    out_dir = Path(args.root) / ("sf1" if args.factor == 10 else "sf10")
+    spark = get_spark("blowup-probe")
+    if args.build:
+        build(spark, args.sf_dir, out_dir, args.factor)
+    if args.run:
+        run(spark, args.sf_dir, str(out_dir), args.factor)
+    if not (args.build or args.run):
+        print("nothing to do: pass --build and/or --run", file=sys.stderr)
+        sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()
