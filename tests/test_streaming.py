@@ -32,6 +32,19 @@ def test_tumbling_counts_match_batch(spark):
     assert got == want
 
 
+def test_stream_reads_directory_table_layout(spark, tmp_path):
+    """A table stored as a DIRECTORY of part files (the production /
+    blowup layout) must stream every row — the glob-filter form
+    matches leaf file names, so pointing it at a multi-file table
+    silently replays an EMPTY stream (caught by tools/blowup_probe.py:
+    a 10x corpus 'processed' in 0.2s with vacuously correct windows)."""
+    ev = load_table(spark, SF_DIR, "events")
+    sf_dir = str(tmp_path)
+    ev.repartition(4).write.parquet(f"{sf_dir}/events.parquet")
+    out = q_stream_tumbling_counts(spark, sf_dir)
+    assert out.agg(F.sum("n")).first()[0] == ev.count()
+
+
 def test_dedup_keys_unique(spark):
     rows = q_stream_dedup_keys(spark, SF_DIR).collect()
     keys = [(r.user_id, r.event_type) for r in rows]
