@@ -81,9 +81,12 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
-        )
+        # a table may be a single parquet FILE (driver fixtures) or a
+        # DIRECTORY of part files (tools/blowup_probe.py output) —
+        # DuckDB needs an explicit glob for the directory layout
+        p = Path(args.sf_dir) / f"{t}.parquet"
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}'")
 
     n_pass = n_fail = n_skip = 0
     for name in names:
