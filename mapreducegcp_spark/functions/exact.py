@@ -14,9 +14,12 @@ convention, validated empirically against DuckDB at sf0.1:
    (12,2)x(13,2) -> scale 4, x(13,2) -> scale 6; precision stays
    under 38 so no engine-specific rounding rule ever fires).
 3. Aggregate, then make ONE cast to DOUBLE at the sum's natural scale.
-   With the scaled integer under 2^53 (true through sf0.1 and far
-   beyond), the cast is a single correctly-rounded operation in both
-   engines -> bit-identical doubles.
+   Spark's decimal->double cast is correctly rounded at any magnitude;
+   DuckDB's native cast double-rounds once the scaled integer passes
+   2^53, so the oracle fragments convert via VARCHAR (exact decimal
+   text -> double is correctly rounded there too) — bit-identical
+   doubles at ANY volume, verified at the 100x blowup scale where the
+   naive oracle cast diverges by 1 ulp (see ``o_dsum``).
 
 Never rescale decimals downward (e.g. DECIMAL(38,6) -> (38,2)): Spark
 rounds ties HALF_UP while DuckDB truncates them, so exact .xx50 ties
@@ -73,9 +76,24 @@ def o_dec2(expr: str) -> str:
 
 def o_dsum(expr: str) -> str:
     """Oracle twin of ``dsum``; pass a decimal-domain SQL expression
-    (wrap raw columns with ``o_dec2``)."""
-    return f"CAST(SUM({expr}) AS DOUBLE)"
+    (wrap raw columns with ``o_dec2``).
+
+    The double conversion goes THROUGH VARCHAR: DuckDB's native
+    ``CAST(decimal AS DOUBLE)`` converts the int128 unscaled value to
+    double and then divides by 10^scale — two roundings — while
+    Spark's ``Decimal.toDouble`` is correctly rounded. Exact decimal
+    text -> double is correctly rounded in DuckDB too, so the string
+    hop makes both engines emit THE SAME double even when the sum's
+    scaled integer exceeds 2^53 (first observed at the 100x blowup
+    probe: sum_charge = 282529058707.179600 exactly in both engines'
+    decimal domain, but 1 ulp apart after DuckDB's native cast).
+    Below 2^53 both paths are exact, so driver-scale values are
+    unchanged. STRING, not VARCHAR: several queries execute their
+    oracle text on Spark too (subqueries.py), and Spark only accepts
+    the bare type name as STRING — an alias both engines parse, with
+    correctly-rounded text->double in both."""
+    return f"CAST(CAST(SUM({expr}) AS STRING) AS DOUBLE)"
 
 
 def o_davg(expr: str) -> str:
-    return f"CAST(SUM({expr}) AS DOUBLE) / COUNT(*)"
+    return f"{o_dsum(expr)} / COUNT(*)"
