@@ -217,7 +217,7 @@ WITH spine AS (
 ),
 daily AS (
   SELECT date_trunc('day', l_shipdate) AS day,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS revenue,
          COUNT(*) AS n_lines
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'

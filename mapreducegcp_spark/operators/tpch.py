@@ -205,9 +205,9 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ Q14
 
 _Q14_ORACLE = f"""
-SELECT CAST(100.00 * SUM(CASE WHEN p.p_type = 'PROMO'
-                              THEN {_REVENUE} ELSE 0 END) AS DOUBLE)
-       / CAST(SUM({_REVENUE}) AS DOUBLE) AS promo_revenue_pct,
+SELECT CAST(CAST(100.00 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN {_REVENUE} ELSE 0 END) AS STRING) AS DOUBLE)
+       / CAST(CAST(SUM({_REVENUE}) AS STRING) AS DOUBLE) AS promo_revenue_pct,
        COUNT(*) AS n_lines
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
@@ -489,9 +489,9 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_ORACLE = f"""
 SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
-       CAST(SUM(CASE WHEN ns.n_name = 'NATION_3' THEN {_REVENUE} ELSE
-                CAST(0 AS DECIMAL(26,4)) END) AS DOUBLE)
-         / CAST(SUM({_REVENUE}) AS DOUBLE) AS mkt_share
+       CAST(CAST(SUM(CASE WHEN ns.n_name = 'NATION_3' THEN {_REVENUE} ELSE
+                CAST(0 AS DECIMAL(26,4)) END) AS STRING) AS DOUBLE)
+         / CAST(CAST(SUM({_REVENUE}) AS STRING) AS DOUBLE) AS mkt_share
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
@@ -757,10 +757,10 @@ WITH v AS (
   WHERE r.r_name = 'EUROPE'
   GROUP BY l.l_partkey
 )
-SELECT l_partkey AS ps_partkey, CAST(value_dec AS DOUBLE) AS value
+SELECT l_partkey AS ps_partkey, CAST(CAST(value_dec AS STRING) AS DOUBLE) AS value
 FROM v
-WHERE CAST(value_dec AS DOUBLE) >
-      0.001 * (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM v)
+WHERE CAST(CAST(value_dec AS STRING) AS DOUBLE) >
+      0.001 * (SELECT CAST(CAST(SUM(value_dec) AS STRING) AS DOUBLE) FROM v)
 """
 
 
