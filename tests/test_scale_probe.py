@@ -32,7 +32,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 FACTOR = 10
 GRACE_SEC = 2.0  # absolute slack for fixed overheads on short timings
 
-pytestmark = pytest.mark.skipif(
+slow_probe = pytest.mark.skipif(
     not RUN, reason="slow 1x/10x probe; set RUN_SCALE_PROBE=1 to run"
 )
 
@@ -43,6 +43,39 @@ def _timed(df) -> float:
     return time.time() - t
 
 
+def test_blowup_permutation_preserves_word_multiset(spark):
+    """The disk-blowup probe's honesty hinges on its document
+    permutation: copies > 0 must keep the exact word multiset (so
+    wordcount/tf-idf/quality volumes scale truthfully) while
+    reordering words (so shingle sets diverge and near-dup structure
+    replicates linearly). Not gated behind RUN_SCALE_PROBE — this is
+    a cheap expression-level invariant, not a timing probe."""
+    from pyspark.sql import functions as F
+
+    from blowup_probe import _PERMUTE
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a a b  c"),  # repeated words + a double space
+            (3, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    out = docs.select(
+        "doc_id",
+        "text",
+        F.expr(_PERMUTE).alias("permuted"),
+    ).collect()
+    changed = 0
+    for r in out:
+        assert sorted(r.text.split(" ")) == sorted(r.permuted.split(" ")), r
+        assert len(r.text) == len(r.permuted), r
+        changed += r.text != r.permuted
+    assert changed >= 1  # the multi-word docs actually reorder
+
+
+@slow_probe
 @pytest.mark.parametrize("name", sorted(PROBES))
 def test_ratio_stays_linear(spark, name):
     import mapreducegcp_spark.sources.catalog as catalog
