@@ -387,6 +387,24 @@ _ARTIFACT_DIR = Path(__file__).resolve().parent.parent / "artifacts"
 _CENTROID_CACHE: dict[str, list[list[float]]] = {}
 
 
+def _corpus_bytes(path: str) -> int:
+    """Total payload bytes of a parquet table at ``path``, for the
+    artifact freshness keys below. A table may be a single FILE or a
+    DIRECTORY of part files (tools/blowup_probe.py layout) —
+    ``os.path.getsize`` on a directory returns the inode size (4096
+    on ext4), which is the same for EVERY directory: a regenerated
+    corpus at the same path would silently reuse stale centroids, the
+    exact no-signal failure the size key exists to prevent. Sum the
+    entries instead."""
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in sorted(os.listdir(path))
+            if os.path.isfile(os.path.join(path, f))
+        )
+    return os.path.getsize(path)
+
+
 def ivf_centroids(
     spark: SparkSession,
     sf_dir: str,
@@ -400,12 +418,12 @@ def ivf_centroids(
     call; an IVF index at scale is trained once when the corpus is
     ingested and shipped as a (k, dim) artifact — this mirrors that.
 
-    The key carries the corpus file SIZE alongside the directory name:
+    The key carries the corpus BYTE SIZE alongside the directory name:
     an index is only valid for the exact corpus it was trained on, and
     the driver regenerates testdata between rounds — a name-only key
     would silently serve centroids trained on the previous corpus
     (same path, different bytes) and degrade recall with no signal."""
-    emb_bytes = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet"))
+    emb_bytes = _corpus_bytes(os.path.join(sf_dir, "embeddings.parquet"))
     key = (
         f"ivf_{os.path.basename(os.path.normpath(sf_dir))}"
         f"_b{emb_bytes}_k{k}_i{iters}"
@@ -855,7 +873,7 @@ def train_pq_codebooks(
 def pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
     """Load (or train-and-persist) the PQ codebooks for ``sf_dir`` —
     the same corpus-size-keyed artifact contract as ``ivf_centroids``."""
-    emb_bytes = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet"))
+    emb_bytes = _corpus_bytes(os.path.join(sf_dir, "embeddings.parquet"))
     key = (
         f"pq_{os.path.basename(os.path.normpath(sf_dir))}"
         f"_b{emb_bytes}_m{_PQ_M}_k{_PQ_K}_i{_PQ_ITERS}"

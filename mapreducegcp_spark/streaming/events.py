@@ -47,9 +47,19 @@ def _table_stream(spark: SparkSession, sf_dir: str, leaf: str, schema) -> DataFr
     tools/blowup_probe.py) streams from the directory itself. The glob
     filter tests LEAF file names, so pointing it at a multi-file layout
     would silently match nothing and replay an empty stream — the
-    failure the isdir branch exists to prevent."""
+    failure the isdir branch exists to prevent. The directory check
+    goes through the Hadoop FileSystem API (not ``os.path``), so a
+    remote sf_dir (hdfs://, s3a://, gs://) with the production layout
+    takes the directory branch too; only if the filesystem cannot be
+    reached does it fall back to the local check."""
     path = os.path.join(sf_dir, leaf)
-    if os.path.isdir(path):
+    try:
+        hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        is_dir = fs.getFileStatus(hpath).isDirectory()
+    except Exception:  # noqa: BLE001 — unreachable FS/missing path: local fallback
+        is_dir = os.path.isdir(path)
+    if is_dir:
         return spark.readStream.schema(schema).parquet(path)
     return (
         spark.readStream.schema(schema)

@@ -34,15 +34,16 @@ def test_oracle_binds(con, name):
         pytest.fail(f"oracle for {name!r} failed to bind: {e}")
 
 
-def test_o_dsum_correctly_rounded_past_2_53(con, spark):
+def test_o_dsum_correctly_rounded_past_2_53(con):
     """The o_dsum string hop must survive the 2^53 boundary where
     DuckDB's NATIVE decimal->double cast double-rounds (int128 ->
     double, then /10^scale). The witness value is the real sum_charge
     total from the 100x blowup probe: both engines agree on the exact
     decimal, Python's text->float is the correctly-rounded reference,
     and the native cast lands 1 ulp off — so this test fails if anyone
-    'simplifies' o_dsum back to a bare CAST, and pins Spark's own cast
-    as correctly rounded at the same magnitude."""
+    'simplifies' o_dsum back to a bare CAST. (The Spark half of the
+    witness — its own cast is correctly rounded at this magnitude —
+    lives in test_robustness.py, keeping this module pure DuckDB.)"""
     from mapreducegcp_spark.functions.exact import o_dsum
 
     witness = "282529058707.179600"  # scaled int 2.8e17 >> 2^53
@@ -56,8 +57,3 @@ def test_o_dsum_correctly_rounded_past_2_53(con, spark):
     ).fetchone()[0]
     assert hop == correct
     assert native != correct  # the divergence o_dsum exists to avoid
-
-    spark_val = spark.sql(
-        f"SELECT CAST(SUM(CAST({witness} AS DECIMAL(18,6))) AS DOUBLE) AS v"
-    ).first()["v"]
-    assert spark_val == correct

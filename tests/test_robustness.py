@@ -355,3 +355,15 @@ def test_fixed_k_samples_on_empty_corpus(spark, monkeypatch):
     monkeypatch.setattr(sp, "load_table", lambda *a, **k: empty)
     assert sp.q_sample_uniform_fixed_k(spark, SF_DIR).count() == 0
     assert sp.q_sample_fixed_k_per_group(spark, SF_DIR).count() == 0
+
+
+def test_spark_decimal_to_double_cast_correct_past_2_53(spark):
+    """Spark half of the o_dsum witness (DuckDB half:
+    test_oracle_syntax.py): the engine's own decimal->double cast must
+    be correctly rounded past the 2^53 scaled-integer boundary — this
+    is what lets the oracle fix live entirely on the DuckDB side."""
+    witness = "282529058707.179600"  # scaled int 2.8e17 >> 2^53
+    val = spark.sql(
+        f"SELECT CAST(SUM(CAST({witness} AS DECIMAL(18,6))) AS DOUBLE) AS v"
+    ).first()["v"]
+    assert val == float(witness)  # Python str->float is correctly rounded

@@ -126,21 +126,19 @@ def build(spark: SparkSession, sf_dir: str, out_dir: Path, factor: int) -> None:
 
 
 def run(spark: SparkSession, sf_dir: str, big_dir: str, factor: int) -> None:
-    from bench import HEADLINE, _raw_overrides
+    # reuse bench's exact timing convention (_run: perf_counter around a
+    # noop-sink write) so these numbers stay comparable to the bench
+    # tables they sit next to in SCALE.md
+    from bench import HEADLINE, _raw_overrides, _run
     from mapreducegcp_spark.registry import all_queries
 
     catalog = all_queries()
     raw = _raw_overrides()
     skip = EXCLUDE.get(factor, {})
 
-    def timed(fn, d: str) -> float:
-        t0 = time.perf_counter()
-        fn(spark, d).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
-
     # warmup both directions
-    catalog["wordcount"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    catalog["wordcount"].fn(spark, big_dir).write.format("noop").mode("overwrite").save()
+    for d in (sf_dir, big_dir):
+        _run(catalog["wordcount"].fn, spark, d)
 
     rows = {}
     print(f"| query | t_1x (s) | t_{factor}x (s) | ratio |")
@@ -150,8 +148,8 @@ def run(spark: SparkSession, sf_dir: str, big_dir: str, factor: int) -> None:
             print(f"| `{name}` | — | — | excluded: {skip[name]} |")
             continue
         fn = raw.get(name) or catalog[name].fn
-        t1 = min(timed(fn, sf_dir) for _ in range(2))
-        tN = min(timed(fn, big_dir) for _ in range(2))
+        t1 = min(_run(fn, spark, sf_dir) for _ in range(2))
+        tN = min(_run(fn, spark, big_dir) for _ in range(2))
         rows[name] = (round(t1, 2), round(tN, 2), round(tN / t1, 1))
         print(f"| `{name}` | {t1:.2f} | {tN:.2f} | {tN / t1:.1f} |", flush=True)
     print(json.dumps({"factor": factor, "rows": rows}))
