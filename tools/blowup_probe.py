@@ -82,9 +82,43 @@ EXCLUDE = {
     10: {},
     100: {
         "similarity_topk_bruteforce": "labeled O(n^2) baseline: 100x data = 10^4x work by design",
-        "similarity_ann_ivf": "probe trains 100x centroids from scratch per run; 10x tier covers the linear shape",
+        "similarity_ann_ivf": "first run pays a 100x-corpus centroid train (persisted thereafter); 10x tier covers the linear probe shape",
     },
 }
+
+# queries whose DuckDB oracle is tractable at the 100x corpus AND whose
+# output is meaningful under replication — the one-command version of
+# the 100x exact-verification table in SCALE.md. (Excluded from the
+# list, with reasons: minhash/phash/jaccard pair graphs and novelty
+# would measure the replication's duplicate structure; tpch_q11
+# returns empty at 100x because its 0.001-of-total threshold scales
+# with the corpus while per-part value does not.)
+VERIFY_100X = [
+    "agg_pricing_summary",
+    "agg_skew_kurtosis",
+    "agg_weighted_median",
+    "asof_join_last_click",
+    "calendar_gap_fill",
+    "customer_gini_coefficient",
+    "customer_pareto_deciles",
+    "dedup_exact",
+    "dedup_substring_spans",
+    "feature_quantile_bins",
+    "pipeline_token_budget_plan",
+    "quality_classifier_eval",
+    "quality_classifier_funnel",
+    "quality_classifier_scores",
+    "sample_dsir_importance",
+    "sessionize_events",
+    "subquery_scalar_correlated",
+    "text_gopher_rules",
+    "tfidf_top_terms",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q8_market_share",
+    "window_topn_per_customer",
+    "wordcount",
+]
 
 # words-per-doc permutation: rank every word by xxhash64(word, doc_id)
 # — deterministic, unique per replicated row (doc_id carries the copy
@@ -162,6 +196,12 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10, choices=(10, 100))
     ap.add_argument("--build", action="store_true")
     ap.add_argument("--run", action="store_true")
+    ap.add_argument(
+        "--verify",
+        action="store_true",
+        help="strict Spark-vs-DuckDB multiset compare of the VERIFY_100X "
+        "list against the blowup corpus (the SCALE.md receipt, one command)",
+    )
     args = ap.parse_args()
 
     # sf0.1 * 10 = sf1, * 100 = sf10 — the dir name feeds bench's _sf_of
@@ -171,8 +211,22 @@ def main() -> None:
         build(spark, args.sf_dir, out_dir, args.factor)
     if args.run:
         run(spark, args.sf_dir, str(out_dir), args.factor)
-    if not (args.build or args.run):
-        print("nothing to do: pass --build and/or --run", file=sys.stderr)
+    if args.verify:
+        import subprocess
+
+        rc = subprocess.call(
+            [
+                sys.executable,
+                str(Path(__file__).with_name("check_oracles.py")),
+                "--sf-dir",
+                str(out_dir),
+                *VERIFY_100X,
+            ]
+        )
+        if rc:
+            sys.exit(rc)
+    if not (args.build or args.run or args.verify):
+        print("nothing to do: pass --build, --run and/or --verify", file=sys.stderr)
         sys.exit(2)
 
 
