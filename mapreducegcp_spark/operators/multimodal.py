@@ -18,9 +18,9 @@ them back — bounded header reads for the uncompressed trio
 (``multimodal_decode_dims``) and FULL entropy-coded decodes for PNG
 (chunk walk + CRC verify + inflate + all-five-filter unfiltering,
 ``multimodal_png_roundtrip``) and JPEG (marker walk, DHT/DQT parse,
-Huffman + RLE coefficient decode, dequantize + inverse DCT,
-``multimodal_jpeg_roundtrip``). Profiles beyond 8-bit single-
-component baseline (progressive, chroma-subsampled color) raise
+Huffman + RLE coefficient decode, dequantize + inverse DCT, gray or
+4:4:4 YCbCr color, ``multimodal_jpeg_roundtrip``). Profiles beyond
+8-bit baseline (progressive, chroma-subsampled color) raise
 NotImplementedError — that seam is where a deployment wires PIL in.
 The testdata has no binary column, so payloads are derived
 deterministically as ``encode(text, 'UTF-8')`` — ASCII corpus, so
@@ -133,20 +133,26 @@ def _codec_fns():
       all five standard filter types — a full entropy-coded decode in
       stdlib only.
 
-    - ``jpeg``: real baseline JPEG (ITU T.81) — 8-bit grayscale,
-      single component: level shift, 8x8 float DCT, Annex-K luminance
-      quantization at quality ``JPEG_QUALITY``, differential-DC +
-      run-length-AC Huffman coding with the Annex-K standard tables
-      (shipped in-file via DHT, so the decoder stays table-agnostic),
-      0xFF byte stuffing, JFIF/DQT/SOF0/DHT/SOS/EOI marker framing.
-      The decoder re-parses DQT/DHT from the file, Huffman-decodes
-      every coefficient, dequantizes, inverse-DCTs, and crops the
-      8-aligned block grid back to the declared dims.
+    - ``jpeg``: real baseline JPEG (ITU T.81) — 8-bit grayscale OR
+      4:4:4 YCbCr color (``channels=3``): level shift (color goes
+      through the JFIF RGB->YCbCr matrix in float, so the only lossy
+      steps are the quantizer and final rounding), 8x8 float DCT,
+      Annex-K luminance quantization at quality ``JPEG_QUALITY``,
+      differential-DC + run-length-AC Huffman coding with the Annex-K
+      standard tables (shipped in-file via DHT, so the decoder stays
+      table-agnostic; one shared table set for all components — valid
+      baseline), interleaved one-block-per-component MCUs with a DC
+      predictor per component, 0xFF byte stuffing, JFIF/DQT/SOF0/DHT/
+      SOS/EOI marker framing. The decoder re-parses DQT/DHT and the
+      per-component table bindings from the file, Huffman-decodes
+      every coefficient, dequantizes, inverse-DCTs, converts YCbCr
+      back to RGB for 3-component frames, and crops the 8-aligned
+      block grid back to the declared dims.
 
     No codec library anywhere. Profiles beyond what the encoder
-    writes (progressive/extended SOFs, multi-component color, 16-bit
-    quant tables, restart markers) raise NotImplementedError — the
-    seam where a deployment wires PIL/soundfile in.
+    writes (progressive/extended SOFs, chroma-subsampled color,
+    16-bit quant tables, restart markers) raise NotImplementedError —
+    the seam where a deployment wires PIL/soundfile in.
     """
 
     def _paeth(a: int, b: int, c: int) -> int:
@@ -218,25 +224,52 @@ def _codec_fns():
             _jpeg_lut_cache[bv] = lut
         return lut
 
-    def _jpeg_encode(data: bytes, width: int, height: int) -> bytes:
+    def _jpeg_encode(
+        data: bytes, width: int, height: int, channels: int = 1
+    ) -> bytes:
         import struct
 
         import numpy as np
 
         if width <= 0 or height <= 0:
             raise ValueError("jpeg needs positive dims")
+        if channels not in (1, 3):
+            raise ValueError("jpeg channels must be 1 (gray) or 3 (RGB)")
         zz, C = _jpeg_tables()
         q = np.array(JPEG_QTAB, dtype=np.float64).reshape(8, 8)
-        px = (data + b"\x00" * (width * height))[: width * height]
-        img = (
-            np.frombuffer(px, dtype=np.uint8)
-            .reshape(height, width)
-            .astype(np.float64)
-        )
+        n = width * height * channels
+        px = (data + b"\x00" * n)[:n]
         H8, W8 = (height + 7) // 8 * 8, (width + 7) // 8 * 8
-        # edge-replicate padding keeps block boundaries smooth (fewer
-        # AC coefficients than zero-padding); the decoder crops it off
-        img = np.pad(img, ((0, H8 - height), (0, W8 - width)), mode="edge")
+
+        def plane(a):
+            # edge-replicate padding keeps block boundaries smooth
+            # (fewer AC coefficients than zero-padding); the decoder
+            # crops it off
+            return np.pad(a, ((0, H8 - height), (0, W8 - width)), mode="edge")
+
+        if channels == 1:
+            planes = [
+                plane(
+                    np.frombuffer(px, dtype=np.uint8)
+                    .reshape(height, width)
+                    .astype(np.float64)
+                )
+            ]
+        else:
+            rgb = (
+                np.frombuffer(px, dtype=np.uint8)
+                .reshape(height, width, 3)
+                .astype(np.float64)
+            )
+            r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+            # JFIF full-range YCbCr; kept in float until quantization,
+            # so the only lossy steps are the DCT quantizer and the
+            # final RGB rounding — the error bound composes cleanly
+            planes = [
+                plane(0.299 * r + 0.587 * g + 0.114 * b),
+                plane(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b),
+                plane(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b),
+            ]
         dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
         ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
         out = bytearray()
@@ -254,38 +287,45 @@ def _codec_fns():
                 nbits -= 8
                 acc &= (1 << nbits) - 1
 
-        prev_dc = 0
+        def enc_block(blk, prev_dc):
+            qc = np.rint((C @ (blk - 128.0) @ C.T) / q).astype(np.int64)
+            seq = [int(qc.flat[i]) for i in zz]
+            diff = seq[0] - prev_dc
+            s = abs(diff).bit_length()
+            put(*dc_codes[s])
+            if s:
+                put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            last_nz = 0
+            for k in range(63, 0, -1):
+                if seq[k]:
+                    last_nz = k
+                    break
+            run = 0
+            for k in range(1, last_nz + 1):
+                v = seq[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    put(*ac_codes[0xF0])  # ZRL: 16 zeros
+                    run -= 16
+                s = abs(v).bit_length()
+                put(*ac_codes[(run << 4) | s])
+                put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                put(*ac_codes[0x00])  # EOB
+            return seq[0]
+
+        # interleaved MCUs (one 8x8 block per component at 4:4:4), one
+        # DC predictor per component — the baseline scan structure
+        prev = [0] * channels
         for by in range(0, H8, 8):
             for bx in range(0, W8, 8):
-                blk = img[by : by + 8, bx : bx + 8] - 128.0
-                qc = np.rint((C @ blk @ C.T) / q).astype(np.int64)
-                seq = [int(qc.flat[i]) for i in zz]
-                diff = seq[0] - prev_dc
-                prev_dc = seq[0]
-                s = abs(diff).bit_length()
-                put(*dc_codes[s])
-                if s:
-                    put(diff if diff > 0 else diff + (1 << s) - 1, s)
-                last_nz = 0
-                for k in range(63, 0, -1):
-                    if seq[k]:
-                        last_nz = k
-                        break
-                run = 0
-                for k in range(1, last_nz + 1):
-                    v = seq[k]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        put(*ac_codes[0xF0])  # ZRL: 16 zeros
-                        run -= 16
-                    s = abs(v).bit_length()
-                    put(*ac_codes[(run << 4) | s])
-                    put(v if v > 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if last_nz < 63:
-                    put(*ac_codes[0x00])  # EOB
+                for ci in range(channels):
+                    prev[ci] = enc_block(
+                        planes[ci][by : by + 8, bx : bx + 8], prev[ci]
+                    )
         if nbits:
             put((1 << (8 - nbits)) - 1, 8 - nbits)  # pad scan with 1-bits
 
@@ -300,14 +340,20 @@ def _codec_fns():
             + bytes([0, 0]),
         )
         dqt = seg(0xDB, bytes([0x00]) + bytes(JPEG_QTAB[zz[j]] for j in range(64)))
+        # every component: 4:4:4 sampling (0x11), quant table 0, huffman
+        # set 0 — one shared table set is valid baseline JPEG and keeps
+        # the color path table-identical to the proven grayscale one
+        comp_specs = b"".join(bytes([cid + 1, 0x11, 0]) for cid in range(channels))
         sof0 = seg(
             0xC0,
-            bytes([8]) + struct.pack(">HH", height, width) + bytes([1, 1, 0x11, 0]),
+            bytes([8]) + struct.pack(">HH", height, width)
+            + bytes([channels]) + comp_specs,
         )
         dht = seg(
             0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
         ) + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
-        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        sos_comps = b"".join(bytes([cid + 1, 0x00]) for cid in range(channels))
+        sos = seg(0xDA, bytes([channels]) + sos_comps + bytes([0, 63, 0]))
         return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + bytes(out) + b"\xff\xd9"
 
     def _jpeg_decode(payload: bytes) -> dict:
@@ -362,17 +408,23 @@ def _codec_fns():
                     huff[(tc, th)] = (bytes(bits), bytes(vals))
                     i += 17 + n
             elif marker in (0xC0, 0xC1):
-                if len(body) < 9:
+                if len(body) < 6:
                     raise ValueError("truncated SOF")
                 prec, nc = body[0], body[5]
                 h, w = struct.unpack(">HH", body[1:5])
-                if prec != 8 or nc != 1:
+                if prec != 8 or nc not in (1, 3):
                     raise NotImplementedError(
-                        "jpeg profile beyond 8-bit single-component baseline"
+                        "jpeg profile beyond 8-bit 1- or 3-component baseline"
                     )
-                if body[7] != 0x11:
-                    raise NotImplementedError("subsampled jpeg")
-                dims = (w, h, body[8])
+                if len(body) < 6 + 3 * nc:
+                    raise ValueError("truncated SOF components")
+                comps = []  # (component id, quant table id) in SOF order
+                for i in range(nc):
+                    cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
+                    if samp != 0x11:
+                        raise NotImplementedError("subsampled jpeg")
+                    comps.append((cid, qid))
+                dims = (w, h, comps)
             elif marker in (
                 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
             ):
@@ -380,9 +432,18 @@ def _codec_fns():
             elif marker == 0xDA:
                 if dims is None:
                     raise ValueError("SOS before SOF")
-                if body[0] != 1:
-                    raise NotImplementedError("multi-component scan")
-                dc_id, ac_id = body[2] >> 4, body[2] & 15
+                ns = body[0]
+                if ns != len(dims[2]):
+                    raise NotImplementedError(
+                        "scan does not interleave all frame components"
+                    )
+                if len(body) < 1 + 2 * ns + 3:
+                    raise ValueError("truncated SOS")
+                # per-component (dc table id, ac table id), keyed by id
+                scan_tables = {
+                    body[1 + 2 * i]: (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
+                    for i in range(ns)
+                }
                 scan_start = pos + ln
                 break
             pos += ln  # APPn / COM / unknown: skip by declared length
@@ -405,13 +466,20 @@ def _codec_fns():
                 raise ValueError("unexpected marker in JPEG scan")
             j = segment.find(b"\xff", j + 2)
         bitsbuf = segment.replace(b"\xff\x00", b"\xff")
-        w, h, qid = dims
-        if qid not in qtabs:
-            raise ValueError("missing quant table")
-        if (0, dc_id) not in huff or (1, ac_id) not in huff:
-            raise ValueError("missing huffman table")
-        q = qtabs[qid]
-        lut_dc, lut_ac = _jpeg_lut(huff[(0, dc_id)]), _jpeg_lut(huff[(1, ac_id)])
+        w, h, comps = dims
+        nc = len(comps)
+        per_comp = []  # (quant table, dc LUT, ac LUT) in SOF order
+        for cid, qid in comps:
+            if qid not in qtabs:
+                raise ValueError("missing quant table")
+            if cid not in scan_tables:
+                raise ValueError("scan component not in frame")
+            dc_id, ac_id = scan_tables[cid]
+            if (0, dc_id) not in huff or (1, ac_id) not in huff:
+                raise ValueError("missing huffman table")
+            per_comp.append(
+                (qtabs[qid], _jpeg_lut(huff[(0, dc_id)]), _jpeg_lut(huff[(1, ac_id)]))
+            )
         # windowed bit reader: keep >=16 lookahead bits in `wacc` (1-bit
         # padded past the end, matching the encoder's scan padding);
         # `used` tracks CONSUMED bits so decoding past the real stream
@@ -455,40 +523,58 @@ def _codec_fns():
             return v
 
         bw, bh = (w + 7) // 8, (h + 7) // 8
-        img = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        prev_dc = 0
+        planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in range(nc)]
+        prev_dc = [0] * nc
         for by in range(bh):
             for bx in range(bw):
-                coef = np.zeros(64, dtype=np.float64)
-                prev_dc += readval(readsym(lut_dc))
-                coef[zz[0]] = prev_dc
-                k = 1
-                while k < 64:
-                    sym = readsym(lut_ac)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, s = sym >> 4, sym & 15
-                    k += run
-                    if k > 63 or s == 0:
-                        raise ValueError("corrupt AC coefficients")
-                    coef[zz[k]] = readval(s)
-                    k += 1
-                blk = C.T @ (coef.reshape(8, 8) * q) @ C + 128.0
-                img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = blk
-        px = np.clip(np.rint(img[:h, :w]), 0, 255).astype(np.uint8).tobytes()
+                # interleaved MCU: one block per component at 4:4:4
+                for ci in range(nc):
+                    q, lut_dc, lut_ac = per_comp[ci]
+                    coef = np.zeros(64, dtype=np.float64)
+                    prev_dc[ci] += readval(readsym(lut_dc))
+                    coef[zz[0]] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        sym = readsym(lut_ac)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        run, s = sym >> 4, sym & 15
+                        k += run
+                        if k > 63 or s == 0:
+                            raise ValueError("corrupt AC coefficients")
+                        coef[zz[k]] = readval(s)
+                        k += 1
+                    blk = C.T @ (coef.reshape(8, 8) * q) @ C + 128.0
+                    planes[ci][by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = blk
+        if nc == 1:
+            out_px = planes[0][:h, :w]
+        else:
+            y = planes[0][:h, :w]
+            cb = planes[1][:h, :w] - 128.0
+            cr = planes[2][:h, :w] - 128.0
+            out_px = np.stack(
+                [
+                    y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb,
+                ],
+                axis=-1,
+            )
+        px = np.clip(np.rint(out_px), 0, 255).astype(np.uint8).tobytes()
         return {
             "fmt": "jpeg",
             "width": w,
             "height": h,
             "pixels": px,
             "n_blocks": bw * bh,
+            "channels": nc,
         }
 
     def encode_media(data: bytes, fmt: str, width: int = 0, height: int = 0,
-                     sample_rate: int = 0) -> bytes:
+                     sample_rate: int = 0, channels: int = 1) -> bytes:
         import struct
         import zlib
 
@@ -557,7 +643,7 @@ def _codec_fns():
                 + data
             )
         if fmt == "jpeg":
-            return _jpeg_encode(data, width, height)
+            return _jpeg_encode(data, width, height, channels)
         raise NotImplementedError(f"no encoder for {fmt!r}")
 
     def decode_media(payload: bytes, fmt: str) -> dict:

@@ -228,6 +228,93 @@ def test_jpeg_flat_block_decodes_near_exact():
     assert all(abs(b - 0x80) <= 1 for b in p["pixels"])
 
 
+def test_jpeg_color_roundtrip_within_bound():
+    """4:4:4 YCbCr color round-trip. Per-channel YCbCr error obeys the
+    grayscale quantization bound B = sum(Q)/8; the YCbCr->RGB matrix
+    amplifies it by at most 1 + 1.772 = 2.772 (the largest row L1 norm
+    over the chroma terms plus the Y term), and final rounding adds 1
+    — so |RGB error| <= 2.772*B + slack. White-noise RGB is the worst
+    case; dims cover partial MCUs."""
+    import numpy as np
+
+    from mapreducegcp_spark.operators.multimodal import JPEG_QTAB
+
+    bound = int(2.772 * (sum(JPEG_QTAB) / 8)) + 3
+    rng = np.random.RandomState(7)
+    for w, h in [(19, 13), (8, 8), (1, 1), (24, 9)]:
+        rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        p = decode_media(
+            encode_media(rgb.tobytes(), "jpeg", width=w, height=h, channels=3),
+            "jpeg",
+        )
+        assert (p["width"], p["height"], p["channels"]) == (w, h, 3)
+        assert p["n_blocks"] == ((w + 7) // 8) * ((h + 7) // 8)
+        assert len(p["pixels"]) == w * h * 3
+        got = np.frombuffer(p["pixels"], np.uint8).reshape(h, w, 3).astype(int)
+        err = int(np.abs(got - rgb.astype(int)).max())
+        assert err <= bound, (w, h, err, bound)
+    # smooth content (the realistic case) reconstructs much tighter
+    yy, xx = np.mgrid[0:13, 0:19]
+    smooth = np.stack(
+        [(xx * 9) % 256, (yy * 11) % 256, ((xx + yy) * 5) % 256], axis=-1
+    ).astype(np.uint8)
+    p = decode_media(
+        encode_media(smooth.tobytes(), "jpeg", width=19, height=13, channels=3),
+        "jpeg",
+    )
+    got = np.frombuffer(p["pixels"], np.uint8).reshape(13, 19, 3).astype(int)
+    assert int(np.abs(got - smooth.astype(int)).max()) <= 8
+
+
+def test_jpeg_color_interop_with_imageio(spark):
+    """A completely independent decoder (the JVM's javax.imageio via
+    py4j — zero shared code) must accept the color bytes and
+    reconstruct the source within a small tolerance: a malformed SOS
+    component binding, MCU interleave, or YCbCr matrix would either
+    make ImageIO reject the stream or land far from the source."""
+    import numpy as np
+
+    w, h = 16, 9
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(xx * 16) % 256, (yy * 25) % 256, (xx * 3 + yy * 7) % 256], axis=-1
+    ).astype(np.uint8)
+    payload = encode_media(rgb.tobytes(), "jpeg", width=w, height=h, channels=3)
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(payload))
+    )
+    assert img is not None, "ImageIO rejected the stream"
+    assert (img.getWidth(), img.getHeight()) == (w, h)
+    worst = 0
+    for y in range(h):
+        for x in range(w):
+            pix = img.getRGB(x, y)
+            worst = max(
+                worst,
+                abs(((pix >> 16) & 255) - int(rgb[y, x, 0])),
+                abs(((pix >> 8) & 255) - int(rgb[y, x, 1])),
+                abs((pix & 255) - int(rgb[y, x, 2])),
+            )
+    assert worst <= 12, worst  # smooth content: quantization-level only
+
+
+def test_jpeg_subsampled_color_still_raises():
+    """Chroma subsampling stays an honest NotImplementedError: patch
+    the Y component's sampling factors in SOF0 to 2x2 and the decoder
+    must refuse rather than misinterpret the MCU layout."""
+    blob = encode_media(
+        bytes(300), "jpeg", width=10, height=10, channels=3
+    )
+    i = blob.find(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) then (id, samp, qid)*3
+    samp_off = i + 2 + 2 + 1 + 4 + 1 + 1  # first component's sampling byte
+    assert blob[samp_off] == 0x11
+    patched = blob[:samp_off] + b"\x22" + blob[samp_off + 1 :]
+    with pytest.raises(NotImplementedError):
+        decode_media(patched, "jpeg")
+
+
 def test_jpeg_corrupt_and_profile_errors():
     blob = encode_media(b"abc" * 50, "jpeg", width=16, height=10)
     with pytest.raises(ValueError):
