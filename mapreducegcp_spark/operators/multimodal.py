@@ -127,11 +127,12 @@ def _codec_fns():
     - ``wav``: RIFF/WAVE with a PCM ``fmt `` chunk (8-bit mono) and a
       ``data`` chunk; one byte == one sample
 
-    - ``png``: real zlib/DEFLATE PNG, 8-bit grayscale non-interlaced;
-      the encoder filters each scanline with type (row % 5) and the
+    - ``png``: real zlib/DEFLATE PNG, 8-bit grayscale (ctype 0) or
+      truecolor RGB (ctype 2, ``channels=3``), non-interlaced; the
+      encoder filters each scanline with type (row % 5) and the
       decoder CRC-verifies every chunk, inflates IDAT, and unfilters
-      all five standard filter types — a full entropy-coded decode in
-      stdlib only.
+      all five standard filter types with the spec's one-PIXEL-back
+      ``left`` offset — a full entropy-coded decode in stdlib only.
 
     - ``jpeg``: real baseline JPEG (ITU T.81) — 8-bit grayscale OR
       4:4:4 YCbCr color (``channels=3``): level shift (color goes
@@ -579,22 +580,30 @@ def _codec_fns():
         import zlib
 
         if fmt == "png":
-            # Real PNG: 8-bit grayscale, non-interlaced; pixel data is
-            # `data` truncated/zero-padded to width*height. Each
-            # scanline is filtered with type (row % 5) so a decoder
-            # must implement ALL five standard filters to round-trip.
-            px = (data + b"\x00" * (width * height))[: width * height]
+            # Real PNG: 8-bit grayscale (ctype 0) or truecolor RGB
+            # (ctype 2, ``channels=3``), non-interlaced; pixel data is
+            # `data` truncated/zero-padded to width*height*channels.
+            # Each scanline is filtered with type (row % 5) so a
+            # decoder must implement ALL five standard filters to
+            # round-trip. Filters operate bytewise with ``left`` one
+            # PIXEL (bpp bytes) back — the part of the spec a
+            # grayscale-only implementation never exercises.
+            if channels not in (1, 3):
+                raise ValueError("png channels must be 1 (gray) or 3 (RGB)")
+            bpp = channels
+            stride = width * bpp
+            px = (data + b"\x00" * (stride * height))[: stride * height]
             out = bytearray()
-            prev = b"\x00" * width
+            prev = b"\x00" * stride
             for r in range(height):
-                row = px[r * width : (r + 1) * width]
+                row = px[r * stride : (r + 1) * stride]
                 f = r % 5
-                filt = bytearray(width)
-                for i in range(width):
+                filt = bytearray(stride)
+                for i in range(stride):
                     x = row[i]
-                    left = row[i - 1] if i else 0
+                    left = row[i - bpp] if i >= bpp else 0
                     up = prev[i]
-                    ul = prev[i - 1] if i else 0
+                    ul = prev[i - bpp] if i >= bpp else 0
                     if f == 0:
                         filt[i] = x
                     elif f == 1:
@@ -617,7 +626,8 @@ def _codec_fns():
                     + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
                 )
 
-            ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+            ctype = 0 if channels == 1 else 2
+            ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
             return (
                 b"\x89PNG\r\n\x1a\n"
                 + chunk(b"IHDR", ihdr)
@@ -728,11 +738,14 @@ def _codec_fns():
                     w, h, depth, ctype, comp, filt_m, inter = struct.unpack(
                         ">IIBBBBB", body
                     )
-                    if (depth, ctype, comp, filt_m, inter) != (8, 0, 0, 0, 0):
+                    if (depth, comp, filt_m, inter) != (8, 0, 0, 0) or ctype not in (
+                        0,
+                        2,
+                    ):
                         raise NotImplementedError(
-                            "png profile beyond 8-bit grayscale non-interlaced"
+                            "png profile beyond 8-bit gray/truecolor non-interlaced"
                         )
-                    ihdr = (w, h)
+                    ihdr = (w, h, 1 if ctype == 0 else 3)
                 elif typ == b"IDAT":
                     idat += body
                 elif typ == b"IEND":
@@ -741,34 +754,37 @@ def _codec_fns():
                 pos += 12 + clen
             if ihdr is None or not ended:
                 raise ValueError("PNG missing IHDR or IEND")
-            w, h = ihdr
+            w, h, bpp = ihdr
+            stride = w * bpp
             try:
                 raw = zlib.decompress(bytes(idat))
             except zlib.error as e:
                 raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-            if len(raw) != h * (w + 1):
+            if len(raw) != h * (stride + 1):
                 raise ValueError("PNG pixel data length mismatch")
             px = bytearray()
-            prev = bytearray(w)
+            prev = bytearray(stride)
             fset = set()
             for r in range(h):
-                f = raw[r * (w + 1)]
+                f = raw[r * (stride + 1)]
                 fset.add(f)
-                line = bytearray(raw[r * (w + 1) + 1 : (r + 1) * (w + 1)])
+                line = bytearray(
+                    raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+                )
                 if f == 1:
-                    for i in range(1, w):
-                        line[i] = (line[i] + line[i - 1]) & 255
+                    for i in range(bpp, stride):
+                        line[i] = (line[i] + line[i - bpp]) & 255
                 elif f == 2:
-                    for i in range(w):
+                    for i in range(stride):
                         line[i] = (line[i] + prev[i]) & 255
                 elif f == 3:
-                    for i in range(w):
-                        left = line[i - 1] if i else 0
+                    for i in range(stride):
+                        left = line[i - bpp] if i >= bpp else 0
                         line[i] = (line[i] + (left + prev[i]) // 2) & 255
                 elif f == 4:
-                    for i in range(w):
-                        left = line[i - 1] if i else 0
-                        ul = prev[i - 1] if i else 0
+                    for i in range(stride):
+                        left = line[i - bpp] if i >= bpp else 0
+                        ul = prev[i - bpp] if i >= bpp else 0
                         line[i] = (line[i] + _paeth(left, prev[i], ul)) & 255
                 elif f != 0:
                     raise ValueError(f"unknown PNG filter type {f}")
@@ -780,6 +796,7 @@ def _codec_fns():
                 "height": h,
                 "pixels": bytes(px),
                 "n_filter_types": len(fset),
+                "channels": bpp,
             }
         if fmt == "jpeg":
             # Full baseline decode — marker walk, in-file DQT/DHT

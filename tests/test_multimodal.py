@@ -67,6 +67,38 @@ def test_png_roundtrip_exercises_all_five_filters():
         assert p["n_filter_types"] == min(h, 5)
 
 
+def test_png_truecolor_roundtrip_exact_and_imageio(spark):
+    """Truecolor PNG (ctype 2) must round-trip byte-exact — PNG is
+    lossless, so any filter-offset mistake (RGB filters reference one
+    PIXEL back, 3 bytes, not one byte) shows as inequality — and the
+    JVM's javax.imageio must decode the same RGB values from the same
+    bytes (independent spec check)."""
+    import numpy as np
+
+    data = bytes((i * 29 + 5) % 256 for i in range(23 * 15 * 3))
+    for w, h in [(23, 15), (1, 1), (8, 5)]:
+        p = decode_media(
+            encode_media(data, "png", width=w, height=h, channels=3), "png"
+        )
+        assert (p["width"], p["height"], p["channels"]) == (w, h, 3)
+        assert p["pixels"] == (data + b"\x00" * (w * h * 3))[: w * h * 3]
+        assert p["n_filter_types"] == min(h, 5)
+    w, h = 16, 9
+    rgb = np.frombuffer(data[: w * h * 3], np.uint8).reshape(h, w, 3)
+    payload = encode_media(rgb.tobytes(), "png", width=w, height=h, channels=3)
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(payload))
+    )
+    assert img is not None, "ImageIO rejected the stream"
+    for y in range(h):
+        for x in range(w):
+            pix = img.getRGB(x, y)
+            assert ((pix >> 16) & 255, (pix >> 8) & 255, pix & 255) == tuple(
+                int(v) for v in rgb[y, x]
+            ), (x, y)
+
+
 def test_png_corrupt_inputs_raise_valueerror():
     blob = bytearray(encode_media(b"x" * 64, "png", width=8, height=8))
     # flip one IDAT payload byte -> CRC mismatch, never a bare error
