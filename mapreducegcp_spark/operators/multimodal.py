@@ -18,9 +18,9 @@ them back — bounded header reads for the uncompressed trio
 (``multimodal_decode_dims``) and FULL entropy-coded decodes for PNG
 (chunk walk + CRC verify + inflate + all-five-filter unfiltering,
 ``multimodal_png_roundtrip``) and JPEG (marker walk, DHT/DQT parse,
-Huffman + RLE coefficient decode, dequantize + inverse DCT, gray or
-4:4:4 YCbCr color, ``multimodal_jpeg_roundtrip``). Profiles beyond
-8-bit baseline (progressive, chroma-subsampled color) raise
+Huffman + RLE coefficient decode, dequantize + inverse DCT, gray /
+4:4:4 / 4:2:0 color, ``multimodal_jpeg_roundtrip``). Profiles beyond
+8-bit baseline (progressive, sampling factors above 2) raise
 NotImplementedError — that seam is where a deployment wires PIL in.
 The testdata has no binary column, so payloads are derived
 deterministically as ``encode(text, 'UTF-8')`` — ASCII corpus, so
@@ -134,26 +134,31 @@ def _codec_fns():
       all five standard filter types with the spec's one-PIXEL-back
       ``left`` offset — a full entropy-coded decode in stdlib only.
 
-    - ``jpeg``: real baseline JPEG (ITU T.81) — 8-bit grayscale OR
-      4:4:4 YCbCr color (``channels=3``): level shift (color goes
-      through the JFIF RGB->YCbCr matrix in float, so the only lossy
-      steps are the quantizer and final rounding), 8x8 float DCT,
-      Annex-K luminance quantization at quality ``JPEG_QUALITY``,
-      differential-DC + run-length-AC Huffman coding with the Annex-K
-      standard tables (shipped in-file via DHT, so the decoder stays
-      table-agnostic; one shared table set for all components — valid
-      baseline), interleaved one-block-per-component MCUs with a DC
-      predictor per component, 0xFF byte stuffing, JFIF/DQT/SOF0/DHT/
-      SOS/EOI marker framing. The decoder re-parses DQT/DHT and the
-      per-component table bindings from the file, Huffman-decodes
-      every coefficient, dequantizes, inverse-DCTs, converts YCbCr
-      back to RGB for 3-component frames, and crops the 8-aligned
-      block grid back to the declared dims.
+    - ``jpeg``: real baseline JPEG (ITU T.81) — 8-bit grayscale,
+      4:4:4 YCbCr color (``channels=3``), or 4:2:0 chroma-subsampled
+      color (``subsampling="420"`` — the profile virtually every
+      real-world JPEG uses; javax.imageio's writer emits it by
+      default): level shift (color goes through the JFIF RGB->YCbCr
+      matrix in float; 4:2:0 chroma is the 2x2 block mean), 8x8 float
+      DCT, Annex-K luminance quantization at quality
+      ``JPEG_QUALITY``, differential-DC + run-length-AC Huffman
+      coding with the Annex-K standard tables (shipped in-file via
+      DHT, so the decoder stays table-agnostic; one shared table set
+      for all components — valid baseline), interleaved MCUs with
+      h_i*v_i blocks per component and a DC predictor per component,
+      0xFF byte stuffing, JFIF/DQT/SOF0/DHT/SOS/EOI marker framing.
+      The decoder re-parses DQT/DHT and the per-component sampling
+      and table bindings from the file, Huffman-decodes every
+      coefficient, dequantizes, inverse-DCTs, nearest-neighbor
+      upsamples reduced-resolution chroma, converts YCbCr back to
+      RGB for 3-component frames, and crops the MCU-aligned grid back
+      to the declared dims — so it ingests third-party baseline
+      files (ImageIO-written 4:2:0 included), not just its own.
 
-    No codec library anywhere. Profiles beyond what the encoder
-    writes (progressive/extended SOFs, chroma-subsampled color,
-    16-bit quant tables, restart markers) raise NotImplementedError —
-    the seam where a deployment wires PIL/soundfile in.
+    No codec library anywhere. Profiles beyond baseline
+    (progressive/extended SOFs, sampling factors above 2, 16-bit
+    quant tables, restart markers) raise NotImplementedError — the
+    seam where a deployment wires PIL/soundfile in.
     """
 
     def _paeth(a: int, b: int, c: int) -> int:
@@ -226,7 +231,11 @@ def _codec_fns():
         return lut
 
     def _jpeg_encode(
-        data: bytes, width: int, height: int, channels: int = 1
+        data: bytes,
+        width: int,
+        height: int,
+        channels: int = 1,
+        subsampling: str = "444",
     ) -> bytes:
         import struct
 
@@ -236,11 +245,19 @@ def _codec_fns():
             raise ValueError("jpeg needs positive dims")
         if channels not in (1, 3):
             raise ValueError("jpeg channels must be 1 (gray) or 3 (RGB)")
+        if subsampling not in ("444", "420"):
+            raise ValueError("jpeg subsampling must be '444' or '420'")
+        sub420 = subsampling == "420" and channels == 3
         zz, C = _jpeg_tables()
         q = np.array(JPEG_QTAB, dtype=np.float64).reshape(8, 8)
         n = width * height * channels
         px = (data + b"\x00" * n)[:n]
-        H8, W8 = (height + 7) // 8 * 8, (width + 7) // 8 * 8
+        # at 4:2:0 the MCU covers 16x16 luma pixels, so luma pads to
+        # 16-multiples and the half-resolution chroma lands on exact
+        # 8-multiples; at 4:4:4 everything pads to 8-multiples
+        unit = 16 if sub420 else 8
+        H8 = (height + unit - 1) // unit * unit
+        W8 = (width + unit - 1) // unit * unit
 
         def plane(a):
             # edge-replicate padding keeps block boundaries smooth
@@ -256,6 +273,7 @@ def _codec_fns():
                     .astype(np.float64)
                 )
             ]
+            samps = [(1, 1)]
         else:
             rgb = (
                 np.frombuffer(px, dtype=np.uint8)
@@ -264,13 +282,21 @@ def _codec_fns():
             )
             r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
             # JFIF full-range YCbCr; kept in float until quantization,
-            # so the only lossy steps are the DCT quantizer and the
-            # final RGB rounding — the error bound composes cleanly
+            # so the only lossy steps are the DCT quantizer, the final
+            # RGB rounding, and (at 4:2:0) the chroma 2x2 mean
             planes = [
                 plane(0.299 * r + 0.587 * g + 0.114 * b),
                 plane(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b),
                 plane(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b),
             ]
+            samps = [(1, 1)] * 3
+            if sub420:
+                # chroma: 2x2 block mean of the padded full-res plane
+                planes[1:] = [
+                    p.reshape(H8 // 2, 2, W8 // 2, 2).mean(axis=(1, 3))
+                    for p in planes[1:]
+                ]
+                samps = [(2, 2), (1, 1), (1, 1)]
         dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
         ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
         out = bytearray()
@@ -318,15 +344,23 @@ def _codec_fns():
                 put(*ac_codes[0x00])  # EOB
             return seq[0]
 
-        # interleaved MCUs (one 8x8 block per component at 4:4:4), one
+        # interleaved MCUs (h_i*v_i blocks per component per MCU), one
         # DC predictor per component — the baseline scan structure
+        hmax = max(s[0] for s in samps)
+        vmax = max(s[1] for s in samps)
+        mcux, mcuy = W8 // (8 * hmax), H8 // (8 * vmax)
         prev = [0] * channels
-        for by in range(0, H8, 8):
-            for bx in range(0, W8, 8):
+        for my in range(mcuy):
+            for mx in range(mcux):
                 for ci in range(channels):
-                    prev[ci] = enc_block(
-                        planes[ci][by : by + 8, bx : bx + 8], prev[ci]
-                    )
+                    hi, vi = samps[ci]
+                    for bv in range(vi):
+                        for bu in range(hi):
+                            r0 = (my * vi + bv) * 8
+                            c0 = (mx * hi + bu) * 8
+                            prev[ci] = enc_block(
+                                planes[ci][r0 : r0 + 8, c0 : c0 + 8], prev[ci]
+                            )
         if nbits:
             put((1 << (8 - nbits)) - 1, 8 - nbits)  # pad scan with 1-bits
 
@@ -341,10 +375,14 @@ def _codec_fns():
             + bytes([0, 0]),
         )
         dqt = seg(0xDB, bytes([0x00]) + bytes(JPEG_QTAB[zz[j]] for j in range(64)))
-        # every component: 4:4:4 sampling (0x11), quant table 0, huffman
-        # set 0 — one shared table set is valid baseline JPEG and keeps
-        # the color path table-identical to the proven grayscale one
-        comp_specs = b"".join(bytes([cid + 1, 0x11, 0]) for cid in range(channels))
+        # every component: quant table 0, huffman set 0 — one shared
+        # table set is valid baseline JPEG and keeps the color path
+        # table-identical to the proven grayscale one; sampling factors
+        # come from `samps` (0x11 everywhere, or 0x22/0x11/0x11 at 4:2:0)
+        comp_specs = b"".join(
+            bytes([cid + 1, (samps[cid][0] << 4) | samps[cid][1], 0])
+            for cid in range(channels)
+        )
         sof0 = seg(
             0xC0,
             bytes([8]) + struct.pack(">HH", height, width)
@@ -419,12 +457,15 @@ def _codec_fns():
                     )
                 if len(body) < 6 + 3 * nc:
                     raise ValueError("truncated SOF components")
-                comps = []  # (component id, quant table id) in SOF order
+                comps = []  # (component id, h_i, v_i, quant id) in SOF order
                 for i in range(nc):
                     cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
-                    if samp != 0x11:
-                        raise NotImplementedError("subsampled jpeg")
-                    comps.append((cid, qid))
+                    hi, vi = samp >> 4, samp & 15
+                    if hi not in (1, 2) or vi not in (1, 2):
+                        raise NotImplementedError(
+                            "jpeg sampling factors beyond 1-2 per axis"
+                        )
+                    comps.append((cid, hi, vi, qid))
                 dims = (w, h, comps)
             elif marker in (
                 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
@@ -469,8 +510,10 @@ def _codec_fns():
         bitsbuf = segment.replace(b"\xff\x00", b"\xff")
         w, h, comps = dims
         nc = len(comps)
-        per_comp = []  # (quant table, dc LUT, ac LUT) in SOF order
-        for cid, qid in comps:
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        per_comp = []  # (h_i, v_i, quant table, dc LUT, ac LUT) in SOF order
+        for cid, hi, vi, qid in comps:
             if qid not in qtabs:
                 raise ValueError("missing quant table")
             if cid not in scan_tables:
@@ -479,7 +522,8 @@ def _codec_fns():
             if (0, dc_id) not in huff or (1, ac_id) not in huff:
                 raise ValueError("missing huffman table")
             per_comp.append(
-                (qtabs[qid], _jpeg_lut(huff[(0, dc_id)]), _jpeg_lut(huff[(1, ac_id)]))
+                (hi, vi, qtabs[qid],
+                 _jpeg_lut(huff[(0, dc_id)]), _jpeg_lut(huff[(1, ac_id)]))
             )
         # windowed bit reader: keep >=16 lookahead bits in `wacc` (1-bit
         # padded past the end, matching the encoder's scan padding);
@@ -523,39 +567,58 @@ def _codec_fns():
                 v -= (1 << s) - 1
             return v
 
-        bw, bh = (w + 7) // 8, (h + 7) // 8
-        planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in range(nc)]
+        # MCU grid is set by the max sampling factors (16x16 pixels per
+        # MCU for 4:2:0); each component contributes h_i*v_i blocks per
+        # MCU into its own (possibly reduced-resolution) plane
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        planes = [
+            np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.float64)
+            for hi, vi, _, _, _ in per_comp
+        ]
         prev_dc = [0] * nc
-        for by in range(bh):
-            for bx in range(bw):
-                # interleaved MCU: one block per component at 4:4:4
+        for my in range(mcuy):
+            for mx in range(mcux):
                 for ci in range(nc):
-                    q, lut_dc, lut_ac = per_comp[ci]
-                    coef = np.zeros(64, dtype=np.float64)
-                    prev_dc[ci] += readval(readsym(lut_dc))
-                    coef[zz[0]] = prev_dc[ci]
-                    k = 1
-                    while k < 64:
-                        sym = readsym(lut_ac)
-                        if sym == 0x00:  # EOB
-                            break
-                        if sym == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        run, s = sym >> 4, sym & 15
-                        k += run
-                        if k > 63 or s == 0:
-                            raise ValueError("corrupt AC coefficients")
-                        coef[zz[k]] = readval(s)
-                        k += 1
-                    blk = C.T @ (coef.reshape(8, 8) * q) @ C + 128.0
-                    planes[ci][by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = blk
+                    hi, vi, q, lut_dc, lut_ac = per_comp[ci]
+                    for bv in range(vi):
+                        for bu in range(hi):
+                            coef = np.zeros(64, dtype=np.float64)
+                            prev_dc[ci] += readval(readsym(lut_dc))
+                            coef[zz[0]] = prev_dc[ci]
+                            k = 1
+                            while k < 64:
+                                sym = readsym(lut_ac)
+                                if sym == 0x00:  # EOB
+                                    break
+                                if sym == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                run, s = sym >> 4, sym & 15
+                                k += run
+                                if k > 63 or s == 0:
+                                    raise ValueError("corrupt AC coefficients")
+                                coef[zz[k]] = readval(s)
+                                k += 1
+                            blk = C.T @ (coef.reshape(8, 8) * q) @ C + 128.0
+                            r0 = (my * vi + bv) * 8
+                            c0 = (mx * hi + bu) * 8
+                            planes[ci][r0 : r0 + 8, c0 : c0 + 8] = blk
+        full = []
+        for ci in range(nc):
+            hi, vi = per_comp[ci][0], per_comp[ci][1]
+            p = planes[ci]
+            if hi < hmax or vi < vmax:
+                # nearest-neighbor upsample back to full resolution —
+                # the baseline-decoder reference behavior
+                p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+            full.append(p[:h, :w])
         if nc == 1:
-            out_px = planes[0][:h, :w]
+            out_px = full[0]
         else:
-            y = planes[0][:h, :w]
-            cb = planes[1][:h, :w] - 128.0
-            cr = planes[2][:h, :w] - 128.0
+            y = full[0]
+            cb = full[1] - 128.0
+            cr = full[2] - 128.0
             out_px = np.stack(
                 [
                     y + 1.402 * cr,
@@ -570,12 +633,13 @@ def _codec_fns():
             "width": w,
             "height": h,
             "pixels": px,
-            "n_blocks": bw * bh,
+            "n_blocks": mcux * mcuy,
             "channels": nc,
         }
 
     def encode_media(data: bytes, fmt: str, width: int = 0, height: int = 0,
-                     sample_rate: int = 0, channels: int = 1) -> bytes:
+                     sample_rate: int = 0, channels: int = 1,
+                     subsampling: str = "444") -> bytes:
         import struct
         import zlib
 
@@ -653,7 +717,7 @@ def _codec_fns():
                 + data
             )
         if fmt == "jpeg":
-            return _jpeg_encode(data, width, height, channels)
+            return _jpeg_encode(data, width, height, channels, subsampling)
         raise NotImplementedError(f"no encoder for {fmt!r}")
 
     def decode_media(payload: bytes, fmt: str) -> dict:

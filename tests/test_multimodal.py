@@ -331,9 +331,88 @@ def test_jpeg_color_interop_with_imageio(spark):
     assert worst <= 12, worst  # smooth content: quantization-level only
 
 
-def test_jpeg_subsampled_color_still_raises():
-    """Chroma subsampling stays an honest NotImplementedError: patch
-    the Y component's sampling factors in SOF0 to 2x2 and the decoder
+def test_jpeg_420_roundtrip_and_imageio_agreement(spark):
+    """4:2:0 — the profile virtually every real-world JPEG uses. On
+    smooth content (chroma smoothness is the profile's own premise)
+    the self round-trip must stay near the source, the stream must be
+    SMALLER than its 4:4:4 twin (the point of subsampling), and
+    javax.imageio must decode our 4:2:0 bytes close to the source."""
+    import numpy as np
+
+    w, h = 37, 22
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(xx * 5 + 40) % 256, (yy * 7 + 10) % 256, ((xx + yy) * 3) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    p420 = encode_media(
+        rgb.tobytes(), "jpeg", width=w, height=h, channels=3, subsampling="420"
+    )
+    p444 = encode_media(rgb.tobytes(), "jpeg", width=w, height=h, channels=3)
+    assert len(p420) < len(p444)
+    d = decode_media(p420, "jpeg")
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    assert d["n_blocks"] == ((w + 15) // 16) * ((h + 15) // 16)  # 16x16 MCUs
+    got = np.frombuffer(d["pixels"], np.uint8).reshape(h, w, 3).astype(int)
+    assert int(np.abs(got - rgb.astype(int)).max()) <= 16
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(p420))
+    )
+    assert img is not None and (img.getWidth(), img.getHeight()) == (w, h)
+    worst = 0
+    for y in range(h):
+        for x in range(w):
+            pix = img.getRGB(x, y)
+            worst = max(
+                worst,
+                abs(((pix >> 16) & 255) - int(rgb[y, x, 0])),
+                abs(((pix >> 8) & 255) - int(rgb[y, x, 1])),
+                abs((pix & 255) - int(rgb[y, x, 2])),
+            )
+    assert worst <= 16, worst
+
+
+def test_jpeg_ingests_imageio_written_420_file(spark):
+    """The ingest receipt: javax.imageio WRITES a color JPEG with its
+    default settings (baseline 4:2:0, two quant tables, its own
+    Huffman choices — nothing shared with our encoder) and OUR decoder
+    must parse and reconstruct it near the source. This is the decode
+    path a real pipeline runs on crawled images."""
+    import numpy as np
+
+    jvm = spark._jvm
+    w, h = 32, 24
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(xx * 7) % 256, (yy * 9) % 256, ((xx + yy) * 4) % 256], axis=-1
+    ).astype(int)
+    for y in range(h):
+        for x in range(w):
+            img.setRGB(
+                x, y,
+                (int(rgb[y, x, 0]) << 16)
+                | (int(rgb[y, x, 1]) << 8)
+                | int(rgb[y, x, 2]),
+            )
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "jpg", baos)
+    payload = bytes(baos.toByteArray())
+    # confirm the file really is subsampled (else this test is vacuous)
+    i = payload.find(b"\xff\xc0")
+    assert payload[i + 2 + 2 + 1 + 4 + 1 + 1] == 0x22, "ImageIO wrote 4:4:4?"
+    d = decode_media(payload, "jpeg")
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    got = np.frombuffer(d["pixels"], np.uint8).reshape(h, w, 3).astype(int)
+    assert int(np.abs(got - rgb).max()) <= 20
+
+
+def test_jpeg_sampling_beyond_two_still_raises():
+    """Sampling factors above 2 stay an honest NotImplementedError:
+    patch the Y component's factors in SOF0 to 3x3 and the decoder
     must refuse rather than misinterpret the MCU layout."""
     blob = encode_media(
         bytes(300), "jpeg", width=10, height=10, channels=3
@@ -342,7 +421,7 @@ def test_jpeg_subsampled_color_still_raises():
     # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) then (id, samp, qid)*3
     samp_off = i + 2 + 2 + 1 + 4 + 1 + 1  # first component's sampling byte
     assert blob[samp_off] == 0x11
-    patched = blob[:samp_off] + b"\x22" + blob[samp_off + 1 :]
+    patched = blob[:samp_off] + b"\x33" + blob[samp_off + 1 :]
     with pytest.raises(NotImplementedError):
         decode_media(patched, "jpeg")
 
