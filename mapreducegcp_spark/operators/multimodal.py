@@ -155,10 +155,14 @@ def _codec_fns():
       to the declared dims — so it ingests third-party baseline
       files (ImageIO-written 4:2:0 included), not just its own.
 
-    No codec library anywhere. Profiles beyond baseline
-    (progressive/extended SOFs, sampling factors above 2, 16-bit
-    quant tables, restart markers) raise NotImplementedError — the
-    seam where a deployment wires PIL/soundfile in.
+    No codec library anywhere. Restart markers (DRI/RSTn — common in
+    camera output) are supported on both sides: the encoder emits
+    byte-aligned RSTn every ``restart_interval`` MCUs with predictor
+    resets, and the decoder splits the scan on RST boundaries with a
+    fresh bit reader and DC predictors per interval. Profiles beyond
+    baseline (progressive/extended SOFs, sampling factors above 2,
+    16-bit quant tables) raise NotImplementedError — the seam where a
+    deployment wires PIL/soundfile in.
     """
 
     def _paeth(a: int, b: int, c: int) -> int:
@@ -236,6 +240,7 @@ def _codec_fns():
         height: int,
         channels: int = 1,
         subsampling: str = "444",
+        restart_interval: int = 0,
     ) -> bytes:
         import struct
 
@@ -350,8 +355,19 @@ def _codec_fns():
         vmax = max(s[1] for s in samps)
         mcux, mcuy = W8 // (8 * hmax), H8 // (8 * vmax)
         prev = [0] * channels
+        mcu_i = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    # byte-align with 1-bits, emit RSTn (markers are
+                    # never byte-stuffed), reset every DC predictor
+                    if nbits:
+                        put((1 << (8 - nbits)) - 1, 8 - nbits)
+                    out += bytes(
+                        [0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8]
+                    )
+                    prev = [0] * channels
+                mcu_i += 1
                 for ci in range(channels):
                     hi, vi = samps[ci]
                     for bv in range(vi):
@@ -391,9 +407,17 @@ def _codec_fns():
         dht = seg(
             0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
         ) + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        dri = (
+            seg(0xDD, struct.pack(">H", restart_interval))
+            if restart_interval
+            else b""
+        )
         sos_comps = b"".join(bytes([cid + 1, 0x00]) for cid in range(channels))
         sos = seg(0xDA, bytes([channels]) + sos_comps + bytes([0, 63, 0]))
-        return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + bytes(out) + b"\xff\xd9"
+        return (
+            b"\xff\xd8" + app0 + dqt + sof0 + dht + dri + sos
+            + bytes(out) + b"\xff\xd9"
+        )
 
     def _jpeg_decode(payload: bytes) -> dict:
         import struct
@@ -405,6 +429,7 @@ def _codec_fns():
         zz, C = _jpeg_tables()
         pos, qtabs, huff, dims, scan_start = 2, {}, {}, None, None
         dc_id = ac_id = 0
+        restart_interval = 0  # MCUs between RSTn markers; 0 = none (DRI)
         while pos + 1 < len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError("JPEG marker desync")
@@ -471,6 +496,10 @@ def _codec_fns():
                 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
             ):
                 raise NotImplementedError("progressive/extended jpeg")
+            elif marker == 0xDD:
+                if len(body) < 2:
+                    raise ValueError("truncated DRI")
+                (restart_interval,) = struct.unpack(">H", body[:2])
             elif marker == 0xDA:
                 if dims is None:
                     raise ValueError("SOS before SOF")
@@ -497,17 +526,30 @@ def _codec_fns():
         if eoi < 0:
             raise ValueError("JPEG missing EOI")
         segment = payload[scan_start:eoi]
+        # validate stuffing and split on RSTn boundaries (0xFF
+        # occurrences are rare): each restart interval is decoded with
+        # a fresh bit reader and reset DC predictors
+        chunks, cstart, expected_rst = [], 0, 0
         j = segment.find(b"\xff")
-        while j >= 0:  # validate stuffing (0xFF occurrences are rare)
+        while j >= 0:
             if j + 1 >= len(segment):
                 raise ValueError("truncated JPEG scan")
             m = segment[j + 1]
             if m != 0x00:
                 if 0xD0 <= m <= 0xD7:
-                    raise NotImplementedError("restart markers")
-                raise ValueError("unexpected marker in JPEG scan")
+                    if restart_interval == 0:
+                        raise ValueError("RST marker without DRI")
+                    if m - 0xD0 != expected_rst:
+                        raise ValueError("RST markers out of sequence")
+                    expected_rst = (expected_rst + 1) % 8
+                    chunks.append(segment[cstart:j])
+                    cstart = j + 2
+                else:
+                    raise ValueError("unexpected marker in JPEG scan")
             j = segment.find(b"\xff", j + 2)
-        bitsbuf = segment.replace(b"\xff\x00", b"\xff")
+        chunks.append(segment[cstart:])
+        chunk_bufs = [c.replace(b"\xff\x00", b"\xff") for c in chunks]
+        bitsbuf = chunk_bufs[0]
         w, h, comps = dims
         nc = len(comps)
         hmax = max(c[1] for c in comps)
@@ -528,10 +570,20 @@ def _codec_fns():
         # windowed bit reader: keep >=16 lookahead bits in `wacc` (1-bit
         # padded past the end, matching the encoder's scan padding);
         # `used` tracks CONSUMED bits so decoding past the real stream
-        # still surfaces as truncation
+        # still surfaces as truncation. `load_chunk` re-arms it at each
+        # restart-interval boundary.
         total_bits = len(bitsbuf) * 8
         wacc, wbits, wpos, used = 0, 0, 0, 0
         nbuf = len(bitsbuf)
+
+        def load_chunk(idx):
+            nonlocal bitsbuf, total_bits, wacc, wbits, wpos, used, nbuf
+            if idx >= len(chunk_bufs):
+                raise ValueError("missing restart interval in JPEG scan")
+            bitsbuf = chunk_bufs[idx]
+            total_bits = len(bitsbuf) * 8
+            wacc = wbits = wpos = used = 0
+            nbuf = len(bitsbuf)
 
         def peek16():
             nonlocal wacc, wbits, wpos
@@ -577,8 +629,14 @@ def _codec_fns():
             for hi, vi, _, _, _ in per_comp
         ]
         prev_dc = [0] * nc
+        mcu_i = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    # byte-aligned restart: next chunk, fresh predictors
+                    load_chunk(mcu_i // restart_interval)
+                    prev_dc = [0] * nc
+                mcu_i += 1
                 for ci in range(nc):
                     hi, vi, q, lut_dc, lut_ac = per_comp[ci]
                     for bv in range(vi):
@@ -639,7 +697,8 @@ def _codec_fns():
 
     def encode_media(data: bytes, fmt: str, width: int = 0, height: int = 0,
                      sample_rate: int = 0, channels: int = 1,
-                     subsampling: str = "444") -> bytes:
+                     subsampling: str = "444",
+                     restart_interval: int = 0) -> bytes:
         import struct
         import zlib
 
@@ -717,7 +776,9 @@ def _codec_fns():
                 + data
             )
         if fmt == "jpeg":
-            return _jpeg_encode(data, width, height, channels, subsampling)
+            return _jpeg_encode(
+                data, width, height, channels, subsampling, restart_interval
+            )
         raise NotImplementedError(f"no encoder for {fmt!r}")
 
     def decode_media(payload: bytes, fmt: str) -> dict:
@@ -1825,8 +1886,10 @@ def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient decode, dequantize, inverse DCT, crop to declared dims.
     This closes the LAST entropy-codec boundary — rounds 4-5 carried
     "JPEG (DCT + Huffman) raises NotImplementedError" as the one
-    documented seam; only non-baseline profiles (progressive, color,
-    restart markers) now raise.
+    documented seam. The codec has since grown 4:4:4/4:2:0 YCbCr color
+    and DRI/RSTn restart markers (test-gated, tests/test_multimodal.py);
+    only progressive/extended profiles, sampling factors above 2, and
+    16-bit quant tables still raise.
 
     Because the codec is lossy, the gate is not byte equality but the
     PROVABLE reconstruction bound: each quantized coefficient carries

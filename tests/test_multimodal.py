@@ -410,6 +410,47 @@ def test_jpeg_ingests_imageio_written_420_file(spark):
     assert int(np.abs(got - rgb).max()) <= 20
 
 
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn — the recovery structure camera JPEGs carry. The
+    encoder must byte-align, emit RSTn in cyclic order, and reset DC
+    predictors; the decoder must split the scan on RST boundaries and
+    reconstruct EXACTLY as well as the unrestarted stream (white-noise
+    worst case stays inside the provable bound at every interval)."""
+    import numpy as np
+
+    from mapreducegcp_spark.operators.multimodal import JPEG_ERR_BOUND
+
+    rng = np.random.RandomState(3)
+    w, h = 40, 24  # 15 MCUs at 8x8 — several restart intervals
+    g = rng.randint(0, 256, (h, w), dtype=np.uint8)
+    base = decode_media(
+        encode_media(g.tobytes(), "jpeg", width=w, height=h), "jpeg"
+    )["pixels"]
+    for interval in (1, 2, 7):
+        p = encode_media(
+            g.tobytes(), "jpeg", width=w, height=h, restart_interval=interval
+        )
+        assert b"\xff\xdd" in p  # DRI present
+        d = decode_media(p, "jpeg")
+        # restart markers change the framing, not the coefficients:
+        # the reconstruction must be IDENTICAL to the unrestarted one
+        assert d["pixels"] == base
+        got = np.frombuffer(d["pixels"], np.uint8).astype(int)
+        assert int(np.abs(got - g.astype(int).ravel()).max()) <= JPEG_ERR_BOUND
+    # color 4:2:0 with restarts, and a corrupt-sequence probe
+    rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    p = encode_media(
+        rgb.tobytes(), "jpeg", width=w, height=h, channels=3,
+        subsampling="420", restart_interval=2,
+    )
+    d = decode_media(p, "jpeg")
+    assert (d["channels"], len(d["pixels"])) == (3, w * h * 3)
+    i = p.find(b"\xff\xd0")  # first RST0 -> RST5: out of sequence
+    assert i > 0
+    with pytest.raises(ValueError):
+        decode_media(p[:i + 1] + b"\xd5" + p[i + 2 :], "jpeg")
+
+
 def test_jpeg_sampling_beyond_two_still_raises():
     """Sampling factors above 2 stay an honest NotImplementedError:
     patch the Y component's factors in SOF0 to 3x3 and the decoder
