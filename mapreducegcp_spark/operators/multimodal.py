@@ -159,10 +159,11 @@ def _codec_fns():
     camera output) are supported on both sides: the encoder emits
     byte-aligned RSTn every ``restart_interval`` MCUs with predictor
     resets, and the decoder splits the scan on RST boundaries with a
-    fresh bit reader and DC predictors per interval. Profiles beyond
-    baseline (progressive/extended SOFs, sampling factors above 2,
-    16-bit quant tables) raise NotImplementedError — the seam where a
-    deployment wires PIL/soundfile in.
+    fresh bit reader and DC predictors per interval. Both DQT
+    precisions (8- and 16-bit entries) parse. Profiles beyond baseline
+    (progressive/extended SOFs, sampling factors above 2) raise
+    NotImplementedError — the seam where a deployment wires
+    PIL/soundfile in.
     """
 
     def _paeth(a: int, b: int, c: int) -> int:
@@ -449,15 +450,21 @@ def _codec_fns():
                 i = 0
                 while i < len(body):
                     pq, tq = body[i] >> 4, body[i] & 15
-                    if pq != 0:
-                        raise NotImplementedError("16-bit quant table")
-                    if len(body) < i + 65:
+                    if pq not in (0, 1):
+                        raise ValueError("bad DQT precision")
+                    step = 1 + pq  # pq=1: 16-bit big-endian entries
+                    if len(body) < i + 1 + 64 * step:
                         raise ValueError("truncated DQT")
                     tab = [0] * 64
                     for j in range(64):  # DQT bodies are in zigzag order
-                        tab[zz[j]] = body[i + 1 + j]
+                        off = i + 1 + j * step
+                        tab[zz[j]] = (
+                            body[off]
+                            if pq == 0
+                            else (body[off] << 8) | body[off + 1]
+                        )
                     qtabs[tq] = np.array(tab, dtype=np.float64).reshape(8, 8)
-                    i += 65
+                    i += 1 + 64 * step
             elif marker == 0xC4:
                 i = 0
                 while i < len(body):
@@ -1888,8 +1895,8 @@ def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "JPEG (DCT + Huffman) raises NotImplementedError" as the one
     documented seam. The codec has since grown 4:4:4/4:2:0 YCbCr color
     and DRI/RSTn restart markers (test-gated, tests/test_multimodal.py);
-    only progressive/extended profiles, sampling factors above 2, and
-    16-bit quant tables still raise.
+    only progressive/extended profiles and sampling factors above 2
+    still raise.
 
     Because the codec is lossy, the gate is not byte equality but the
     PROVABLE reconstruction bound: each quantized coefficient carries

@@ -451,6 +451,30 @@ def test_jpeg_restart_markers_roundtrip():
         decode_media(p[:i + 1] + b"\xd5" + p[i + 2 :], "jpeg")
 
 
+def test_jpeg_16bit_quant_table_decodes():
+    """Extended-precision DQT (pq=1, 16-bit entries): rewrite our own
+    stream's 8-bit table as big-endian 16-bit with identical values —
+    the decoder must parse the wide layout and reconstruct the exact
+    same pixels."""
+    import struct
+
+    blob = encode_media(bytes(i % 256 for i in range(400)), "jpeg",
+                        width=20, height=16)
+    base = decode_media(blob, "jpeg")["pixels"]
+    i = blob.find(b"\xff\xdb")
+    (ln,) = struct.unpack(">H", blob[i + 2 : i + 4])
+    assert ln == 2 + 1 + 64  # one 8-bit table
+    vals = blob[i + 5 : i + 5 + 64]
+    wide = (
+        b"\xff\xdb"
+        + struct.pack(">H", 2 + 1 + 128)
+        + bytes([0x10 | (blob[i + 4] & 15)])
+        + b"".join(struct.pack(">H", v) for v in vals)
+    )
+    patched = blob[:i] + wide + blob[i + 2 + ln :]
+    assert decode_media(patched, "jpeg")["pixels"] == base
+
+
 def test_jpeg_sampling_beyond_two_still_raises():
     """Sampling factors above 2 stay an honest NotImplementedError:
     patch the Y component's factors in SOF0 to 3x3 and the decoder
