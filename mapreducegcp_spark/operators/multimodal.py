@@ -127,8 +127,9 @@ def _codec_fns():
     - ``wav``: RIFF/WAVE with a PCM ``fmt `` chunk (8-bit mono) and a
       ``data`` chunk; one byte == one sample
 
-    - ``png``: real zlib/DEFLATE PNG, 8-bit grayscale (ctype 0) or
-      truecolor RGB (ctype 2, ``channels=3``), non-interlaced; the
+    - ``png``: real zlib/DEFLATE PNG, 8-bit grayscale (ctype 0),
+      truecolor RGB (ctype 2, ``channels=3``) or RGBA (ctype 6,
+      ``channels=4``), non-interlaced; the
       encoder filters each scanline with type (row % 5) and the
       decoder CRC-verifies every chunk, inflates IDAT, and unfilters
       all five standard filter types with the spec's one-PIXEL-back
@@ -718,8 +719,10 @@ def _codec_fns():
             # round-trip. Filters operate bytewise with ``left`` one
             # PIXEL (bpp bytes) back — the part of the spec a
             # grayscale-only implementation never exercises.
-            if channels not in (1, 3):
-                raise ValueError("png channels must be 1 (gray) or 3 (RGB)")
+            if channels not in (1, 3, 4):
+                raise ValueError(
+                    "png channels must be 1 (gray), 3 (RGB) or 4 (RGBA)"
+                )
             bpp = channels
             stride = width * bpp
             px = (data + b"\x00" * (stride * height))[: stride * height]
@@ -756,7 +759,7 @@ def _codec_fns():
                     + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
                 )
 
-            ctype = 0 if channels == 1 else 2
+            ctype = {1: 0, 3: 2, 4: 6}[channels]
             ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
             return (
                 b"\x89PNG\r\n\x1a\n"
@@ -873,11 +876,13 @@ def _codec_fns():
                     if (depth, comp, filt_m, inter) != (8, 0, 0, 0) or ctype not in (
                         0,
                         2,
+                        6,
                     ):
                         raise NotImplementedError(
-                            "png profile beyond 8-bit gray/truecolor non-interlaced"
+                            "png profile beyond 8-bit gray/truecolor/RGBA "
+                            "non-interlaced"
                         )
-                    ihdr = (w, h, 1 if ctype == 0 else 3)
+                    ihdr = (w, h, {0: 1, 2: 3, 6: 4}[ctype])
                 elif typ == b"IDAT":
                     idat += body
                 elif typ == b"IEND":

@@ -112,20 +112,37 @@ def test_png_corrupt_inputs_raise_valueerror():
 
 
 def test_png_unsupported_profile_raises_notimplemented():
-    """A real RGBA/16-bit/interlaced png must hit the explicit profile
-    boundary, not mis-decode: rebuild the IHDR with color type 6."""
+    """A palette/16-bit/interlaced png must hit the explicit profile
+    boundary, not mis-decode: rebuild the IHDR with color type 3
+    (palette) and with interlace 1 (Adam7)."""
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0)
-    chunk = (
-        struct.pack(">I", len(ihdr))
-        + b"IHDR"
-        + ihdr
-        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    for ctype, inter in ((3, 0), (0, 1)):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, ctype, 0, 0, inter)
+        chunk = (
+            struct.pack(">I", len(ihdr))
+            + b"IHDR"
+            + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\x89PNG\r\n\x1a\n" + chunk, "png")
+
+
+def test_png_rgba_roundtrip_exact():
+    """RGBA (ctype 6, bpp 4): byte-exact round-trip across all five
+    filter types — the alpha byte rides the same one-pixel-back filter
+    offset as the color bytes."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    data = rng.randint(0, 256, 11 * 7 * 4, dtype=np.uint8).tobytes()
+    p = decode_media(
+        encode_media(data, "png", width=11, height=7, channels=4), "png"
     )
-    with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG\r\n\x1a\n" + chunk, "png")
+    assert (p["channels"], p["n_filter_types"]) == (4, 5)
+    assert p["pixels"] == data
 
 
 def test_encode_decode_round_trip():
