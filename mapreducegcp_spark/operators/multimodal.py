@@ -19,9 +19,11 @@ them back — bounded header reads for the uncompressed trio
 (chunk walk + CRC verify + inflate + all-five-filter unfiltering,
 ``multimodal_png_roundtrip``) and JPEG (marker walk, DHT/DQT parse,
 Huffman + RLE coefficient decode, dequantize + inverse DCT, gray /
-4:4:4 / 4:2:0 color, ``multimodal_jpeg_roundtrip``). Profiles beyond
-8-bit baseline (progressive, sampling factors above 2) raise
-NotImplementedError — that seam is where a deployment wires PIL in.
+4:4:4 / 4:2:0 color, ``multimodal_jpeg_roundtrip``; PROGRESSIVE
+(SOF2) files decode too, via the Annex-G successive-approximation
+path). Only lossless/hierarchical/arithmetic JPEG profiles and
+sampling factors above 2 raise NotImplementedError — that residual
+seam is where a deployment wires PIL in.
 The testdata has no binary column, so payloads are derived
 deterministically as ``encode(text, 'UTF-8')`` — ASCII corpus, so
 DuckDB can reproduce every byte from the string.
@@ -161,8 +163,13 @@ def _codec_fns():
     byte-aligned RSTn every ``restart_interval`` MCUs with predictor
     resets, and the decoder splits the scan on RST boundaries with a
     fresh bit reader and DC predictors per interval. Both DQT
-    precisions (8- and 16-bit entries) parse. Profiles beyond baseline
-    (progressive/extended SOFs, sampling factors above 2) raise
+    precisions (8- and 16-bit entries) parse, and PROGRESSIVE (SOF2)
+    streams decode through ``_jpeg_decode_progressive`` — the ITU
+    T.81 Annex-G successive-approximation path (DC first/refine,
+    spectral-selection AC bands with EOB runs, AC refinement),
+    verified bit-near-exactly against javax.imageio's decode of the
+    same third-party progressive bytes. Only lossless / hierarchical /
+    arithmetic-coded profiles and sampling factors above 2 raise
     NotImplementedError — the seam where a deployment wires
     PIL/soundfile in.
     """
@@ -421,6 +428,439 @@ def _codec_fns():
             + bytes(out) + b"\xff\xd9"
         )
 
+    def _jpeg_is_progressive(payload: bytes) -> bool:
+        """Cheap pre-scan: is the frame header SOF2 (progressive)?
+        Stops at the first SOF or SOS; malformed streams return False
+        and fall through to the baseline path's full error handling."""
+        pos = 2
+        while pos + 3 < len(payload):
+            if payload[pos] != 0xFF:
+                return False
+            m = payload[pos + 1]
+            if m in (0xD9, 0xDA):
+                return False
+            pos += 2
+            if m == 0x01 or 0xD0 <= m <= 0xD7:
+                continue
+            ln = int.from_bytes(payload[pos : pos + 2], "big")
+            if m == 0xC2:
+                return True
+            if m in (0xC0, 0xC1):
+                return False
+            if ln < 2:
+                return False
+            pos += ln
+        return False
+
+    def _jpeg_decode_progressive(payload: bytes) -> dict:
+        """Progressive JPEG (SOF2) decode — ITU T.81 Annex G.
+
+        Coefficients accumulate across scans in integer precision:
+        DC-first scans deliver the predictor-differenced DC at reduced
+        precision (<< Al), DC-refinement scans append one bit per
+        block, AC-first scans deliver spectral bands [Ss, Se] with
+        EOB-run compression, and AC-refinement scans add one
+        successive-approximation bit per already-nonzero coefficient
+        while inserting new +-(1 << Al) coefficients. Dequantization +
+        inverse DCT run ONCE at EOI over the final coefficient store —
+        exactly the reconstruction a sequential decode of the same
+        coefficients would produce."""
+        import struct
+
+        import numpy as np
+
+        zz, C = _jpeg_tables()
+        pos, qtabs, huff = 2, {}, {}
+        dims = None
+        restart_interval = 0
+        coefs = []  # per comp: int32 (blocksY, blocksX, 64), natural order
+        geom = []  # per comp: (hi, vi, nbx_noninterleaved, nby_noninterleaved)
+        pred = []
+        hmax = vmax = mcux = mcuy = 0
+        saw_scan = ended = False
+
+        def parse_sos_and_decode(body, scan_start):
+            ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS")
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not ((ss == 0 and se == 0) or 1 <= ss <= se <= 63):
+                raise ValueError("bad progressive spectral selection")
+            scomps = []  # (comp index, dc LUT, ac LUT)
+            for i in range(ns):
+                cid = body[1 + 2 * i]
+                tdc, tac = body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15
+                ci = next(
+                    (k for k, c in enumerate(dims[2]) if c[0] == cid), None
+                )
+                if ci is None:
+                    raise ValueError("scan component not in frame")
+                lut_dc = lut_ac = None
+                if ss == 0 and ah == 0:
+                    if (0, tdc) not in huff:
+                        raise ValueError("missing huffman table")
+                    lut_dc = _jpeg_lut(huff[(0, tdc)])
+                if ss > 0:
+                    if (1, tac) not in huff:
+                        raise ValueError("missing huffman table")
+                    lut_ac = _jpeg_lut(huff[(1, tac)])
+                scomps.append((ci, lut_dc, lut_ac))
+            if ss > 0 and ns != 1:
+                raise ValueError("progressive AC scan must be single-component")
+
+            # entropy segment: ends at the first non-stuffing, non-RST marker
+            p2 = scan_start
+            while p2 + 1 < len(payload):
+                if payload[p2] == 0xFF:
+                    nxt = payload[p2 + 1]
+                    if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                        p2 += 2
+                        continue
+                    break
+                p2 += 1
+            segment = payload[scan_start:p2]
+
+            # split on RSTn (cyclic order enforced), stuffing validated
+            chunks, cstart, expected_rst = [], 0, 0
+            j = segment.find(b"\xff")
+            while j >= 0:
+                if j + 1 >= len(segment):
+                    raise ValueError("truncated JPEG scan")
+                m = segment[j + 1]
+                if m != 0x00:
+                    if 0xD0 <= m <= 0xD7:
+                        if restart_interval == 0:
+                            raise ValueError("RST marker without DRI")
+                        if m - 0xD0 != expected_rst:
+                            raise ValueError("RST markers out of sequence")
+                        expected_rst = (expected_rst + 1) % 8
+                        chunks.append(segment[cstart:j])
+                        cstart = j + 2
+                    else:
+                        raise ValueError("unexpected marker in JPEG scan")
+                j = segment.find(b"\xff", j + 2)
+            chunks.append(segment[cstart:])
+            chunk_bufs = [c.replace(b"\xff\x00", b"\xff") for c in chunks]
+
+            buf, nbuf, total_bits = chunk_bufs[0], len(chunk_bufs[0]), 0
+            total_bits = nbuf * 8
+            wacc = wbits = wpos = used = 0
+
+            def load_chunk(idx):
+                nonlocal buf, nbuf, total_bits, wacc, wbits, wpos, used
+                if idx >= len(chunk_bufs):
+                    raise ValueError("missing restart interval in JPEG scan")
+                buf = chunk_bufs[idx]
+                nbuf = len(buf)
+                total_bits = nbuf * 8
+                wacc = wbits = wpos = used = 0
+
+            def peek16():
+                nonlocal wacc, wbits, wpos
+                while wbits < 16:
+                    wacc = (wacc << 8) | (buf[wpos] if wpos < nbuf else 0xFF)
+                    wpos += 1
+                    wbits += 8
+                return (wacc >> (wbits - 16)) & 0xFFFF
+
+            def consume(n):
+                nonlocal wacc, wbits, used
+                used += n
+                if used > total_bits:
+                    raise ValueError("truncated JPEG entropy data")
+                wbits -= n
+                wacc &= (1 << wbits) - 1
+
+            def readsym(lut):
+                e = lut[peek16()]
+                if e is None:
+                    raise ValueError("invalid huffman code")
+                consume(e[1])
+                return e[0]
+
+            def readbits(n):
+                if not n:
+                    return 0
+                if wbits < n:
+                    peek16()
+                v = (wacc >> (wbits - n)) & ((1 << n) - 1)
+                consume(n)
+                return v
+
+            def readval(s):
+                v = readbits(s)
+                if s and v < (1 << (s - 1)):
+                    v -= (1 << s) - 1
+                return v
+
+            eobrun = 0
+            preds = [0] * len(scomps)
+
+            def dc_unit(ci, sci, by, bx):
+                blk = coefs[ci][by, bx]
+                if ah == 0:
+                    preds[sci] += readval(readsym(scomps[sci][1]))
+                    blk[0] = preds[sci] << al
+                elif readbits(1):
+                    blk[0] |= 1 << al
+
+            def ac_first(blk):
+                nonlocal eobrun
+                if eobrun > 0:
+                    eobrun -= 1
+                    return
+                k = ss
+                lut_ac = scomps[0][2]
+                while k <= se:
+                    sym = readsym(lut_ac)
+                    r, s = sym >> 4, sym & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += readbits(r)
+                        return
+                    k += r
+                    if k > se:
+                        raise ValueError("corrupt AC coefficients")
+                    blk[zz[k]] = readval(s) << al
+                    k += 1
+
+            def ac_refine(blk):
+                nonlocal eobrun
+                p1, m1 = 1 << al, -1 << al
+                lut_ac = scomps[0][2]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = readsym(lut_ac)
+                        r, s = sym >> 4, sym & 15
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                # NOT pre-decremented (unlike ac_first):
+                                # the current block still consumes its
+                                # correction-bit sweep in the EOB tail
+                                # below, which takes the decrement
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += readbits(r)
+                                break
+                            # r == 15: skip 16 zero-history coefficients
+                        else:
+                            if s != 1:
+                                raise ValueError("corrupt AC refinement")
+                            val = p1 if readbits(1) else m1
+                        while k <= se:
+                            c = zz[k]
+                            if blk[c] != 0:
+                                if readbits(1) and (blk[c] & p1) == 0:
+                                    blk[c] += p1 if blk[c] > 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[zz[k]] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        c = zz[k]
+                        if blk[c] != 0:
+                            if readbits(1) and (blk[c] & p1) == 0:
+                                blk[c] += p1 if blk[c] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+            # unit iteration: interleaved MCUs for multi-component DC
+            # scans, raster block order for single-component scans
+            if len(scomps) > 1:
+                n_units = mcux * mcuy
+            else:
+                ci0 = scomps[0][0]
+                n_units = geom[ci0][2] * geom[ci0][3]
+            unit = 0
+            for u in range(n_units):
+                if restart_interval and u and u % restart_interval == 0:
+                    load_chunk(u // restart_interval)
+                    preds[:] = [0] * len(scomps)
+                    eobrun = 0
+                if len(scomps) > 1:
+                    my, mx = divmod(u, mcux)
+                    for sci, (ci, _, _) in enumerate(scomps):
+                        hi, vi = geom[ci][0], geom[ci][1]
+                        for bv in range(vi):
+                            for bu in range(hi):
+                                dc_unit(ci, sci, my * vi + bv, mx * hi + bu)
+                else:
+                    ci = scomps[0][0]
+                    nbx = geom[ci][2]
+                    by, bx = divmod(u, nbx)
+                    if ss == 0:
+                        dc_unit(ci, 0, by, bx)
+                    elif ah == 0:
+                        ac_first(coefs[ci][by, bx])
+                    else:
+                        ac_refine(coefs[ci][by, bx])
+                unit += 1
+            return p2
+
+        while pos + 1 < len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("JPEG marker desync")
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:
+                ended = True
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue
+            if pos + 2 > len(payload):
+                raise ValueError("truncated JPEG segment header")
+            (ln,) = struct.unpack(">H", payload[pos : pos + 2])
+            body = payload[pos + 2 : pos + ln]
+            if ln < 2 or len(body) != ln - 2:
+                raise ValueError("truncated JPEG segment body")
+            if marker == 0xDB:
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 15
+                    if pq not in (0, 1):
+                        raise ValueError("bad DQT precision")
+                    step = 1 + pq
+                    if len(body) < i + 1 + 64 * step:
+                        raise ValueError("truncated DQT")
+                    tab = [0] * 64
+                    for j in range(64):
+                        off = i + 1 + j * step
+                        tab[zz[j]] = (
+                            body[off]
+                            if pq == 0
+                            else (body[off] << 8) | body[off + 1]
+                        )
+                    qtabs[tq] = np.array(tab, dtype=np.float64).reshape(8, 8)
+                    i += 1 + 64 * step
+            elif marker == 0xC4:
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 15
+                    bits = body[i + 1 : i + 17]
+                    if len(bits) < 16:
+                        raise ValueError("truncated DHT")
+                    n = sum(bits)
+                    vals = body[i + 17 : i + 17 + n]
+                    if len(vals) < n:
+                        raise ValueError("truncated DHT values")
+                    huff[(tc, th)] = (bytes(bits), bytes(vals))
+                    i += 17 + n
+            elif marker == 0xDD:
+                if len(body) < 2:
+                    raise ValueError("truncated DRI")
+                (restart_interval,) = struct.unpack(">H", body[:2])
+            elif marker == 0xC2:
+                if dims is not None:
+                    raise ValueError("multiple SOF markers")
+                if len(body) < 6:
+                    raise ValueError("truncated SOF")
+                prec, nc = body[0], body[5]
+                h, w = struct.unpack(">HH", body[1:5])
+                if prec != 8 or nc not in (1, 3):
+                    raise NotImplementedError(
+                        "jpeg profile beyond 8-bit 1- or 3-component baseline"
+                    )
+                if len(body) < 6 + 3 * nc:
+                    raise ValueError("truncated SOF components")
+                comps = []
+                for i in range(nc):
+                    cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
+                    hi, vi = samp >> 4, samp & 15
+                    if hi not in (1, 2) or vi not in (1, 2):
+                        raise NotImplementedError(
+                            "jpeg sampling factors beyond 1-2 per axis"
+                        )
+                    comps.append((cid, hi, vi, qid))
+                dims = (w, h, comps)
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                for cid, hi, vi, qid in comps:
+                    # interleaved DC scans address the MCU-padded grid;
+                    # non-interleaved AC scans cover only the ceil()
+                    # block prefix of the component's true resolution
+                    cw = (w * hi + hmax - 1) // hmax
+                    ch = (h * vi + vmax - 1) // vmax
+                    geom.append((hi, vi, (cw + 7) // 8, (ch + 7) // 8))
+                    coefs.append(
+                        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+                    )
+            elif marker in (
+                0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                0xCE, 0xCF,
+            ):
+                raise NotImplementedError(
+                    "mixed or non-progressive SOF in progressive decode"
+                )
+            elif marker == 0xDA:
+                if dims is None:
+                    raise ValueError("SOS before SOF")
+                saw_scan = True
+                pos = parse_sos_and_decode(body, pos + ln)
+                continue
+            pos += ln
+        if not ended:
+            raise ValueError("JPEG missing EOI")
+        if dims is None or not saw_scan:
+            raise ValueError("JPEG has no scan")
+
+        w, h, comps = dims
+        nc = len(comps)
+        full = []
+        for ci, (cid, hi, vi, qid) in enumerate(comps):
+            if qid not in qtabs:
+                raise ValueError("missing quant table")
+            q = qtabs[qid]
+            bys, bxs = coefs[ci].shape[:2]
+            blocks = coefs[ci].astype(np.float64).reshape(bys, bxs, 8, 8) * q
+            # batched inverse DCT: C.T @ B @ C per block in one einsum
+            px = np.einsum("ij,abjk,kl->abil", C.T, blocks, C) + 128.0
+            plane = px.transpose(0, 2, 1, 3).reshape(bys * 8, bxs * 8)
+            cw = (w * hi + hmax - 1) // hmax
+            ch = (h * vi + vmax - 1) // vmax
+            plane = plane[:ch, :cw]
+            if hi < hmax or vi < vmax:
+                plane = np.repeat(
+                    np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+                )
+            full.append(plane[:h, :w])
+        if nc == 1:
+            out_px = full[0]
+        else:
+            y = full[0]
+            cb = full[1] - 128.0
+            cr = full[2] - 128.0
+            out_px = np.stack(
+                [
+                    y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb,
+                ],
+                axis=-1,
+            )
+        px = np.clip(np.rint(out_px), 0, 255).astype(np.uint8).tobytes()
+        return {
+            "fmt": "jpeg",
+            "width": w,
+            "height": h,
+            "pixels": px,
+            "n_blocks": mcux * mcuy,
+            "channels": nc,
+        }
+
     def _jpeg_decode(payload: bytes) -> dict:
         import struct
 
@@ -428,6 +868,8 @@ def _codec_fns():
 
         if payload[:2] != b"\xff\xd8":
             raise ValueError("bad JPEG magic")
+        if _jpeg_is_progressive(payload):
+            return _jpeg_decode_progressive(payload)
         zz, C = _jpeg_tables()
         pos, qtabs, huff, dims, scan_start = 2, {}, {}, None, None
         dc_id = ac_id = 0

@@ -508,6 +508,101 @@ def test_jpeg_sampling_beyond_two_still_raises():
         decode_media(patched, "jpeg")
 
 
+def _imageio_progressive_bytes(jvm, arr, gray=False):
+    """Write `arr` as a PROGRESSIVE JPEG with the JVM's ImageIO writer
+    — its default progression (10 scans for color: DC-first +
+    spectral-selection AC bands + successive-approximation refinements,
+    4:2:0 for color). Gray goes through the RASTER (get/setRGB on
+    TYPE_BYTE_GRAY applies an sRGB<->linear gamma conversion that
+    would poison the comparison)."""
+    h, w = arr.shape[:2]
+    t = (
+        jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        if gray
+        else jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    img = jvm.java.awt.image.BufferedImage(w, h, t)
+    if gray:
+        raster = img.getRaster()
+        for y in range(h):
+            for x in range(w):
+                raster.setSample(x, y, 0, int(arr[y, x]))
+    else:
+        for y in range(h):
+            for x in range(w):
+                img.setRGB(
+                    x, y,
+                    (int(arr[y, x, 0]) << 16)
+                    | (int(arr[y, x, 1]) << 8)
+                    | int(arr[y, x, 2]),
+                )
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.flush()
+    return bytes(baos.toByteArray())
+
+
+def test_jpeg_progressive_gray_matches_imageio_decode(spark):
+    """PROGRESSIVE ingest, exactness receipt: a grayscale progressive
+    file (no chroma upsampling in play) decoded by us and by ImageIO
+    from the SAME bytes must agree within IDCT rounding (<= 2) — the
+    strongest possible cross-decoder check of the successive-
+    approximation coefficient reconstruction, on white noise (the
+    densest scan content)."""
+    import numpy as np
+
+    jvm = spark._jvm
+    rng = np.random.RandomState(11)
+    g = rng.randint(0, 256, (21, 30), dtype=np.uint8)
+    payload = _imageio_progressive_bytes(jvm, g, gray=True)
+    assert b"\xff\xc2" in payload  # really progressive
+    d = decode_media(payload, "jpeg")
+    assert (d["width"], d["height"], d["channels"]) == (30, 21, 1)
+    got = np.frombuffer(d["pixels"], np.uint8).reshape(21, 30).astype(int)
+    img2 = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(payload))
+    )
+    r2 = img2.getRaster()
+    ref = np.array(
+        [[r2.getSample(x, y, 0) for x in range(30)] for y in range(21)], int
+    )
+    assert int(np.abs(got - ref).max()) <= 2
+
+
+def test_jpeg_progressive_color_ingest(spark):
+    """Progressive COLOR ingest (ImageIO's default 10-scan 4:2:0
+    progression): smooth chroma (no wrap seams — our nearest-neighbor
+    chroma upsample and ImageIO's interpolating one agree only where
+    chroma is locally smooth) must land near the source at several
+    sizes including partial MCUs. Truncation must raise."""
+    import numpy as np
+
+    jvm = spark._jvm
+    for w, h in [(17, 13), (32, 24), (16, 16)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        rgb = np.stack(
+            [
+                np.minimum(xx * 6 + 10, 255),
+                np.minimum(yy * 7 + 5, 255),
+                np.minimum(xx * 2 + yy * 3, 255),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        payload = _imageio_progressive_bytes(jvm, rgb)
+        assert b"\xff\xc2" in payload
+        d = decode_media(payload, "jpeg")
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        got = np.frombuffer(d["pixels"], np.uint8).reshape(h, w, 3).astype(int)
+        assert int(np.abs(got - rgb.astype(int)).max()) <= 20, (w, h)
+    with pytest.raises(ValueError):
+        decode_media(payload[: len(payload) // 2], "jpeg")
+
+
 def test_jpeg_corrupt_and_profile_errors():
     blob = encode_media(b"abc" * 50, "jpeg", width=16, height=10)
     with pytest.raises(ValueError):
@@ -519,7 +614,12 @@ def test_jpeg_corrupt_and_profile_errors():
     with pytest.raises(ValueError):
         decode_media(blob[:-2], "jpeg")  # EOI stripped
     i = blob.find(b"\xff\xc0")
-    with pytest.raises(NotImplementedError):  # progressive SOF2
+    with pytest.raises(NotImplementedError):  # lossless SOF3
+        decode_media(blob[: i + 1] + b"\xc3" + blob[i + 2 :], "jpeg")
+    # a sequential scan header (Ss=0, Se=63) inside a PROGRESSIVE frame
+    # is spec-invalid spectral selection — must be rejected, not
+    # misread as a DC scan
+    with pytest.raises(ValueError):
         decode_media(blob[: i + 1] + b"\xc2" + blob[i + 2 :], "jpeg")
 
 
