@@ -428,12 +428,245 @@ def _codec_fns():
             + bytes(out) + b"\xff\xd9"
         )
 
+    # ---- shared JPEG decode helpers (both sequential and progressive
+    # paths; one copy of every spec mechanism so a fix lands once) ----
+
+    def _jpeg_skip_fill(payload: bytes, pos: int) -> int:
+        """ITU T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+        a marker — advance to the last 0xFF of the run."""
+        while pos + 1 < len(payload) and payload[pos] == 0xFF and payload[pos + 1] == 0xFF:
+            pos += 1
+        return pos
+
+    def _jpeg_parse_dqt(body: bytes, qtabs: dict, zz) -> None:
+        import numpy as np
+
+        i = 0
+        while i < len(body):
+            pq, tq = body[i] >> 4, body[i] & 15
+            if pq not in (0, 1):
+                raise ValueError("bad DQT precision")
+            step = 1 + pq  # pq=1: 16-bit big-endian entries
+            if len(body) < i + 1 + 64 * step:
+                raise ValueError("truncated DQT")
+            tab = [0] * 64
+            for j in range(64):  # DQT bodies are in zigzag order
+                off = i + 1 + j * step
+                tab[zz[j]] = (
+                    body[off] if pq == 0 else (body[off] << 8) | body[off + 1]
+                )
+            qtabs[tq] = np.array(tab, dtype=np.float64).reshape(8, 8)
+            i += 1 + 64 * step
+
+    def _jpeg_parse_dht(body: bytes, huff: dict) -> None:
+        i = 0
+        while i < len(body):
+            tc, th = body[i] >> 4, body[i] & 15
+            bits = body[i + 1 : i + 17]
+            if len(bits) < 16:
+                raise ValueError("truncated DHT")
+            n = sum(bits)
+            vals = body[i + 17 : i + 17 + n]
+            if len(vals) < n:
+                raise ValueError("truncated DHT values")
+            huff[(tc, th)] = (bytes(bits), bytes(vals))
+            i += 17 + n
+
+    def _jpeg_parse_sof(body: bytes):
+        """SOF body -> (w, h, comps) with comps = [(cid, h_i, v_i, qid)]."""
+        import struct
+
+        if len(body) < 6:
+            raise ValueError("truncated SOF")
+        prec, nc = body[0], body[5]
+        h, w = struct.unpack(">HH", body[1:5])
+        if prec != 8 or nc not in (1, 3):
+            raise NotImplementedError(
+                "jpeg profile beyond 8-bit 1- or 3-component baseline"
+            )
+        if len(body) < 6 + 3 * nc:
+            raise ValueError("truncated SOF components")
+        comps = []
+        for i in range(nc):
+            cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
+            hi, vi = samp >> 4, samp & 15
+            if hi not in (1, 2) or vi not in (1, 2):
+                raise NotImplementedError(
+                    "jpeg sampling factors beyond 1-2 per axis"
+                )
+            comps.append((cid, hi, vi, qid))
+        return w, h, comps
+
+    def _jpeg_split_scan(payload: bytes, scan_start: int, restart_interval: int):
+        """Extract one scan's entropy data: walk to the first real
+        marker (stuffed 0xFF00 and RSTn pass through), validate
+        stuffing, and split on RSTn boundaries in cyclic order.
+        Returns (destuffed chunk list, position of the ending marker).
+        Raises ValueError if the data runs out before any marker."""
+        p2 = scan_start
+        while p2 + 1 < len(payload):
+            if payload[p2] == 0xFF:
+                nxt = payload[p2 + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    p2 += 2
+                    continue
+                break
+            p2 += 1
+        else:
+            raise ValueError("JPEG missing EOI")
+        if p2 + 1 >= len(payload):
+            raise ValueError("JPEG missing EOI")
+        segment = payload[scan_start:p2]
+        chunks, cstart, expected_rst = [], 0, 0
+        j = segment.find(b"\xff")
+        while j >= 0:
+            if j + 1 >= len(segment):
+                raise ValueError("truncated JPEG scan")
+            m = segment[j + 1]
+            if m != 0x00:
+                if 0xD0 <= m <= 0xD7:
+                    if restart_interval == 0:
+                        raise ValueError("RST marker without DRI")
+                    if m - 0xD0 != expected_rst:
+                        raise ValueError("RST markers out of sequence")
+                    expected_rst = (expected_rst + 1) % 8
+                    chunks.append(segment[cstart:j])
+                    cstart = j + 2
+                else:
+                    raise ValueError("unexpected marker in JPEG scan")
+            j = segment.find(b"\xff", j + 2)
+        chunks.append(segment[cstart:])
+        return [c.replace(b"\xff\x00", b"\xff") for c in chunks], p2
+
+    def _jpeg_reader(chunk_bufs):
+        """Windowed bit reader over destuffed restart chunks: >=16
+        lookahead bits (1-bit padded past the end, matching the
+        encoder's scan padding); consumed-bit accounting surfaces
+        decode-past-end as truncation. Returns (load_chunk, readsym,
+        readbits, readval)."""
+        st = {"buf": chunk_bufs[0], "acc": 0, "bits": 0, "pos": 0, "used": 0}
+
+        def load_chunk(idx):
+            if idx >= len(chunk_bufs):
+                raise ValueError("missing restart interval in JPEG scan")
+            st["buf"] = chunk_bufs[idx]
+            st["acc"] = st["bits"] = st["pos"] = st["used"] = 0
+
+        def _peek16():
+            buf = st["buf"]
+            while st["bits"] < 16:
+                st["acc"] = (st["acc"] << 8) | (
+                    buf[st["pos"]] if st["pos"] < len(buf) else 0xFF
+                )
+                st["pos"] += 1
+                st["bits"] += 8
+            return (st["acc"] >> (st["bits"] - 16)) & 0xFFFF
+
+        def _consume(n):
+            st["used"] += n
+            if st["used"] > len(st["buf"]) * 8:
+                raise ValueError("truncated JPEG entropy data")
+            st["bits"] -= n
+            st["acc"] &= (1 << st["bits"]) - 1
+
+        def readsym(lut):
+            e = lut[_peek16()]
+            if e is None:
+                raise ValueError("invalid huffman code")
+            _consume(e[1])
+            return e[0]
+
+        def readbits(n):
+            if not n:
+                return 0
+            if st["bits"] < n:
+                _peek16()
+            v = (st["acc"] >> (st["bits"] - n)) & ((1 << n) - 1)
+            _consume(n)
+            return v
+
+        def readval(s):
+            v = readbits(s)
+            if s and v < (1 << (s - 1)):
+                v -= (1 << s) - 1
+            return v
+
+        return load_chunk, readsym, readbits, readval
+
+    def _jpeg_color_is_ycc(comps, adobe_transform) -> bool:
+        """Is a 3-component frame YCbCr (needs the inverse transform)
+        or component-wise RGB (pass through)? Adobe APP14's transform
+        byte is authoritative when present (0 = no transform, i.e.
+        RGB; 1 = YCbCr); otherwise component ids 'R','G','B' mark the
+        Adobe-style RGB layout, and anything else is JFIF YCbCr —
+        decoding RGB components through the YCbCr matrix would be a
+        silent misdecode, the failure this check exists to prevent."""
+        if adobe_transform is not None:
+            return adobe_transform != 0
+        return [c[0] for c in comps] != [0x52, 0x47, 0x42]  # 'R','G','B'
+
+    def _jpeg_finalize(w, h, comps, coefs, qtabs, ycc, mcux, mcuy) -> dict:
+        """Dequantize + batched inverse DCT + plane assembly, shared by
+        both decode paths: one einsum per component does every block's
+        C.T @ B @ C, reduced-resolution chroma is nearest-neighbor
+        upsampled, and 3-component frames convert YCbCr -> RGB unless
+        the frame is component-wise RGB (see _jpeg_color_is_ycc)."""
+        import numpy as np
+
+        _, C = _jpeg_tables()
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        full = []
+        for ci, (cid, hi, vi, qid) in enumerate(comps):
+            if qid not in qtabs:
+                raise ValueError("missing quant table")
+            q = qtabs[qid]
+            bys, bxs = coefs[ci].shape[:2]
+            blocks = coefs[ci].astype(np.float64).reshape(bys, bxs, 8, 8) * q
+            px = np.einsum("ij,abjk,kl->abil", C.T, blocks, C) + 128.0
+            plane = px.transpose(0, 2, 1, 3).reshape(bys * 8, bxs * 8)
+            cw = (w * hi + hmax - 1) // hmax
+            ch = (h * vi + vmax - 1) // vmax
+            plane = plane[:ch, :cw]
+            if hi < hmax or vi < vmax:
+                plane = np.repeat(
+                    np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+                )
+            full.append(plane[:h, :w])
+        nc = len(comps)
+        if nc == 1:
+            out_px = full[0]
+        elif ycc:
+            y = full[0]
+            cb = full[1] - 128.0
+            cr = full[2] - 128.0
+            out_px = np.stack(
+                [
+                    y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb,
+                ],
+                axis=-1,
+            )
+        else:
+            out_px = np.stack(full, axis=-1)
+        px = np.clip(np.rint(out_px), 0, 255).astype(np.uint8).tobytes()
+        return {
+            "fmt": "jpeg",
+            "width": w,
+            "height": h,
+            "pixels": px,
+            "n_blocks": mcux * mcuy,
+            "channels": nc,
+        }
+
     def _jpeg_is_progressive(payload: bytes) -> bool:
         """Cheap pre-scan: is the frame header SOF2 (progressive)?
         Stops at the first SOF or SOS; malformed streams return False
         and fall through to the baseline path's full error handling."""
         pos = 2
         while pos + 3 < len(payload):
+            pos = _jpeg_skip_fill(payload, pos)
             if payload[pos] != 0xFF:
                 return False
             m = payload[pos + 1]
@@ -469,13 +702,13 @@ def _codec_fns():
 
         import numpy as np
 
-        zz, C = _jpeg_tables()
+        zz, _ = _jpeg_tables()
         pos, qtabs, huff = 2, {}, {}
         dims = None
         restart_interval = 0
+        adobe_transform = None
         coefs = []  # per comp: int32 (blocksY, blocksX, 64), natural order
         geom = []  # per comp: (hi, vi, nbx_noninterleaved, nby_noninterleaved)
-        pred = []
         hmax = vmax = mcux = mcuy = 0
         saw_scan = ended = False
 
@@ -509,90 +742,8 @@ def _codec_fns():
             if ss > 0 and ns != 1:
                 raise ValueError("progressive AC scan must be single-component")
 
-            # entropy segment: ends at the first non-stuffing, non-RST marker
-            p2 = scan_start
-            while p2 + 1 < len(payload):
-                if payload[p2] == 0xFF:
-                    nxt = payload[p2 + 1]
-                    if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
-                        p2 += 2
-                        continue
-                    break
-                p2 += 1
-            segment = payload[scan_start:p2]
-
-            # split on RSTn (cyclic order enforced), stuffing validated
-            chunks, cstart, expected_rst = [], 0, 0
-            j = segment.find(b"\xff")
-            while j >= 0:
-                if j + 1 >= len(segment):
-                    raise ValueError("truncated JPEG scan")
-                m = segment[j + 1]
-                if m != 0x00:
-                    if 0xD0 <= m <= 0xD7:
-                        if restart_interval == 0:
-                            raise ValueError("RST marker without DRI")
-                        if m - 0xD0 != expected_rst:
-                            raise ValueError("RST markers out of sequence")
-                        expected_rst = (expected_rst + 1) % 8
-                        chunks.append(segment[cstart:j])
-                        cstart = j + 2
-                    else:
-                        raise ValueError("unexpected marker in JPEG scan")
-                j = segment.find(b"\xff", j + 2)
-            chunks.append(segment[cstart:])
-            chunk_bufs = [c.replace(b"\xff\x00", b"\xff") for c in chunks]
-
-            buf, nbuf, total_bits = chunk_bufs[0], len(chunk_bufs[0]), 0
-            total_bits = nbuf * 8
-            wacc = wbits = wpos = used = 0
-
-            def load_chunk(idx):
-                nonlocal buf, nbuf, total_bits, wacc, wbits, wpos, used
-                if idx >= len(chunk_bufs):
-                    raise ValueError("missing restart interval in JPEG scan")
-                buf = chunk_bufs[idx]
-                nbuf = len(buf)
-                total_bits = nbuf * 8
-                wacc = wbits = wpos = used = 0
-
-            def peek16():
-                nonlocal wacc, wbits, wpos
-                while wbits < 16:
-                    wacc = (wacc << 8) | (buf[wpos] if wpos < nbuf else 0xFF)
-                    wpos += 1
-                    wbits += 8
-                return (wacc >> (wbits - 16)) & 0xFFFF
-
-            def consume(n):
-                nonlocal wacc, wbits, used
-                used += n
-                if used > total_bits:
-                    raise ValueError("truncated JPEG entropy data")
-                wbits -= n
-                wacc &= (1 << wbits) - 1
-
-            def readsym(lut):
-                e = lut[peek16()]
-                if e is None:
-                    raise ValueError("invalid huffman code")
-                consume(e[1])
-                return e[0]
-
-            def readbits(n):
-                if not n:
-                    return 0
-                if wbits < n:
-                    peek16()
-                v = (wacc >> (wbits - n)) & ((1 << n) - 1)
-                consume(n)
-                return v
-
-            def readval(s):
-                v = readbits(s)
-                if s and v < (1 << (s - 1)):
-                    v -= (1 << s) - 1
-                return v
+            chunk_bufs, p2 = _jpeg_split_scan(payload, scan_start, restart_interval)
+            load_chunk, readsym, readbits, readval = _jpeg_reader(chunk_bufs)
 
             eobrun = 0
             preds = [0] * len(scomps)
@@ -683,7 +834,6 @@ def _codec_fns():
             else:
                 ci0 = scomps[0][0]
                 n_units = geom[ci0][2] * geom[ci0][3]
-            unit = 0
             for u in range(n_units):
                 if restart_interval and u and u % restart_interval == 0:
                     load_chunk(u // restart_interval)
@@ -706,10 +856,10 @@ def _codec_fns():
                         ac_first(coefs[ci][by, bx])
                     else:
                         ac_refine(coefs[ci][by, bx])
-                unit += 1
             return p2
 
         while pos + 1 < len(payload):
+            pos = _jpeg_skip_fill(payload, pos)
             if payload[pos] != 0xFF:
                 raise ValueError("JPEG marker desync")
             marker = payload[pos + 1]
@@ -726,63 +876,19 @@ def _codec_fns():
             if ln < 2 or len(body) != ln - 2:
                 raise ValueError("truncated JPEG segment body")
             if marker == 0xDB:
-                i = 0
-                while i < len(body):
-                    pq, tq = body[i] >> 4, body[i] & 15
-                    if pq not in (0, 1):
-                        raise ValueError("bad DQT precision")
-                    step = 1 + pq
-                    if len(body) < i + 1 + 64 * step:
-                        raise ValueError("truncated DQT")
-                    tab = [0] * 64
-                    for j in range(64):
-                        off = i + 1 + j * step
-                        tab[zz[j]] = (
-                            body[off]
-                            if pq == 0
-                            else (body[off] << 8) | body[off + 1]
-                        )
-                    qtabs[tq] = np.array(tab, dtype=np.float64).reshape(8, 8)
-                    i += 1 + 64 * step
+                _jpeg_parse_dqt(body, qtabs, zz)
             elif marker == 0xC4:
-                i = 0
-                while i < len(body):
-                    tc, th = body[i] >> 4, body[i] & 15
-                    bits = body[i + 1 : i + 17]
-                    if len(bits) < 16:
-                        raise ValueError("truncated DHT")
-                    n = sum(bits)
-                    vals = body[i + 17 : i + 17 + n]
-                    if len(vals) < n:
-                        raise ValueError("truncated DHT values")
-                    huff[(tc, th)] = (bytes(bits), bytes(vals))
-                    i += 17 + n
+                _jpeg_parse_dht(body, huff)
             elif marker == 0xDD:
                 if len(body) < 2:
                     raise ValueError("truncated DRI")
                 (restart_interval,) = struct.unpack(">H", body[:2])
+            elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+                adobe_transform = body[11]
             elif marker == 0xC2:
                 if dims is not None:
                     raise ValueError("multiple SOF markers")
-                if len(body) < 6:
-                    raise ValueError("truncated SOF")
-                prec, nc = body[0], body[5]
-                h, w = struct.unpack(">HH", body[1:5])
-                if prec != 8 or nc not in (1, 3):
-                    raise NotImplementedError(
-                        "jpeg profile beyond 8-bit 1- or 3-component baseline"
-                    )
-                if len(body) < 6 + 3 * nc:
-                    raise ValueError("truncated SOF components")
-                comps = []
-                for i in range(nc):
-                    cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
-                    hi, vi = samp >> 4, samp & 15
-                    if hi not in (1, 2) or vi not in (1, 2):
-                        raise NotImplementedError(
-                            "jpeg sampling factors beyond 1-2 per axis"
-                        )
-                    comps.append((cid, hi, vi, qid))
+                w, h, comps = _jpeg_parse_sof(body)
                 dims = (w, h, comps)
                 hmax = max(c[1] for c in comps)
                 vmax = max(c[2] for c in comps)
@@ -816,50 +922,9 @@ def _codec_fns():
             raise ValueError("JPEG missing EOI")
         if dims is None or not saw_scan:
             raise ValueError("JPEG has no scan")
-
         w, h, comps = dims
-        nc = len(comps)
-        full = []
-        for ci, (cid, hi, vi, qid) in enumerate(comps):
-            if qid not in qtabs:
-                raise ValueError("missing quant table")
-            q = qtabs[qid]
-            bys, bxs = coefs[ci].shape[:2]
-            blocks = coefs[ci].astype(np.float64).reshape(bys, bxs, 8, 8) * q
-            # batched inverse DCT: C.T @ B @ C per block in one einsum
-            px = np.einsum("ij,abjk,kl->abil", C.T, blocks, C) + 128.0
-            plane = px.transpose(0, 2, 1, 3).reshape(bys * 8, bxs * 8)
-            cw = (w * hi + hmax - 1) // hmax
-            ch = (h * vi + vmax - 1) // vmax
-            plane = plane[:ch, :cw]
-            if hi < hmax or vi < vmax:
-                plane = np.repeat(
-                    np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
-                )
-            full.append(plane[:h, :w])
-        if nc == 1:
-            out_px = full[0]
-        else:
-            y = full[0]
-            cb = full[1] - 128.0
-            cr = full[2] - 128.0
-            out_px = np.stack(
-                [
-                    y + 1.402 * cr,
-                    y - 0.344136 * cb - 0.714136 * cr,
-                    y + 1.772 * cb,
-                ],
-                axis=-1,
-            )
-        px = np.clip(np.rint(out_px), 0, 255).astype(np.uint8).tobytes()
-        return {
-            "fmt": "jpeg",
-            "width": w,
-            "height": h,
-            "pixels": px,
-            "n_blocks": mcux * mcuy,
-            "channels": nc,
-        }
+        ycc = _jpeg_color_is_ycc(comps, adobe_transform)
+        return _jpeg_finalize(w, h, comps, coefs, qtabs, ycc, mcux, mcuy)
 
     def _jpeg_decode(payload: bytes) -> dict:
         import struct
@@ -870,11 +935,12 @@ def _codec_fns():
             raise ValueError("bad JPEG magic")
         if _jpeg_is_progressive(payload):
             return _jpeg_decode_progressive(payload)
-        zz, C = _jpeg_tables()
+        zz, _ = _jpeg_tables()
         pos, qtabs, huff, dims, scan_start = 2, {}, {}, None, None
-        dc_id = ac_id = 0
         restart_interval = 0  # MCUs between RSTn markers; 0 = none (DRI)
+        adobe_transform = None
         while pos + 1 < len(payload):
+            pos = _jpeg_skip_fill(payload, pos)
             if payload[pos] != 0xFF:
                 raise ValueError("JPEG marker desync")
             marker = payload[pos + 1]
@@ -890,66 +956,21 @@ def _codec_fns():
             if ln < 2 or len(body) != ln - 2:
                 raise ValueError("truncated JPEG segment body")
             if marker == 0xDB:
-                i = 0
-                while i < len(body):
-                    pq, tq = body[i] >> 4, body[i] & 15
-                    if pq not in (0, 1):
-                        raise ValueError("bad DQT precision")
-                    step = 1 + pq  # pq=1: 16-bit big-endian entries
-                    if len(body) < i + 1 + 64 * step:
-                        raise ValueError("truncated DQT")
-                    tab = [0] * 64
-                    for j in range(64):  # DQT bodies are in zigzag order
-                        off = i + 1 + j * step
-                        tab[zz[j]] = (
-                            body[off]
-                            if pq == 0
-                            else (body[off] << 8) | body[off + 1]
-                        )
-                    qtabs[tq] = np.array(tab, dtype=np.float64).reshape(8, 8)
-                    i += 1 + 64 * step
+                _jpeg_parse_dqt(body, qtabs, zz)
             elif marker == 0xC4:
-                i = 0
-                while i < len(body):
-                    tc, th = body[i] >> 4, body[i] & 15
-                    bits = body[i + 1 : i + 17]
-                    if len(bits) < 16:
-                        raise ValueError("truncated DHT")
-                    n = sum(bits)
-                    vals = body[i + 17 : i + 17 + n]
-                    if len(vals) < n:
-                        raise ValueError("truncated DHT values")
-                    huff[(tc, th)] = (bytes(bits), bytes(vals))
-                    i += 17 + n
-            elif marker in (0xC0, 0xC1):
-                if len(body) < 6:
-                    raise ValueError("truncated SOF")
-                prec, nc = body[0], body[5]
-                h, w = struct.unpack(">HH", body[1:5])
-                if prec != 8 or nc not in (1, 3):
-                    raise NotImplementedError(
-                        "jpeg profile beyond 8-bit 1- or 3-component baseline"
-                    )
-                if len(body) < 6 + 3 * nc:
-                    raise ValueError("truncated SOF components")
-                comps = []  # (component id, h_i, v_i, quant id) in SOF order
-                for i in range(nc):
-                    cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
-                    hi, vi = samp >> 4, samp & 15
-                    if hi not in (1, 2) or vi not in (1, 2):
-                        raise NotImplementedError(
-                            "jpeg sampling factors beyond 1-2 per axis"
-                        )
-                    comps.append((cid, hi, vi, qid))
-                dims = (w, h, comps)
-            elif marker in (
-                0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
-            ):
-                raise NotImplementedError("progressive/extended jpeg")
+                _jpeg_parse_dht(body, huff)
             elif marker == 0xDD:
                 if len(body) < 2:
                     raise ValueError("truncated DRI")
                 (restart_interval,) = struct.unpack(">H", body[:2])
+            elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+                adobe_transform = body[11]
+            elif marker in (0xC0, 0xC1):
+                dims = _jpeg_parse_sof(body)
+            elif marker in (
+                0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+            ):
+                raise NotImplementedError("non-baseline jpeg profile")
             elif marker == 0xDA:
                 if dims is None:
                     raise ValueError("SOS before SOF")
@@ -970,41 +991,16 @@ def _codec_fns():
             pos += ln  # APPn / COM / unknown: skip by declared length
         if scan_start is None:
             raise ValueError("JPEG has no scan")
-        # entropy-coded segment: byte stuffing guarantees any 0xFF in
-        # scan data is followed by 0x00, so the first 0xFFD9 IS the EOI
-        eoi = payload.find(b"\xff\xd9", scan_start)
-        if eoi < 0:
+        chunk_bufs, scan_end = _jpeg_split_scan(
+            payload, scan_start, restart_interval
+        )
+        if payload[scan_end : scan_end + 2] != b"\xff\xd9":
             raise ValueError("JPEG missing EOI")
-        segment = payload[scan_start:eoi]
-        # validate stuffing and split on RSTn boundaries (0xFF
-        # occurrences are rare): each restart interval is decoded with
-        # a fresh bit reader and reset DC predictors
-        chunks, cstart, expected_rst = [], 0, 0
-        j = segment.find(b"\xff")
-        while j >= 0:
-            if j + 1 >= len(segment):
-                raise ValueError("truncated JPEG scan")
-            m = segment[j + 1]
-            if m != 0x00:
-                if 0xD0 <= m <= 0xD7:
-                    if restart_interval == 0:
-                        raise ValueError("RST marker without DRI")
-                    if m - 0xD0 != expected_rst:
-                        raise ValueError("RST markers out of sequence")
-                    expected_rst = (expected_rst + 1) % 8
-                    chunks.append(segment[cstart:j])
-                    cstart = j + 2
-                else:
-                    raise ValueError("unexpected marker in JPEG scan")
-            j = segment.find(b"\xff", j + 2)
-        chunks.append(segment[cstart:])
-        chunk_bufs = [c.replace(b"\xff\x00", b"\xff") for c in chunks]
-        bitsbuf = chunk_bufs[0]
         w, h, comps = dims
         nc = len(comps)
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
-        per_comp = []  # (h_i, v_i, quant table, dc LUT, ac LUT) in SOF order
+        per_comp = []  # (h_i, v_i, dc LUT, ac LUT) in SOF order
         for cid, hi, vi, qid in comps:
             if qid not in qtabs:
                 raise ValueError("missing quant table")
@@ -1014,69 +1010,20 @@ def _codec_fns():
             if (0, dc_id) not in huff or (1, ac_id) not in huff:
                 raise ValueError("missing huffman table")
             per_comp.append(
-                (hi, vi, qtabs[qid],
-                 _jpeg_lut(huff[(0, dc_id)]), _jpeg_lut(huff[(1, ac_id)]))
+                (hi, vi, _jpeg_lut(huff[(0, dc_id)]), _jpeg_lut(huff[(1, ac_id)]))
             )
-        # windowed bit reader: keep >=16 lookahead bits in `wacc` (1-bit
-        # padded past the end, matching the encoder's scan padding);
-        # `used` tracks CONSUMED bits so decoding past the real stream
-        # still surfaces as truncation. `load_chunk` re-arms it at each
-        # restart-interval boundary.
-        total_bits = len(bitsbuf) * 8
-        wacc, wbits, wpos, used = 0, 0, 0, 0
-        nbuf = len(bitsbuf)
-
-        def load_chunk(idx):
-            nonlocal bitsbuf, total_bits, wacc, wbits, wpos, used, nbuf
-            if idx >= len(chunk_bufs):
-                raise ValueError("missing restart interval in JPEG scan")
-            bitsbuf = chunk_bufs[idx]
-            total_bits = len(bitsbuf) * 8
-            wacc = wbits = wpos = used = 0
-            nbuf = len(bitsbuf)
-
-        def peek16():
-            nonlocal wacc, wbits, wpos
-            while wbits < 16:
-                wacc = (wacc << 8) | (bitsbuf[wpos] if wpos < nbuf else 0xFF)
-                wpos += 1
-                wbits += 8
-            return (wacc >> (wbits - 16)) & 0xFFFF
-
-        def consume(n):
-            nonlocal wacc, wbits, used
-            used += n
-            if used > total_bits:
-                raise ValueError("truncated JPEG entropy data")
-            wbits -= n
-            wacc &= (1 << wbits) - 1
-
-        def readsym(lut):
-            e = lut[peek16()]
-            if e is None:
-                raise ValueError("invalid huffman code")
-            consume(e[1])
-            return e[0]
-
-        def readval(s):
-            if not s:
-                return 0
-            if wbits < s:
-                peek16()
-            v = (wacc >> (wbits - s)) & ((1 << s) - 1)
-            consume(s)
-            if v < (1 << (s - 1)):
-                v -= (1 << s) - 1
-            return v
+        load_chunk, readsym, readbits, readval = _jpeg_reader(chunk_bufs)
 
         # MCU grid is set by the max sampling factors (16x16 pixels per
         # MCU for 4:2:0); each component contributes h_i*v_i blocks per
-        # MCU into its own (possibly reduced-resolution) plane
+        # MCU into its own (possibly reduced-resolution) coefficient
+        # store — dequantization and the batched IDCT run once in
+        # _jpeg_finalize, shared with the progressive path
         mcux = (w + 8 * hmax - 1) // (8 * hmax)
         mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-        planes = [
-            np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.float64)
-            for hi, vi, _, _, _ in per_comp
+        coefs = [
+            np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+            for hi, vi, _, _ in per_comp
         ]
         prev_dc = [0] * nc
         mcu_i = 0
@@ -1088,12 +1035,12 @@ def _codec_fns():
                     prev_dc = [0] * nc
                 mcu_i += 1
                 for ci in range(nc):
-                    hi, vi, q, lut_dc, lut_ac = per_comp[ci]
+                    hi, vi, lut_dc, lut_ac = per_comp[ci]
                     for bv in range(vi):
                         for bu in range(hi):
-                            coef = np.zeros(64, dtype=np.float64)
+                            blk = coefs[ci][my * vi + bv, mx * hi + bu]
                             prev_dc[ci] += readval(readsym(lut_dc))
-                            coef[zz[0]] = prev_dc[ci]
+                            blk[0] = prev_dc[ci]
                             k = 1
                             while k < 64:
                                 sym = readsym(lut_ac)
@@ -1106,44 +1053,10 @@ def _codec_fns():
                                 k += run
                                 if k > 63 or s == 0:
                                     raise ValueError("corrupt AC coefficients")
-                                coef[zz[k]] = readval(s)
+                                blk[zz[k]] = readval(s)
                                 k += 1
-                            blk = C.T @ (coef.reshape(8, 8) * q) @ C + 128.0
-                            r0 = (my * vi + bv) * 8
-                            c0 = (mx * hi + bu) * 8
-                            planes[ci][r0 : r0 + 8, c0 : c0 + 8] = blk
-        full = []
-        for ci in range(nc):
-            hi, vi = per_comp[ci][0], per_comp[ci][1]
-            p = planes[ci]
-            if hi < hmax or vi < vmax:
-                # nearest-neighbor upsample back to full resolution —
-                # the baseline-decoder reference behavior
-                p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
-            full.append(p[:h, :w])
-        if nc == 1:
-            out_px = full[0]
-        else:
-            y = full[0]
-            cb = full[1] - 128.0
-            cr = full[2] - 128.0
-            out_px = np.stack(
-                [
-                    y + 1.402 * cr,
-                    y - 0.344136 * cb - 0.714136 * cr,
-                    y + 1.772 * cb,
-                ],
-                axis=-1,
-            )
-        px = np.clip(np.rint(out_px), 0, 255).astype(np.uint8).tobytes()
-        return {
-            "fmt": "jpeg",
-            "width": w,
-            "height": h,
-            "pixels": px,
-            "n_blocks": mcux * mcuy,
-            "channels": nc,
-        }
+        ycc = _jpeg_color_is_ycc(comps, adobe_transform)
+        return _jpeg_finalize(w, h, comps, coefs, qtabs, ycc, mcux, mcuy)
 
     def encode_media(data: bytes, fmt: str, width: int = 0, height: int = 0,
                      sample_rate: int = 0, channels: int = 1,
@@ -1287,10 +1200,10 @@ def _codec_fns():
             # verification, zlib-inflate of IDAT, and per-scanline
             # UNFILTERING (all five standard filter types) — the
             # entropy-coded path that used to be the honest
-            # NotImplementedError boundary. Supports the profile the
-            # encoder writes (8-bit grayscale, non-interlaced);
-            # anything else raises NotImplementedError, bad bytes
-            # raise ValueError.
+            # NotImplementedError boundary. Supports the profiles the
+            # encoder writes (8-bit gray/RGB/RGBA, non-interlaced);
+            # palette/16-bit/interlaced raise NotImplementedError, bad
+            # bytes raise ValueError.
             import zlib
 
             if payload[:8] != b"\x89PNG\r\n\x1a\n":

@@ -603,6 +603,62 @@ def test_jpeg_progressive_color_ingest(spark):
         decode_media(payload[: len(payload) // 2], "jpeg")
 
 
+def test_jpeg_fill_bytes_before_markers_tolerated():
+    """ITU T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker (some camera firmware pads segments). Injecting fill before
+    SOF and SOS must not change the decode, in both the baseline and
+    progressive marker walks."""
+    blob = encode_media(bytes(range(200)), "jpeg", width=16, height=10)
+    base = decode_media(blob, "jpeg")["pixels"]
+    for marker in (b"\xff\xc0", b"\xff\xda"):
+        i = blob.find(marker)
+        padded = blob[:i] + b"\xff\xff\xff" + blob[i:]
+        assert decode_media(padded, "jpeg")["pixels"] == base
+
+
+def test_jpeg_adobe_rgb_components_skip_ycc_transform():
+    """A 3-component frame whose components are 'R','G','B' (the Adobe
+    layout, or APP14 transform=0) must NOT go through the YCbCr
+    inverse matrix — running RGB planes through it is a silent
+    misdecode. Witness: encode an achromatic color image (R=G=B=v):
+    its YCbCr planes are (v, 128, 128). Relabel the components R,G,B —
+    a correct passthrough decode returns channel 0 ~= v and channels
+    1/2 pinned near 128, while the (wrong) YCbCr path would return
+    ~(v,v,v). An APP14 transform=1 marker must force YCbCr back on."""
+    import numpy as np
+
+    w, h = 16, 8
+    v = np.tile(np.arange(0, 256, 16, dtype=np.uint8), (h, 1))
+    rgb = np.stack([v, v, v], axis=-1)
+    blob = encode_media(rgb.tobytes(), "jpeg", width=w, height=h, channels=3)
+    normal = np.frombuffer(
+        decode_media(blob, "jpeg")["pixels"], np.uint8
+    ).reshape(h, w, 3).astype(int)
+    assert int(np.abs(normal - rgb.astype(int)).max()) <= 8  # sanity
+
+    # relabel component ids 1,2,3 -> 'R','G','B' in SOF and SOS
+    relabeled = bytearray(blob)
+    i = blob.find(b"\xff\xc0")
+    # marker(2) + len(2) + prec(1) + h(2) + w(2) + nc(1) -> first cid
+    for k, cid in enumerate(b"RGB"):
+        relabeled[i + 10 + 3 * k] = cid
+    j = blob.find(b"\xff\xda")
+    for k, cid in enumerate(b"RGB"):
+        relabeled[j + 2 + 2 + 1 + 2 * k] = cid
+    d = decode_media(bytes(relabeled), "jpeg")
+    rgb_pass = np.frombuffer(d["pixels"], np.uint8).reshape(h, w, 3).astype(int)
+    assert int(np.abs(rgb_pass[..., 0] - v.astype(int)).max()) <= 8
+    assert int(np.abs(rgb_pass[..., 1:] - 128).max()) <= 8
+
+    # APP14 transform=1 overrides the component-id heuristic
+    app14 = b"\xff\xee" + (12 + 2).to_bytes(2, "big") + b"Adobe" + bytes(6) + b"\x01"
+    with_app14 = bytes(relabeled[:2]) + app14 + bytes(relabeled[2:])
+    back = np.frombuffer(
+        decode_media(with_app14, "jpeg")["pixels"], np.uint8
+    ).reshape(h, w, 3).astype(int)
+    assert (back == normal).all()
+
+
 def test_jpeg_corrupt_and_profile_errors():
     blob = encode_media(b"abc" * 50, "jpeg", width=16, height=10)
     with pytest.raises(ValueError):
