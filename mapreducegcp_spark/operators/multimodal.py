@@ -131,7 +131,10 @@ def _codec_fns():
 
     - ``png``: real zlib/DEFLATE PNG, 8-bit grayscale (ctype 0),
       truecolor RGB (ctype 2, ``channels=3``) or RGBA (ctype 6,
-      ``channels=4``), non-interlaced; the
+      ``channels=4``), non-interlaced; the DECODER additionally
+      ingests indexed-color files (ctype 3, depths 1/2/4/8 —
+      MSB-first packed indices mapped through PLTE to RGB, the common
+      web/icon profile, ImageIO-verified); the
       encoder filters each scanline with type (row % 5) and the
       decoder CRC-verifies every chunk, inflates IDAT, and unfilters
       all five standard filter types with the spec's one-PIXEL-back
@@ -1210,7 +1213,7 @@ def _codec_fns():
                 if payload[:4] == b"\x89PNG"[:4] and len(payload) < 8:
                     raise ValueError("truncated PNG signature")
                 raise ValueError("bad PNG magic")
-            pos, ihdr, idat, ended = 8, None, bytearray(), False
+            pos, ihdr, idat, ended, plte = 8, None, bytearray(), False, None
             while pos < len(payload):
                 if pos + 8 > len(payload):
                     raise ValueError("truncated PNG chunk header")
@@ -1228,16 +1231,22 @@ def _codec_fns():
                     w, h, depth, ctype, comp, filt_m, inter = struct.unpack(
                         ">IIBBBBB", body
                     )
-                    if (depth, comp, filt_m, inter) != (8, 0, 0, 0) or ctype not in (
-                        0,
-                        2,
-                        6,
-                    ):
+                    ok = (comp, filt_m, inter) == (0, 0, 0) and (
+                        (depth == 8 and ctype in (0, 2, 6))
+                        or (depth in (1, 2, 4, 8) and ctype == 3)
+                    )
+                    if not ok:
                         raise NotImplementedError(
-                            "png profile beyond 8-bit gray/truecolor/RGBA "
-                            "non-interlaced"
+                            "png profile beyond 8-bit gray/truecolor/RGBA/"
+                            "palette non-interlaced"
                         )
-                    ihdr = (w, h, {0: 1, 2: 3, 6: 4}[ctype])
+                    ihdr = (w, h, {0: 1, 2: 3, 3: 1, 6: 4}[ctype], depth, ctype)
+                elif typ == b"PLTE":
+                    if clen % 3 or clen > 768:
+                        raise ValueError("bad PLTE length")
+                    plte = bytes(body)
+                elif typ == b"tRNS":
+                    raise NotImplementedError("png transparency chunk (tRNS)")
                 elif typ == b"IDAT":
                     idat += body
                 elif typ == b"IEND":
@@ -1246,8 +1255,10 @@ def _codec_fns():
                 pos += 12 + clen
             if ihdr is None or not ended:
                 raise ValueError("PNG missing IHDR or IEND")
-            w, h, bpp = ihdr
-            stride = w * bpp
+            w, h, bpp, depth, ctype = ihdr
+            # sub-byte palette depths pack pixels MSB-first; filtering
+            # operates on the PACKED bytes with a one-BYTE left offset
+            stride = w * bpp if depth == 8 else (w * depth + 7) // 8
             try:
                 raw = zlib.decompress(bytes(idat))
             except zlib.error as e:
@@ -1282,6 +1293,35 @@ def _codec_fns():
                     raise ValueError(f"unknown PNG filter type {f}")
                 px += line
                 prev = line
+            if ctype == 3:
+                if plte is None:
+                    raise ValueError("palette PNG missing PLTE")
+                # unpack MSB-first indices (depth < 8), map through the
+                # palette to RGB — indexed color decodes to real pixels
+                out = bytearray()
+                n_entries = len(plte) // 3
+                for r in range(h):
+                    line = px[r * stride : (r + 1) * stride]
+                    for x in range(w):
+                        if depth == 8:
+                            idx = line[x]
+                        else:
+                            per = 8 // depth
+                            b = line[x // per]
+                            shift = 8 - depth * (x % per + 1)
+                            idx = (b >> shift) & ((1 << depth) - 1)
+                        if idx >= n_entries:
+                            raise ValueError("palette index out of range")
+                        out += plte[idx * 3 : idx * 3 + 3]
+                return {
+                    "fmt": fmt,
+                    "width": w,
+                    "height": h,
+                    "pixels": bytes(out),
+                    "n_filter_types": len(fset),
+                    "channels": 3,
+                    "palette_size": n_entries,
+                }
             return {
                 "fmt": fmt,
                 "width": w,

@@ -99,6 +99,90 @@ def test_png_truecolor_roundtrip_exact_and_imageio(spark):
             ), (x, y)
 
 
+def test_png_palette_decode(spark):
+    """Indexed-color PNG (ctype 3) — the common web/icon profile.
+    8-bit: javax.imageio writes a TYPE_BYTE_INDEXED image (256-entry
+    PLTE) and our decode must match ImageIO's own decode of the same
+    bytes EXACTLY (palette lookup is lossless). Sub-byte depths pack
+    indices MSB-first: a handcrafted 4-bit file must map index-exactly
+    through its 4-entry palette. tRNS stays an honest boundary."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    jvm = spark._jvm
+    w, h = 16, 9
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_INDEXED
+    )
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(xx * 16) % 256, (yy * 25) % 256, ((xx + yy) * 8) % 256], axis=-1
+    ).astype(int)
+    for y in range(h):
+        for x in range(w):
+            img.setRGB(
+                x, y,
+                (int(rgb[y, x, 0]) << 16)
+                | (int(rgb[y, x, 1]) << 8)
+                | int(rgb[y, x, 2]),
+            )
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+    payload = bytes(baos.toByteArray())
+    d = decode_media(payload, "png")
+    assert (d["channels"], d["palette_size"]) == (3, 256)
+    got = np.frombuffer(d["pixels"], np.uint8).reshape(h, w, 3).astype(int)
+    img2 = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(payload))
+    )
+    for y in range(h):
+        for x in range(w):
+            px = img2.getRGB(x, y)
+            assert tuple(got[y, x]) == (
+                (px >> 16) & 255, (px >> 8) & 255, px & 255
+            ), (x, y)
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    w2, h2, depth = 5, 3, 4
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    idx = [[0, 1, 2, 3, 0], [1, 1, 2, 2, 3], [3, 0, 0, 1, 2]]
+    raw = bytearray()
+    for r in range(h2):
+        raw.append(0)
+        for x in range(0, w2, 2):
+            b = idx[r][x] << 4
+            if x + 1 < w2:
+                b |= idx[r][x + 1]
+            raw.append(b)
+    ihdr = struct.pack(">IIBBBBB", w2, h2, depth, 3, 0, 0, 0)
+    png4 = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    d2 = decode_media(png4, "png")
+    got2 = np.frombuffer(d2["pixels"], np.uint8).reshape(h2, w2, 3)
+    exp = np.array(
+        [[list(plte[i * 3 : i * 3 + 3]) for i in row] for row in idx], np.uint8
+    )
+    assert (got2 == exp).all() and d2["palette_size"] == 4
+
+    # tRNS transparency remains an explicit boundary
+    png_t = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"tRNS", bytes([128]))
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_media(png_t, "png")
+
+
 def test_png_corrupt_inputs_raise_valueerror():
     blob = bytearray(encode_media(b"x" * 64, "png", width=8, height=8))
     # flip one IDAT payload byte -> CRC mismatch, never a bare error
@@ -112,14 +196,14 @@ def test_png_corrupt_inputs_raise_valueerror():
 
 
 def test_png_unsupported_profile_raises_notimplemented():
-    """A palette/16-bit/interlaced png must hit the explicit profile
-    boundary, not mis-decode: rebuild the IHDR with color type 3
-    (palette) and with interlace 1 (Adam7)."""
+    """A 16-bit or interlaced png must hit the explicit profile
+    boundary, not mis-decode: rebuild the IHDR with depth 16 and with
+    interlace 1 (Adam7)."""
     import struct
     import zlib
 
-    for ctype, inter in ((3, 0), (0, 1)):
-        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, ctype, 0, 0, inter)
+    for depth, inter in ((16, 0), (8, 1)):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, 0, 0, 0, inter)
         chunk = (
             struct.pack(">I", len(ihdr))
             + b"IHDR"
