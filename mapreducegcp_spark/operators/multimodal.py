@@ -131,10 +131,12 @@ def _codec_fns():
 
     - ``png``: real zlib/DEFLATE PNG, 8-bit grayscale (ctype 0),
       truecolor RGB (ctype 2, ``channels=3``) or RGBA (ctype 6,
-      ``channels=4``), non-interlaced; the DECODER additionally
-      ingests indexed-color files (ctype 3, depths 1/2/4/8 —
-      MSB-first packed indices mapped through PLTE to RGB, the common
-      web/icon profile, ImageIO-verified); the
+      ``channels=4``); the DECODER additionally ingests
+      indexed-color files (ctype 3, depths 1/2/4/8 — MSB-first packed
+      indices mapped through PLTE to RGB, the common web/icon
+      profile, ImageIO-verified) and Adam7-INTERLACED depth-8 files
+      (seven independently-filtered sub-images scattered at the
+      standard pass offsets); the
       encoder filters each scanline with type (row % 5) and the
       decoder CRC-verifies every chunk, inflates IDAT, and unfilters
       all five standard filter types with the spec's one-PIXEL-back
@@ -1231,16 +1233,16 @@ def _codec_fns():
                     w, h, depth, ctype, comp, filt_m, inter = struct.unpack(
                         ">IIBBBBB", body
                     )
-                    ok = (comp, filt_m, inter) == (0, 0, 0) and (
-                        (depth == 8 and ctype in (0, 2, 6))
-                        or (depth in (1, 2, 4, 8) and ctype == 3)
+                    ok = (comp, filt_m) == (0, 0) and (
+                        (depth == 8 and ctype in (0, 2, 6) and inter in (0, 1))
+                        or (depth in (1, 2, 4, 8) and ctype == 3 and inter == 0)
                     )
                     if not ok:
                         raise NotImplementedError(
                             "png profile beyond 8-bit gray/truecolor/RGBA/"
-                            "palette non-interlaced"
+                            "palette (Adam7 supported for depth-8 only)"
                         )
-                    ihdr = (w, h, {0: 1, 2: 3, 3: 1, 6: 4}[ctype], depth, ctype)
+                    ihdr = (w, h, {0: 1, 2: 3, 3: 1, 6: 4}[ctype], depth, ctype, inter)
                 elif typ == b"PLTE":
                     if clen % 3 or clen > 768:
                         raise ValueError("bad PLTE length")
@@ -1255,7 +1257,7 @@ def _codec_fns():
                 pos += 12 + clen
             if ihdr is None or not ended:
                 raise ValueError("PNG missing IHDR or IEND")
-            w, h, bpp, depth, ctype = ihdr
+            w, h, bpp, depth, ctype, inter = ihdr
             # sub-byte palette depths pack pixels MSB-first; filtering
             # operates on the PACKED bytes with a one-BYTE left offset
             stride = w * bpp if depth == 8 else (w * depth + 7) // 8
@@ -1263,36 +1265,72 @@ def _codec_fns():
                 raw = zlib.decompress(bytes(idat))
             except zlib.error as e:
                 raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-            if len(raw) != h * (stride + 1):
-                raise ValueError("PNG pixel data length mismatch")
-            px = bytearray()
-            prev = bytearray(stride)
+
             fset = set()
-            for r in range(h):
-                f = raw[r * (stride + 1)]
-                fset.add(f)
-                line = bytearray(
-                    raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
-                )
-                if f == 1:
-                    for i in range(bpp, stride):
-                        line[i] = (line[i] + line[i - bpp]) & 255
-                elif f == 2:
-                    for i in range(stride):
-                        line[i] = (line[i] + prev[i]) & 255
-                elif f == 3:
-                    for i in range(stride):
-                        left = line[i - bpp] if i >= bpp else 0
-                        line[i] = (line[i] + (left + prev[i]) // 2) & 255
-                elif f == 4:
-                    for i in range(stride):
-                        left = line[i - bpp] if i >= bpp else 0
-                        ul = prev[i - bpp] if i >= bpp else 0
-                        line[i] = (line[i] + _paeth(left, prev[i], ul)) & 255
-                elif f != 0:
-                    raise ValueError(f"unknown PNG filter type {f}")
-                px += line
-                prev = line
+
+            def unfilter(raw, off, n_rows, row_stride):
+                """One (sub-)image's scanlines, unfiltered in place
+                order; returns (pixel bytes, bytes consumed)."""
+                need = n_rows * (row_stride + 1)
+                if len(raw) < off + need:
+                    raise ValueError("PNG pixel data length mismatch")
+                out = bytearray()
+                prev = bytearray(row_stride)
+                for r in range(n_rows):
+                    base = off + r * (row_stride + 1)
+                    f = raw[base]
+                    fset.add(f)
+                    line = bytearray(raw[base + 1 : base + 1 + row_stride])
+                    if f == 1:
+                        for i in range(bpp, row_stride):
+                            line[i] = (line[i] + line[i - bpp]) & 255
+                    elif f == 2:
+                        for i in range(row_stride):
+                            line[i] = (line[i] + prev[i]) & 255
+                    elif f == 3:
+                        for i in range(row_stride):
+                            left = line[i - bpp] if i >= bpp else 0
+                            line[i] = (line[i] + (left + prev[i]) // 2) & 255
+                    elif f == 4:
+                        for i in range(row_stride):
+                            left = line[i - bpp] if i >= bpp else 0
+                            ul = prev[i - bpp] if i >= bpp else 0
+                            line[i] = (line[i] + _paeth(left, prev[i], ul)) & 255
+                    elif f != 0:
+                        raise ValueError(f"unknown PNG filter type {f}")
+                    out += line
+                    prev = line
+                return out, need
+
+            if inter == 0:
+                px, used = unfilter(raw, 0, h, stride)
+                if used != len(raw):
+                    raise ValueError("PNG pixel data length mismatch")
+            else:
+                # Adam7: seven sub-images, each filtered independently,
+                # scattered onto the full grid at the pass offsets
+                px = bytearray(h * stride)
+                off = 0
+                for x0, y0, dx, dy in (
+                    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+                ):
+                    pw = (w - x0 + dx - 1) // dx
+                    ph = (h - y0 + dy - 1) // dy
+                    if pw <= 0 or ph <= 0:
+                        continue
+                    sub, used = unfilter(raw, off, ph, pw * bpp)
+                    off += used
+                    for r in range(ph):
+                        y = y0 + r * dy
+                        for c in range(pw):
+                            x = x0 + c * dx
+                            src = (r * pw + c) * bpp
+                            px[y * stride + x * bpp : y * stride + (x + 1) * bpp] = sub[
+                                src : src + bpp
+                            ]
+                if off != len(raw):
+                    raise ValueError("PNG pixel data length mismatch")
             if ctype == 3:
                 if plte is None:
                     raise ValueError("palette PNG missing PLTE")

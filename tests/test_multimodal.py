@@ -99,6 +99,95 @@ def test_png_truecolor_roundtrip_exact_and_imageio(spark):
             ), (x, y)
 
 
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_reference_encode(arr, bpp):
+    """Spec-direct Adam7 interlacer for test inputs: seven passes at
+    the standard offsets, each pass filtered independently with a
+    rotating filter type — exercises every filter in every pass
+    geometry."""
+    from mapreducegcp_spark.operators.multimodal import _codec_fns  # noqa: F401
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    h, w = arr.shape[0], arr.shape[1]
+    flat = arr.reshape(h, w * bpp)
+    out = bytearray()
+    for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        prev = bytearray(pw * bpp)
+        for r in range(ph):
+            y = y0 + r * dy
+            row = bytearray()
+            for c in range(pw):
+                x = x0 + c * dx
+                row += bytes(flat[y, x * bpp : (x + 1) * bpp].tolist())
+            f = (pi + r) % 5
+            filt = bytearray(pw * bpp)
+            for i in range(pw * bpp):
+                xv = row[i]
+                left = row[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                ul = prev[i - bpp] if i >= bpp else 0
+                if f == 0:
+                    filt[i] = xv
+                elif f == 1:
+                    filt[i] = (xv - left) & 255
+                elif f == 2:
+                    filt[i] = (xv - up) & 255
+                elif f == 3:
+                    filt[i] = (xv - (left + up) // 2) & 255
+                else:
+                    filt[i] = (xv - paeth(left, up, ul)) & 255
+            out.append(f)
+            out += filt
+            prev = row
+    return bytes(out)
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 (interlace 1): seven independently-filtered sub-images
+    scattered at the standard pass offsets. Byte-exact round-trip
+    through a spec-direct reference interlacer for gray / RGB / RGBA
+    at sizes that exercise empty passes (1x1), exact pass grids (8x8)
+    and ragged edges."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.RandomState(9)
+    for w, h, ctype, bpp in [
+        (13, 11, 0, 1), (16, 8, 2, 3), (9, 7, 6, 4), (1, 1, 0, 1), (33, 17, 2, 3),
+    ]:
+        arr = rng.randint(0, 256, (h, w, bpp), dtype=np.uint8)
+        raw = _adam7_reference_encode(arr, bpp)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+        png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+        d = decode_media(png, "png")
+        assert (d["width"], d["height"], d["channels"]) == (w, h, bpp)
+        assert d["pixels"] == arr.tobytes(), (w, h, ctype)
+
+
 def test_png_palette_decode(spark):
     """Indexed-color PNG (ctype 3) — the common web/icon profile.
     8-bit: javax.imageio writes a TYPE_BYTE_INDEXED image (256-entry
@@ -196,14 +285,14 @@ def test_png_corrupt_inputs_raise_valueerror():
 
 
 def test_png_unsupported_profile_raises_notimplemented():
-    """A 16-bit or interlaced png must hit the explicit profile
-    boundary, not mis-decode: rebuild the IHDR with depth 16 and with
-    interlace 1 (Adam7)."""
+    """A 16-bit or interlaced-palette png must hit the explicit
+    profile boundary, not mis-decode: rebuild the IHDR with depth 16
+    (gray) and with Adam7 + ctype 3 (interlaced palette)."""
     import struct
     import zlib
 
-    for depth, inter in ((16, 0), (8, 1)):
-        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, 0, 0, 0, inter)
+    for depth, ctype, inter in ((16, 0, 0), (8, 3, 1)):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, inter)
         chunk = (
             struct.pack(">I", len(ihdr))
             + b"IHDR"
