@@ -1215,7 +1215,8 @@ def _codec_fns():
                 if payload[:4] == b"\x89PNG"[:4] and len(payload) < 8:
                     raise ValueError("truncated PNG signature")
                 raise ValueError("bad PNG magic")
-            pos, ihdr, idat, ended, plte = 8, None, bytearray(), False, None
+            pos, ihdr, idat, ended = 8, None, bytearray(), False
+            plte = trns = None
             while pos < len(payload):
                 if pos + 8 > len(payload):
                     raise ValueError("truncated PNG chunk header")
@@ -1248,7 +1249,13 @@ def _codec_fns():
                         raise ValueError("bad PLTE length")
                     plte = bytes(body)
                 elif typ == b"tRNS":
-                    raise NotImplementedError("png transparency chunk (tRNS)")
+                    if ihdr is None or ihdr[4] != 3:
+                        # color-key transparency on gray/truecolor —
+                        # rare; keep the explicit boundary
+                        raise NotImplementedError(
+                            "png tRNS outside indexed color"
+                        )
+                    trns = bytes(body)  # per-palette-entry alpha
                 elif typ == b"IDAT":
                     idat += body
                 elif typ == b"IEND":
@@ -1335,9 +1342,13 @@ def _codec_fns():
                 if plte is None:
                     raise ValueError("palette PNG missing PLTE")
                 # unpack MSB-first indices (depth < 8), map through the
-                # palette to RGB — indexed color decodes to real pixels
+                # palette — RGB, or RGBA when tRNS carries per-entry
+                # alpha (entries past the tRNS length are opaque 255,
+                # per spec)
                 out = bytearray()
                 n_entries = len(plte) // 3
+                if trns is not None and len(trns) > n_entries:
+                    raise ValueError("tRNS longer than palette")
                 for r in range(h):
                     line = px[r * stride : (r + 1) * stride]
                     for x in range(w):
@@ -1351,13 +1362,15 @@ def _codec_fns():
                         if idx >= n_entries:
                             raise ValueError("palette index out of range")
                         out += plte[idx * 3 : idx * 3 + 3]
+                        if trns is not None:
+                            out.append(trns[idx] if idx < len(trns) else 255)
                 return {
                     "fmt": fmt,
                     "width": w,
                     "height": h,
                     "pixels": bytes(out),
                     "n_filter_types": len(fset),
-                    "channels": 3,
+                    "channels": 3 if trns is None else 4,
                     "palette_size": n_entries,
                 }
             return {

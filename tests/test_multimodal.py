@@ -262,14 +262,29 @@ def test_png_palette_decode(spark):
     )
     assert (got2 == exp).all() and d2["palette_size"] == 4
 
-    # tRNS transparency remains an explicit boundary
+    # tRNS: per-entry alpha makes the decode RGBA; entries past the
+    # tRNS length are opaque 255 per spec
     png_t = (
         b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
         + chunk(b"tRNS", bytes([128]))
         + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
     )
+    dt = decode_media(png_t, "png")
+    assert dt["channels"] == 4
+    got_t = np.frombuffer(dt["pixels"], np.uint8).reshape(h2, w2, 4)
+    assert (got_t[..., :3] == exp).all()
+    alpha_exp = np.where(np.array(idx) == 0, 128, 255)
+    assert (got_t[..., 3] == alpha_exp).all()
+    # color-key tRNS on non-indexed color stays an explicit boundary
+    ihdr_g = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    png_g = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_g)
+        + chunk(b"tRNS", bytes([0, 7]))
+        + chunk(b"IDAT", zlib.compress(bytes(bytearray(20))))
+        + chunk(b"IEND", b"")
+    )
     with pytest.raises(NotImplementedError):
-        decode_media(png_t, "png")
+        decode_media(png_g, "png")
 
 
 def test_png_corrupt_inputs_raise_valueerror():
