@@ -264,19 +264,22 @@ def _codec_fns():
             raise ValueError("jpeg needs positive dims")
         if channels not in (1, 3):
             raise ValueError("jpeg channels must be 1 (gray) or 3 (RGB)")
-        if subsampling not in ("444", "420"):
-            raise ValueError("jpeg subsampling must be '444' or '420'")
-        sub420 = subsampling == "420" and channels == 3
+        if subsampling not in ("444", "422", "420"):
+            raise ValueError("jpeg subsampling must be '444', '422' or '420'")
+        if channels != 3:
+            subsampling = "444"
+        # chroma decimation factors per axis (sh horizontal, sv vertical)
+        sh = 2 if subsampling in ("422", "420") else 1
+        sv = 2 if subsampling == "420" else 1
         zz, C = _jpeg_tables()
         q = np.array(JPEG_QTAB, dtype=np.float64).reshape(8, 8)
         n = width * height * channels
         px = (data + b"\x00" * n)[:n]
-        # at 4:2:0 the MCU covers 16x16 luma pixels, so luma pads to
-        # 16-multiples and the half-resolution chroma lands on exact
+        # the MCU covers (8*sh)x(8*sv) luma pixels, so luma pads to
+        # that multiple and the decimated chroma lands on exact
         # 8-multiples; at 4:4:4 everything pads to 8-multiples
-        unit = 16 if sub420 else 8
-        H8 = (height + unit - 1) // unit * unit
-        W8 = (width + unit - 1) // unit * unit
+        H8 = (height + 8 * sv - 1) // (8 * sv) * (8 * sv)
+        W8 = (width + 8 * sh - 1) // (8 * sh) * (8 * sh)
 
         def plane(a):
             # edge-replicate padding keeps block boundaries smooth
@@ -309,13 +312,13 @@ def _codec_fns():
                 plane(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b),
             ]
             samps = [(1, 1)] * 3
-            if sub420:
-                # chroma: 2x2 block mean of the padded full-res plane
+            if sh > 1 or sv > 1:
+                # chroma: (sv x sh) block mean of the padded plane
                 planes[1:] = [
-                    p.reshape(H8 // 2, 2, W8 // 2, 2).mean(axis=(1, 3))
+                    p.reshape(H8 // sv, sv, W8 // sh, sh).mean(axis=(1, 3))
                     for p in planes[1:]
                 ]
-                samps = [(2, 2), (1, 1), (1, 1)]
+                samps = [(sh, sv), (1, 1), (1, 1)]
         dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
         ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
         out = bytearray()

@@ -615,6 +615,41 @@ def test_jpeg_ingests_imageio_written_420_file(spark):
     assert int(np.abs(got - rgb).max()) <= 20
 
 
+def test_jpeg_422_subsampling_roundtrip(spark):
+    """4:2:2 (horizontal-only chroma decimation, the broadcast-video
+    profile) exercises the asymmetric (2,1) sampling path the 4:2:0
+    tests never hit: MCU = 2 Y blocks + Cb + Cr over 16x8 pixels. The
+    stream must be smaller than 4:4:4 and larger than 4:2:0, round-trip
+    near the source on smooth content, and decode in javax.imageio."""
+    import numpy as np
+
+    w, h = 37, 22
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(xx * 5 + 40) % 256, (yy * 7 + 10) % 256, ((xx + yy) * 3) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    sizes = {}
+    for sub in ("444", "422", "420"):
+        p = encode_media(
+            rgb.tobytes(), "jpeg", width=w, height=h, channels=3,
+            subsampling=sub,
+        )
+        sizes[sub] = len(p)
+        if sub != "422":
+            continue
+        d = decode_media(p, "jpeg")
+        assert d["n_blocks"] == ((w + 15) // 16) * ((h + 7) // 8)  # 16x8 MCUs
+        got = np.frombuffer(d["pixels"], np.uint8).reshape(h, w, 3).astype(int)
+        assert int(np.abs(got - rgb.astype(int)).max()) <= 16
+        jvm = spark._jvm
+        img = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(p))
+        )
+        assert img is not None and (img.getWidth(), img.getHeight()) == (w, h)
+    assert sizes["420"] < sizes["422"] < sizes["444"]
+
+
 def test_jpeg_restart_markers_roundtrip():
     """DRI/RSTn — the recovery structure camera JPEGs carry. The
     encoder must byte-align, emit RSTn in cyclic order, and reset DC

@@ -95,6 +95,12 @@ EXCLUDE = {
 # with the corpus while per-part value does not.)
 VERIFY_100X = [
     "agg_pricing_summary",
+    "cdc_latest_snapshot",
+    "cohort_retention",
+    "events_attribution_linear",
+    "events_run_length_islands",
+    "funnel_view_click_purchase",
+    "timeseries_ohlc_downsample",
     "agg_skew_kurtosis",
     "agg_weighted_median",
     "asof_join_last_click",
