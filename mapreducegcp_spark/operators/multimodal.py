@@ -1234,6 +1234,8 @@ def _codec_fns():
                 if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
                     raise ValueError(f"PNG CRC mismatch in {typ!r}")
                 if typ == b"IHDR":
+                    if len(body) != 13:
+                        raise ValueError("bad IHDR length")
                     w, h, depth, ctype, comp, filt_m, inter = struct.unpack(
                         ">IIBBBBB", body
                     )

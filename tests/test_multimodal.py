@@ -949,3 +949,46 @@ def test_image_source_interop_both_codecs(spark, sf_dir):
     assert {r.fmt for r in rows} == {"png", "jpeg"}
     for r in rows:
         assert r.pixels_ok, r
+
+
+@settings(max_examples=150, deadline=None)
+@given(tail=st.binary(min_size=0, max_size=120))
+def test_jpeg_decode_fuzz_raises_only_contract_errors(tail):
+    """The public codec seam promises ValueError (corrupt bytes) or
+    NotImplementedError (unsupported profile) — never IndexError /
+    struct.error / zlib.error. Arbitrary bytes after a valid magic
+    exercise every marker-walk branch."""
+    try:
+        decode_media(b"\xff\xd8" + tail, "jpeg")
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    bodies=st.lists(
+        st.tuples(
+            st.sampled_from([b"IHDR", b"PLTE", b"tRNS", b"IDAT", b"IEND", b"teXt"]),
+            st.binary(min_size=0, max_size=25),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_png_decode_fuzz_raises_only_contract_errors(bodies):
+    """PNG twin of the JPEG fuzz, with VALID chunk CRCs so malformed
+    content reaches the parse logic instead of dying at the CRC gate
+    (this fuzz found a struct.error on short IHDR bodies)."""
+    import struct
+    import zlib
+
+    payload = bytearray(b"\x89PNG\r\n\x1a\n")
+    for typ, body in bodies:
+        payload += (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+    try:
+        decode_media(bytes(payload), "png")
+    except (ValueError, NotImplementedError):
+        pass
