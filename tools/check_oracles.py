@@ -77,6 +77,9 @@ def main() -> int:
 
     qs = all_queries()
     names = args.names or sorted(qs)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(f"check_oracles: unknown query name(s) {unknown}")
     spark = get_spark("check-oracles")
 
     con = duckdb.connect()
