@@ -97,3 +97,45 @@ def o_dsum(expr: str) -> str:
 
 def o_davg(expr: str) -> str:
     return f"{o_dsum(expr)} / COUNT(*)"
+
+
+def o_sorted_list(expr: str) -> str:
+    """Sorted, NULL-free DuckDB list aggregate feeding ``o_pct``."""
+    return f"list({expr} ORDER BY {expr}) FILTER (WHERE {expr} IS NOT NULL)"
+
+
+def o_pct(lst: str, p: float) -> str:
+    """Oracle twin of Spark's exact ``percentile(col, p)`` over a
+    sorted list column (build it with ``o_sorted_list``).
+
+    DuckDB's ``quantile_cont`` ALWAYS forms the two-product
+    interpolation (ceil(pos)-pos)*lo + (pos-floor(pos))*hi, even when
+    the two bracketing order statistics are the same value — and with
+    coefficients like 0.29/0.71 those two roundings can land 1 ulp off
+    the value itself. Spark's ``percentile`` walks (value, count)
+    pairs, so equal bracketing order stats hit one count bucket and
+    return the VALUE with no arithmetic. First observed at the 10x
+    blowup corpus (events_winsorize p99: 198,630 click rows, both
+    order stats 230.53, quantile_cont = 230.53000000000003); sf0.01 /
+    sf0.1 never tripped it because divergence needs lo == hi AND an
+    unluckily-rounding coefficient pair at that exact group size.
+    This fragment replicates Spark bit-for-bit at any volume: the
+    equality branch returns the element, the interpolation branch is
+    the identical two-product form (position p*(n-1), coefficient
+    subtractions exact by Sterbenz, same IEEE products and sum in
+    both engines — verified on synthesized lo != hi ulp-edge cases).
+    Median-only sites (p = 0.5) are provably safe without this: 0.5*x
+    is an exponent shift, so both branches are exact.
+    """
+    # CAST the fraction: DuckDB types a bare 0.99 literal as
+    # DECIMAL(3,2), which would make pos/coefficients exact-decimal
+    # instead of Spark's IEEE-double 0.99*(n-1) (caught by agg_quantiles
+    # p99 at sf0.01: decimal coefficients 0.27/0.73 vs Spark's
+    # 0.27000000000043656/0.72999999999956344)
+    pos = f"CAST({p!r} AS DOUBLE)*(len({lst})-1)"
+    lo = f"{lst}[1 + CAST(floor({pos}) AS BIGINT)]"
+    hi = f"{lst}[1 + CAST(ceil({pos}) AS BIGINT)]"
+    return (
+        f"(CASE WHEN {lo} = {hi} THEN {lo} "
+        f"ELSE (ceil({pos}) - {pos}) * {lo} + ({pos} - floor({pos})) * {hi} END)"
+    )

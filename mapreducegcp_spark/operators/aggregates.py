@@ -24,7 +24,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mapreducegcp_spark.functions.exact import davg, dec2, dsum, o_davg, o_dec2, o_dsum
+from mapreducegcp_spark.functions.exact import (
+    davg,
+    dec2,
+    dsum,
+    o_davg,
+    o_dec2,
+    o_dsum,
+    o_pct,
+    o_sorted_list,
+)
 from mapreducegcp_spark.registry import register
 from mapreducegcp_spark.sources.catalog import load_table
 
@@ -274,26 +283,31 @@ def q_agg_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUANTILES_ORACLE = """
+_QUANTILES_ORACLE = f"""
+WITH base AS (
+  SELECT l_returnflag, {o_sorted_list('l_extendedprice')} AS l
+  FROM lineitem GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       quantile_cont(l_extendedprice, 0.25) AS p25,
-       quantile_cont(l_extendedprice, 0.5)  AS p50,
-       quantile_cont(l_extendedprice, 0.9)  AS p90,
-       quantile_cont(l_extendedprice, 0.99) AS p99
-FROM lineitem
-GROUP BY l_returnflag
+       {o_pct('l', 0.25)} AS p25,
+       {o_pct('l', 0.5)}  AS p50,
+       {o_pct('l', 0.9)}  AS p90,
+       {o_pct('l', 0.99)} AS p99
+FROM base
 """
 
 
 @register("agg_quantiles", oracle=_QUANTILES_ORACLE, tags=("relational",))
 def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group. Spark's percentile and
-    DuckDB's quantile_cont share the lower+frac*(upper-lower) definition
-    and match bit-for-bit (probed at sf0.01) — unlike transcendentals,
-    the interpolation uses only correctly-rounded ops. Exact percentile
-    sorts each group's values in one pass (OK for bounded groups); the
-    unbounded-cardinality scale path is approx_percentile, checked
-    rows-only as agg_approx_distinct is."""
+    """Exact interpolated percentiles per group. The oracle replicates
+    Spark's interpolation exactly via ``o_pct`` (functions/exact.py):
+    DuckDB's quantile_cont interpolates even between EQUAL bracketing
+    order statistics, which can land 1 ulp off the value at specific
+    group sizes (first seen at the 10x blowup corpus) — Spark's
+    (value, count) walk returns the element directly there. Exact
+    percentile sorts each group's values in one pass (OK for bounded
+    groups); the unbounded-cardinality scale path is approx_percentile,
+    checked rows-only as agg_approx_distinct is."""
     li = load_table(spark, sf_dir, "lineitem")
     # One percentile aggregate with an array argument: a single buffer +
     # sort per group serves all four cut points (4 scalar percentile
@@ -777,12 +791,13 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ winsorized statistics
 
-_WINSOR_ORACLE = """
+_WINSOR_ORACLE = f"""
 WITH cuts AS (
   SELECT event_type,
-         quantile_cont(value, 0.01) AS lo,
-         quantile_cont(value, 0.99) AS hi
-  FROM events GROUP BY event_type
+         {o_pct('l', 0.01)} AS lo,
+         {o_pct('l', 0.99)} AS hi
+  FROM (SELECT event_type, {o_sorted_list('value')} AS l
+        FROM events GROUP BY event_type)
 )
 SELECT e.event_type,
        CAST(count(*) AS BIGINT) AS n,
@@ -804,8 +819,10 @@ def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization: one exact-percentile pass for the cut points (tiny
     result, broadcast back), then a map-side clamp and one aggregation.
     least/greatest are single IEEE ops over the same doubles both
-    engines read; the percentile interpolation is the shared
-    lower+frac*(upper-lower) definition (see agg_quantiles); and the
+    engines read; the cut points come from the ``o_pct`` Spark-replica
+    interpolation (this query is where the quantile_cont equal-order-
+    stat ulp boundary was first observed, at the 10x blowup corpus —
+    see functions/exact.py); and the
     mean folds in the DECIMAL domain (per-row cast, associative bigint
     sum — the dsum pattern) because a raw double sum is
     partition-order-dependent and would flake the cross-engine hash. n_clamped makes the clamp itself
@@ -1044,7 +1061,7 @@ def q_agg_ols_slope_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------ IQR outlier fences (Tukey, per group)
 
-_IQR_ORACLE = """
+_IQR_ORACLE = f"""
 WITH ec AS (
   SELECT event_type,
          CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS cents
@@ -1056,9 +1073,10 @@ vc AS (
 ),
 cuts AS (
   SELECT event_type,
-         quantile_cont(cents, 0.25) AS q1,
-         quantile_cont(cents, 0.75) AS q3
-  FROM ec GROUP BY event_type
+         {o_pct('l', 0.25)} AS q1,
+         {o_pct('l', 0.75)} AS q3
+  FROM (SELECT event_type, {o_sorted_list('cents')} AS l
+        FROM ec GROUP BY event_type)
 ),
 f AS (
   SELECT event_type, q1, q3,

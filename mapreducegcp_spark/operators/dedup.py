@@ -178,7 +178,10 @@ WHERE CAST(p.n_common AS DOUBLE) / (sa.sz + sb.sz - p.n_common) >= {_JACCARD_THR
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("llm-pipeline",))
 def q_dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, shingle_rows: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    shingle_rows: DataFrame | None = None,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """EXACT shingle-Jaccard near-dup pairs via inverted-index join.
 
@@ -195,6 +198,23 @@ def q_dedup_ngram_jaccard(
     only, counts unchanged. ``shingle_rows`` lets a caller that also
     needs the string shingles (dedup_lsh_eval) supply ONE shared
     materialized (doc_id, shingle) table instead of re-tokenizing.
+
+    ``df_cap`` is the hot-shingle mitigation made concrete: shingles
+    appearing in more than ``df_cap`` documents are dropped from the
+    JOIN (never from the per-doc size denominator), so the self-join's
+    worst-case fan-out per shingle falls from df^2 to df_cap^2 while
+    every surviving pair's Jaccard is computed against the TRUE union
+    size. Because dropping a shingle can only shrink n_common, the
+    capped estimate is a LOWER bound: output pairs are a SUBSET of the
+    exact ones (precision 1.0 by construction; recall is what the cap
+    trades — pairs whose overlap clears the threshold only through
+    corpus-hot shingles are the ones lost, and those are boilerplate
+    n-grams, not document identity). The 10x blowup corpus makes the
+    need measurable: its ~30-word vocabulary saturates the trigram
+    space, document frequency grows linearly with corpus size, and the
+    UNCAPPED join's intermediate explodes quadratically (tens of GB at
+    10x sf0.1) — the capped join stays linear. Default None preserves
+    exact semantics (the registered/oracle-checked path).
     """
     # Lazy checkpoint: the narrow (doc_id, shingle_id) table feeds BOTH
     # join sides and the size rollup — without it each branch re-runs
@@ -206,8 +226,21 @@ def q_dedup_ngram_jaccard(
         eager=False
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    joinable = sh
+    if df_cap is not None:
+        # The hot set is tiny by definition (only keys with df >
+        # df_cap survive the HAVING), so the anti-join broadcasts:
+        # the cap applies map-side, no extra exchange on the
+        # position volume.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

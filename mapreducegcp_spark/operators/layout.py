@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from mapreducegcp_spark.functions.exact import o_pct, o_sorted_list
 from mapreducegcp_spark.registry import register
 from mapreducegcp_spark.sources.catalog import load_table
 
@@ -304,14 +305,14 @@ def q_layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- global quantile binning
 
-_QBIN_ORACLE = """
+_QBIN_ORACLE = f"""
 WITH cents AS (
   SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
 ), cuts AS (
-  SELECT quantile_cont(c, 0.25) AS q1,
-         quantile_cont(c, 0.50) AS q2,
-         quantile_cont(c, 0.75) AS q3
-  FROM cents
+  SELECT {o_pct('l', 0.25)} AS q1,
+         {o_pct('l', 0.50)} AS q2,
+         {o_pct('l', 0.75)} AS q3
+  FROM (SELECT {o_sorted_list('c')} AS l FROM cents)
 )
 SELECT CASE WHEN c <= q1 THEN 0 WHEN c <= q2 THEN 1 WHEN c <= q3 THEN 2 ELSE 3 END AS bin,
        count(*) AS n,

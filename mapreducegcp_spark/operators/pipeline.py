@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreducegcp_spark.functions.exact import o_pct, o_sorted_list
 from mapreducegcp_spark.functions.text import TOKEN_ORACLE_EXPR, tokens
 from mapreducegcp_spark.registry import register
 from mapreducegcp_spark.sources.catalog import load_table
@@ -765,10 +766,10 @@ k AS (
   WHERE c.rn = 1 AND m.decision = 'keep'
 ),
 cuts AS (
-  SELECT quantile_cont(n_tokens, 0.25) AS q1,
-         quantile_cont(n_tokens, 0.50) AS q2,
-         quantile_cont(n_tokens, 0.75) AS q3
-  FROM k
+  SELECT {o_pct('l', 0.25)} AS q1,
+         {o_pct('l', 0.50)} AS q2,
+         {o_pct('l', 0.75)} AS q3
+  FROM (SELECT {o_sorted_list('n_tokens')} AS l FROM k)
 ),
 assigned AS (
   SELECT k.doc_id, k.n_tokens,

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreducegcp_spark.functions.exact import o_pct, o_sorted_list
 from mapreducegcp_spark.registry import register
 from mapreducegcp_spark.sources.catalog import load_table
 
@@ -518,10 +519,10 @@ WITH tagged AS (
   FROM events
 ),
 cuts AS (
-  SELECT quantile_cont(c, 0.25) AS q1,
-         quantile_cont(c, 0.50) AS q2,
-         quantile_cont(c, 0.75) AS q3
-  FROM tagged WHERE is_ref
+  SELECT {o_pct('l', 0.25)} AS q1,
+         {o_pct('l', 0.50)} AS q2,
+         {o_pct('l', 0.75)} AS q3
+  FROM (SELECT {o_sorted_list('c')} AS l FROM tagged WHERE is_ref)
 ),
 binned AS (
   SELECT CASE WHEN c <= q1 THEN 0 WHEN c <= q2 THEN 1

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreducegcp_spark.functions.exact import o_pct, o_sorted_list
 from mapreducegcp_spark.functions.text import TOKEN_ORACLE_EXPR, tokens
 from mapreducegcp_spark.registry import register
 from mapreducegcp_spark.sources.catalog import load_table
@@ -1894,10 +1895,10 @@ sig AS (
 ),
 cuts AS (
   SELECT lang,
-         quantile_cont(xq, 0.25) AS q1,
-         quantile_cont(xq, 0.50) AS q2,
-         quantile_cont(xq, 0.75) AS q3
-  FROM sig GROUP BY lang
+         {o_pct('l', 0.25)} AS q1,
+         {o_pct('l', 0.50)} AS q2,
+         {o_pct('l', 0.75)} AS q3
+  FROM (SELECT lang, {o_sorted_list('xq')} AS l FROM sig GROUP BY lang)
 )
 SELECT s.doc_id, s.lang, s.xq AS xq_nanonats,
        CASE WHEN s.xq <= c.q1 THEN 1

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreducegcp_spark.functions.exact import o_pct, o_sorted_list
 from mapreducegcp_spark.functions.text import TOKEN_ORACLE_EXPR, tokens
 from mapreducegcp_spark.operators.sampling import _o_bucket, md5_bucket
 from mapreducegcp_spark.registry import register
@@ -442,10 +443,10 @@ WITH tk AS (
 ),
 cuts AS (
   SELECT lang,
-         quantile_cont(n_tokens, 0.25) AS q1,
-         quantile_cont(n_tokens, 0.50) AS q2,
-         quantile_cont(n_tokens, 0.75) AS q3
-  FROM tk GROUP BY lang
+         {o_pct('l', 0.25)} AS q1,
+         {o_pct('l', 0.50)} AS q2,
+         {o_pct('l', 0.75)} AS q3
+  FROM (SELECT lang, {o_sorted_list('n_tokens')} AS l FROM tk GROUP BY lang)
 )
 SELECT t.doc_id, t.lang, CAST(t.n_tokens AS BIGINT) AS n_tokens,
        CASE WHEN t.n_tokens <= c.q1 THEN 1

@@ -241,3 +241,36 @@ def test_substring_spans_detect_cross_doc_boilerplate(spark, monkeypatch):
     assert rows[3].n_dup_spans == 0 and rows[3].n_spans == len(rep) - _SPAN_K + 1
     for r in rows.values():
         assert r.dup_milli == r.n_dup_spans * 1000 // r.n_spans
+
+
+def test_jaccard_df_cap_is_precision_one_lower_bound(spark, sf_dir):
+    """The hot-shingle cap must only LOSE pairs, never invent or
+    inflate them: capped output is a subset of the exact pair set, and
+    every surviving pair's jaccard is <= its exact value (the size
+    denominator stays uncapped while n_common can only shrink). An
+    unreachable cap must be the identity. The synthetic corpus's tiny
+    vocabulary makes shingles corpus-hot, so a small cap genuinely
+    drops join keys here — the subset claim is exercised, not vacuous.
+    """
+    from mapreducegcp_spark.operators.dedup import q_dedup_ngram_jaccard
+
+    exact = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in q_dedup_ngram_jaccard(spark, sf_dir, df_cap=8).collect()
+    }
+    assert set(capped) <= set(exact), "df_cap must never create pairs"
+    for pair, (n_common, jac) in capped.items():
+        en, ej = exact[pair]
+        assert n_common <= en and jac <= ej + 1e-12, (pair, (n_common, jac), (en, ej))
+
+    identity = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in q_dedup_ngram_jaccard(
+            spark, sf_dir, df_cap=10_000_000
+        ).collect()
+    }
+    assert identity == exact, "an unreachable cap must be exact"

@@ -199,7 +199,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--root", default="/tmp/blowup")
-    ap.add_argument("--factor", type=int, default=10, choices=(10, 100))
+    ap.add_argument("--factor", type=int, default=10, choices=(3, 10, 100))
     ap.add_argument("--build", action="store_true")
     ap.add_argument("--run", action="store_true")
     ap.add_argument(
@@ -211,7 +211,10 @@ def main() -> None:
     args = ap.parse_args()
 
     # sf0.1 * 10 = sf1, * 100 = sf10 — the dir name feeds bench's _sf_of
-    out_dir = Path(args.root) / ("sf1" if args.factor == 10 else "sf10")
+    # sf0.1 * 3 = sf0.3 — the mid tier exists for the exact-pair-graph
+    # family, whose cost is quadratic in the blowup factor on THIS
+    # corpus by construction (see VERIFY notes / SCALE.md)
+    out_dir = Path(args.root) / {3: "sf0.3", 10: "sf1", 100: "sf10"}[args.factor]
     spark = get_spark("blowup-probe")
     if args.build:
         build(spark, args.sf_dir, out_dir, args.factor)

@@ -73,16 +73,36 @@ def main() -> int:
     ap.add_argument("names", nargs="*", help="query names to check (default: all)")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument(
+        "--exclude",
+        action="append",
+        default=[],
+        metavar="NAME",
+        help="query name to skip (repeatable) — used by large-corpus "
+        "sweeps to defer oracles that are intractable at that volume",
+    )
+    ap.add_argument(
+        "--duckdb-mem",
+        default=None,
+        metavar="LIMIT",
+        help="DuckDB memory_limit (e.g. 24GB). Blowup-corpus oracles "
+        "with dense intermediate joins can otherwise exhaust the box; "
+        "with a limit DuckDB spills or errors instead of OOMing the "
+        "machine out from under the Spark JVM",
+    )
     args = ap.parse_args()
 
     qs = all_queries()
     names = args.names or sorted(qs)
-    unknown = [n for n in names if n not in qs]
+    unknown = [n for n in names if n not in qs] + [n for n in args.exclude if n not in qs]
     if unknown:
         sys.exit(f"check_oracles: unknown query name(s) {unknown}")
+    names = [n for n in names if n not in set(args.exclude)]
     spark = get_spark("check-oracles")
 
     con = duckdb.connect()
+    if args.duckdb_mem:
+        con.execute(f"SET memory_limit='{args.duckdb_mem}'")
     for t in TABLES:
         # a table may be a single parquet FILE (driver fixtures) or a
         # DIRECTORY of part files (tools/blowup_probe.py output) —
