@@ -157,8 +157,15 @@ def q_graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- triangle counting
 
 _TRI_ORACLE = f"""
-WITH d AS ({_EDGE_SQL}),
-ue AS (
+WITH d AS MATERIALIZED ({_EDGE_SQL}),
+ue AS MATERIALIZED (
+  -- MATERIALIZED: ue feeds five references (three wedge-join legs +
+  -- two scalar subqueries). DuckDB inlines un-annotated CTEs and its
+  -- optimizer then flattens the wedge join ACROSS the distinct/group
+  -- aggregates into one giant join tree — at the 10x blowup corpus
+  -- that plan spilled >70 GB before dying, while the materialized
+  -- 300-row edge list finishes in ~1.5 s. Spark never parses this
+  -- text (DuckDB-only oracle), so the annotation is safe.
   SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
   FROM d WHERE src <> dst
 ),

@@ -131,3 +131,45 @@ def test_mmr_rerank_diversifies_and_stops_at_pool(spark, monkeypatch):
     picks = {r.sel_order: r.vec_id for r in out if r.query_id == 0}
     assert picks == {1: 10, 2: 12, 3: 11}
     assert len(out) == 3  # early break once the pool is exhausted
+
+
+def test_tie_aware_recall_counts_score_parity_not_ids(spark, monkeypatch):
+    """The tie-aware metric must rate an ANN result perfect when every
+    retrieved item is exactly as close as the exact top-k (score
+    parity), even with ZERO id overlap beyond the forced ties — the
+    duplicate-heavy-corpus case (3x blowup: replicated identical
+    vectors) where the id-based gate collapses. Corpus: 15 identical
+    vectors; exact top-10 takes the lowest ids, the fake ANN returns
+    the highest 10 — id recall 0.5, tie-aware 1.0."""
+    import mapreducegcp_spark.operators.similarity as sim
+    from pyspark.sql import functions as F
+
+    qvecs = [(i, [float(i + 1), 1.0, 0.0, 0.0], 0) for i in range(5)]
+    dup = [0.5, 0.5, 0.5, 0.0]
+    corpus = [(10 + j, dup, 1) for j in range(15)]
+    emb = spark.createDataFrame(
+        qvecs + corpus, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(sim, "load_table", lambda s, d, n: emb)
+
+    def fake_ann(s, d):
+        return (
+            emb.filter(F.col("vec_id") >= 15)
+            .crossJoin(
+                emb.filter(F.col("vec_id") < 5).select(
+                    F.col("vec_id").alias("query_id")
+                )
+            )
+            .select("query_id", "vec_id")
+        )
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in sim.q_similarity_topk(spark, "ignored").collect()
+    }
+    ann = {(r.query_id, r.vec_id) for r in fake_ann(spark, "ignored").collect()}
+    id_recall = len(exact & ann) / len(exact)
+    assert id_recall == 0.5, id_recall  # ids 15-19 overlap, 20-24 don't
+
+    row = sim.tie_aware_recall(fake_ann)(spark, "ignored").collect()[0]
+    assert row.n_expected == 50 and row.n_hit == 50 and row.recall == 1.0
