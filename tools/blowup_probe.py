@@ -21,10 +21,17 @@ the DATA rather than per-query):
 - `documents.text` in copies > 0 is deterministically word-permuted
   (each word ranked by xxhash64(word, new doc_id)): token/word counts
   are preserved (wordcount, quality scores, tf-idf see a genuine 10x
-  corpus) while shingle sets across copies diverge, so the natural
-  near-duplicate structure replicates linearly (10x clusters of the
-  ORIGINAL size) instead of manufacturing quadratic cross-copy pairs
-  — the production shape for a corpus that grew 10x.
+  corpus) while shingle sets across copies diverge. Measured effect
+  on the shingle-level pair graph: permutation dissolves near-dup
+  adjacency WITHIN copies > 0 too (each doc is permuted
+  independently), so the exact-Jaccard pair set stays at the
+  original corpus's size (256 pairs at 1x, 3x and 10x) rather than
+  growing — no manufactured cross-copy pairs, and no replicated
+  clusters either. The quadratic pressure on pair-graph operators at
+  blowup scale comes instead from shingle-SPACE saturation (the tiny
+  synthetic vocabulary makes per-shingle document frequency grow
+  linearly with corpus size), which is exactly the hot-key join
+  explosion the df-cap mitigation addresses (see SCALE.md).
 - `embeddings` replicate with vec_id offsets and unchanged vectors:
   fine for per-query top-k and IVF (output linear in queries), so the
   brute-force-vs-IVF contrast below is apples-to-apples.
