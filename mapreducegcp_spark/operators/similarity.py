@@ -25,6 +25,7 @@ hash-match the DuckDB fold bit-for-bit.
 from __future__ import annotations
 
 import json
+import math
 import os
 from pathlib import Path
 
@@ -174,9 +175,53 @@ def q_similarity_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- LSH-bucketed ANN
+#
+# Hyperparameters are DERIVED from corpus statistics (lsh_params), not
+# constants: round 6's blowup sweep measured fixed 16x4-bit bands
+# walking recall 0.94 (sf0.01) -> 0.82 (3x blowup) as the corpus
+# densified — the classic fixed-hyperparameter decay. The derivation
+# holds two invariants as n grows:
+#
+#   rows r (bits/band): expected bucket occupancy n / 2^r stays near a
+#     constant target, so per-bucket candidate work doesn't grow
+#     linearly with the corpus (selectivity);
+#   flips f + bands b: the per-neighbor retrieval probability at the
+#     DESIGN cosine (the marginal top-k neighbor on this corpus family,
+#     cos ~0.38 -> sign-agreement p ~0.625) stays >= 0.99 — solved as
+#     the smallest multi-probe depth f (Lv et al. 2007: also probe
+#     buckets within Hamming distance f inside each band) whose band
+#     count b = ln(1-target)/ln(1-hit(p)) fits the band budget.
+#
+# Uniform-random 64-d vectors are the no-structure worst case (the
+# marginal neighbor sits at cos < 0.4, barely above random), so the
+# derivation spends multiprobe rather than raw bands — query-side
+# probe fan-out is free (queries are tiny) while corpus-side signature
+# rows stay at n*b.
 
-_HYPERPLANES = 64  # sign bits per vector
-_PROBE_BANDS = 16  # 16 bands x 4 bits: candidates share >=1 band
+_LSH_DESIGN_P = 0.625     # sign-agreement prob at the design cosine ~0.38
+_LSH_TARGET = 0.99        # per-neighbor retrieval probability to hold
+_LSH_MAX_BANDS = 64       # band budget (corpus signature rows = n * b)
+_LSH_OCCUPANCY = 128      # target expected bucket occupancy n / 2^r
+
+
+def lsh_params(n: int) -> tuple[int, int, int]:
+    """(rows_per_band, probe_flips, bands) for a corpus of ``n`` vectors.
+
+    Pure arithmetic on the corpus count — unit-tested directly
+    (test_lsh_params_*) and monotone in the ways that matter: rows
+    grow with log2(n) (occupancy invariant), retrieval probability at
+    the design cosine is >= _LSH_TARGET at every n (recall invariant).
+    """
+    r = max(4, min(12, round(math.log2(max(n, 1) / _LSH_OCCUPANCY))))
+    p = _LSH_DESIGN_P
+    for f in range(3):
+        hit = sum(
+            math.comb(r, i) * p ** (r - i) * (1 - p) ** i for i in range(f + 1)
+        )
+        b = math.ceil(math.log(1 - _LSH_TARGET) / math.log(1 - hit))
+        if b <= _LSH_MAX_BANDS:
+            return r, f, b
+    return r, 2, _LSH_MAX_BANDS
 
 
 def _hyperplane(dim: int, h: int) -> list[float]:
@@ -192,16 +237,20 @@ def _hyperplane(dim: int, h: int) -> list[float]:
     return vals
 
 
-def _band_bucket_udf(planes: list[list[float]], n_bands: int):
+def _band_key_udf(planes: list[list[float]], n_bands: int, flips: int):
     """Vectorized (Arrow) hyperplane signing: one BLAS matmul per batch.
 
-    Returns a pandas_udf ``embedding -> array<int>`` of per-band bucket
-    ids: band b packs the sign bits of its ``len(planes)//n_bands``
-    hyperplanes into a small int. A column-expression formulation (one
-    fold per plane) puts 64x64 literal trees in the plan — slow to
-    compile and interpreted per row; the matmul is the scale path for
-    vector ops that don't need oracle-exact float folds (bucketing only
-    needs sign bits, and signs are unambiguous for these magnitudes).
+    Returns a pandas_udf ``embedding -> array<long>`` of PACKED probe
+    keys ``(band << 16) | bucket``: band b packs the sign bits of its
+    ``len(planes)//n_bands`` hyperplanes into a bucket id, and for
+    ``flips > 0`` every bucket within Hamming distance ``flips`` is
+    emitted too (multi-probe — the query side's recall knob; the
+    corpus side always passes flips=0 so signature storage stays at
+    n*bands rows). A column-expression formulation (one fold per
+    plane) puts b*r literal trees in the plan — slow to compile and
+    interpreted per row; the matmul is the scale path for vector ops
+    that don't need oracle-exact float folds (bucketing only needs
+    sign bits, and signs are unambiguous for these magnitudes).
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
@@ -209,56 +258,73 @@ def _band_bucket_udf(planes: list[list[float]], n_bands: int):
     P = np.asarray(planes, dtype=np.float64)  # (H, dim)
     per_band = len(planes) // n_bands
     weights = (1 << np.arange(per_band)).astype(np.int64)
+    masks = [0]
+    if flips >= 1:
+        masks += [1 << j for j in range(per_band)]
+    if flips >= 2:
+        masks += [(1 << j) | (1 << l) for j in range(per_band) for l in range(j + 1, per_band)]
+    M = np.asarray(masks, dtype=np.int64)  # (m,)
+    band_hi = (np.arange(n_bands, dtype=np.int64) << 16)  # (b,)
 
-    @pandas_udf("array<int>")
-    def buckets(emb: pd.Series) -> pd.Series:
+    @pandas_udf("array<long>")
+    def probe_keys(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype=object)
         E = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dim)
         signs = (E @ P.T) > 0  # (n, H)
-        packed = signs.reshape(len(E), n_bands, per_band) @ weights  # (n, n_bands)
-        return pd.Series([row.astype("int32").tolist() for row in packed])
+        packed = signs.reshape(len(E), n_bands, per_band) @ weights  # (n, b)
+        keys = band_hi[None, :, None] | (packed[:, :, None] ^ M[None, None, :])
+        return pd.Series([row.tolist() for row in keys.reshape(len(E), -1)])
 
-    return buckets
+    return probe_keys
 
 
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH (raw plan).
 
-    64 sign bits -> 16 bands of 4 bits; corpus vectors join the (broadcast)
-    query signatures on any matching band, exact cosine re-ranks the
-    candidates, window takes top-k. The output is approximate (band
-    pruning), so the REGISTERED ``similarity_ann_lsh`` query wraps this
-    plan in the recall gate (``_recall_query``) whose single row IS
-    hash-checkable; tests assert recall >= 0.85 against the brute-force
-    baseline (measured 0.94 at sf0.01).
+    Scale-adaptive: (rows_per_band, probe_flips, bands) come from
+    ``lsh_params(corpus_count)`` — occupancy-pinned rows, retrieval-
+    probability-pinned multiprobe depth + band count (see the section
+    comment above; e.g. n=500 -> 4-bit x 28 bands, exact probes;
+    n=20k -> 7-bit x 22 bands probing Hamming<=1 per band). Corpus
+    vectors emit one packed ``(band << 16) | bucket`` key per band;
+    queries emit every probe key within the flip budget; candidates
+    join on the single key column, exact cosine re-ranks, window takes
+    top-k. The output is approximate (band pruning), so the REGISTERED
+    ``similarity_ann_lsh`` query wraps this plan in the recall gate
+    (``_recall_query``); tests assert recall >= 0.85 against the
+    brute-force baseline at sf0.01 AND (opt-in scale gate) at the
+    10x disk blowup corpus, where round 6's fixed 16x4 shape decayed
+    to 0.82.
 
-    Scale: corpus-side work per vector is 64 dot products + band keys —
-    map-only. The candidate join is broadcast (queries tiny); for
-    query-at-scale (n x n ANN), band keys become the shuffle key and
-    buckets are the unit of pairwise work, exactly the minhash-LSH plan.
+    Scale: corpus-side work per vector is b*r dot products + b packed
+    keys — map-only, n*b signature rows exactly like a production LSH
+    signature table. The candidate join is broadcast (queries tiny,
+    multiprobe fan-out is query-side only); for query-at-scale (n x n
+    ANN), the packed keys become the shuffle key and buckets are the
+    unit of pairwise work, exactly the minhash-LSH plan.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     dim = 64  # embeddings are 64-d (TESTDATA)
-    planes = [_hyperplane(dim, h) for h in range(_HYPERPLANES)]
-    bucket_udf = _band_bucket_udf(planes, _PROBE_BANDS)
+    r, flips, bands = lsh_params(corpus_count(spark, sf_dir))
+    planes = [_hyperplane(dim, h) for h in range(bands * r)]
 
-    def with_bands(df: DataFrame, id_alias: str, emb_alias: str) -> DataFrame:
-        bands = F.posexplode(bucket_udf(F.col("embedding"))).alias("band", "bucket")
+    def with_keys(df: DataFrame, id_alias: str, emb_alias: str, f: int) -> DataFrame:
+        key_udf = _band_key_udf(planes, bands, f)
         return df.select(
             F.col("vec_id").alias(id_alias),
             F.col("embedding").alias(emb_alias),
-            bands,
+            F.explode(key_udf(F.col("embedding"))).alias("bk"),
         )
 
-    queries = with_bands(
-        emb.filter(F.col("vec_id").isin(*_QUERY_IDS)), "query_id", "q_emb"
+    queries = with_keys(
+        emb.filter(F.col("vec_id").isin(*_QUERY_IDS)), "query_id", "q_emb", flips
     )
-    corpus = with_bands(
-        emb.filter(~F.col("vec_id").isin(*_QUERY_IDS)), "vec_id", "c_emb"
+    corpus = with_keys(
+        emb.filter(~F.col("vec_id").isin(*_QUERY_IDS)), "vec_id", "c_emb", 0
     )
     cand = (
-        corpus.join(F.broadcast(queries), ["band", "bucket"])
+        corpus.join(F.broadcast(queries), "bk")
         .select("query_id", "vec_id", "q_emb", "c_emb")
         .dropDuplicates(["query_id", "vec_id"])
     )
@@ -275,9 +341,28 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- IVF-bucketed ANN
 
-_IVF_K = 16       # coarse-quantizer centroids (inverted lists)
-_IVF_NPROBE = 6   # lists probed per query
+_IVF_K = 16       # coarse-quantizer centroids (calibration-scale nlist)
+_IVF_NPROBE = 6   # lists probed per query (calibration-scale nprobe)
 _IVF_ITERS = 3    # Lloyd iterations (deterministic init -> converged enough)
+
+
+def ivf_params(n: int) -> tuple[int, int]:
+    """(nlist, nprobe) for a corpus of ``n`` vectors.
+
+    Below 4096 vectors the calibrated 16/6 shape is kept (the floors
+    and frozen plan shapes were measured there). Past it, nlist grows
+    as sqrt(n) — the classic IVF balance point where coarse-scan cost
+    (nlist) and probed-list cost (nprobe * n / nlist) grow together —
+    and nprobe preserves the calibration probe FRACTION (6/16), so
+    recall holds while per-query candidate work stays at that fraction
+    of the corpus rather than a fixed-list blowup. Capped at 1024
+    lists: past that the coarse quantizer itself wants quantizing
+    (IVF-HNSW territory), out of scope for this corpus family."""
+    if n <= 4096:
+        return _IVF_K, _IVF_NPROBE
+    nlist = min(1024, round(math.sqrt(n)))
+    nprobe = max(_IVF_NPROBE, math.ceil(nlist * _IVF_NPROBE / _IVF_K))
+    return nlist, nprobe
 
 
 def _assign_udf(C):
@@ -405,6 +490,23 @@ def _corpus_bytes(path: str) -> int:
     return os.path.getsize(path)
 
 
+_COUNT_CACHE: dict[str, int] = {}
+
+
+def corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the ``embeddings`` corpus at ``sf_dir`` — THE corpus
+    statistic the ANN hyperparameter derivations below key on.
+
+    Cached per (directory, payload bytes) like the centroid artifacts:
+    one parquet metadata-level count per corpus per process, so the
+    adaptive plans never pay a per-invocation scan. At production scale
+    this is catalog metadata (table statistics), not a query."""
+    key = f"{os.path.normpath(sf_dir)}:{_corpus_bytes(os.path.join(sf_dir, 'embeddings.parquet'))}"
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = load_table(spark, sf_dir, "embeddings").count()
+    return _COUNT_CACHE[key]
+
+
 def ivf_centroids(
     spark: SparkSession,
     sf_dir: str,
@@ -445,7 +547,7 @@ def ivf_centroids(
     return C
 
 
-LSH_RECALL_FLOOR = 0.85  # measured 0.94 at sf0.01 (test_similarity.py)
+LSH_RECALL_FLOOR = 0.85  # measured 0.98 at sf0.01 with derived params (r7)
 IVF_RECALL_FLOOR = 0.60  # measured 0.74 at sf0.001; uniform vectors are IVF's worst case
 
 
@@ -493,11 +595,14 @@ register("similarity_ann_lsh", oracle=_RECALL_ORACLE, tags=("llm-pipeline",))(
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization (raw plan).
 
-    Load the k=16 cosine k-means quantizer (trained offline by 3
-    distributed Lloyd rounds — see ivf_centroids / train_ivf_centroids),
-    assign every corpus vector to its nearest centroid (its inverted
-    list), probe the 6 nearest lists per query, exact-cosine re-rank the
-    candidates, window top-k. The output is approximate, so the
+    Load the cosine k-means quantizer (trained offline by 3
+    distributed Lloyd rounds — see ivf_centroids / train_ivf_centroids;
+    nlist/nprobe are corpus-derived via ``ivf_params``: 16/6 at
+    calibration scale, sqrt(n) lists at the same probe fraction past
+    it), assign every corpus vector to its nearest centroid (its
+    inverted list), probe the nprobe nearest lists per query,
+    exact-cosine re-rank the candidates, window top-k. The output is
+    approximate, so the
     REGISTERED ``similarity_ann_ivf`` query wraps this plan in the
     hash-checkable recall gate (``_recall_query``); tests
     assert recall >= 0.6 against brute force (measured 0.74 at sf0.001 —
@@ -513,7 +618,8 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan. The LSH variant above trades deterministic probe counts for
     this one's data-adaptive buckets."""
     emb = load_table(spark, sf_dir, "embeddings")
-    C = ivf_centroids(spark, sf_dir)
+    nlist, nprobe = ivf_params(corpus_count(spark, sf_dir))
+    C = ivf_centroids(spark, sf_dir, k=nlist)
 
     # Assignment and probe ranking are invariant to per-row positive
     # scaling, so raw embeddings feed both UDFs (they normalize in numpy
@@ -528,7 +634,7 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            F.explode(_probe_udf(C, _IVF_NPROBE)(F.col("embedding"))).alias("cluster"),
+            F.explode(_probe_udf(C, nprobe)(F.col("embedding"))).alias("cluster"),
         )
     )
     cand = corpus.join(F.broadcast(queries), "cluster").select(
@@ -797,7 +903,21 @@ _PQ_M = 8               # subspaces: 64-d -> 8 sub-vectors of 8 dims
 _PQ_SUB = 64 // _PQ_M
 _PQ_K = 32              # centroids per subspace codebook (5-bit codes)
 _PQ_ITERS = 3
-_PQ_CAND = 16 * _TOP_K  # ADC oversample before exact re-rank
+_PQ_CAND = 16 * _TOP_K  # ADC oversample floor (calibration-scale budget)
+# ADC quantization error is a constant-width score band around each true
+# score; the number of competitors INSIDE a marginal neighbor's band
+# grows with corpus density when the score distribution doesn't spread
+# (replication/near-dup mass — the crawl-corpus norm, and exactly what
+# round 6's blowup sweep measured: fixed 160 candidates walked recall
+# 0.88 -> 0.68 by 3x). So past the floor the re-rank budget holds a
+# constant FRACTION of the corpus — the calibration budget's fraction
+# at the sf0.1 base corpus (160 / 2000).
+_PQ_CAND_FRAC = 0.08
+
+
+def pq_cand_budget(n: int) -> int:
+    """ADC re-rank budget for a corpus of ``n`` vectors (see above)."""
+    return max(_PQ_CAND, math.ceil(n * _PQ_CAND_FRAC))
 
 
 def train_pq_codebooks(
@@ -966,9 +1086,16 @@ def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the bandwidth story PQ exists for. The output is
     approximate; the REGISTERED ``similarity_ann_pq`` query wraps this
     plan in the hash-checkable recall gate below.
+
+    The re-rank budget is corpus-derived (``pq_cand_budget``): a fixed
+    oversample decays with density (measured 0.88 -> 0.68 recall by
+    the 3x blowup corpus); a constant re-rank FRACTION past the floor
+    holds it, and the re-rank stays the cheap stage (budget * queries
+    exact cosines vs n * queries ADC folds on the scan side).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     CB = pq_codebooks(spark, sf_dir)
+    cand_budget = pq_cand_budget(corpus_count(spark, sf_dir))
 
     corpus = emb.filter(~F.col("vec_id").isin(*_QUERY_IDS)).select(
         "vec_id",
@@ -997,7 +1124,7 @@ def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.crossJoin(queries)
         .select("query_id", "vec_id", "q_emb", "c_emb", adc.alias("adc"))
         .withColumn("arn", F.row_number().over(aw))
-        .filter(F.col("arn") <= _PQ_CAND)
+        .filter(F.col("arn") <= cand_budget)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -1044,6 +1171,18 @@ def tie_aware_recall(ann_fn):
     rescoring the ANN pairs with the IDENTICAL cosine construction the
     exact baseline uses (same dot/l2_norm expressions), so the ``>=``
     compares bit-equal doubles — no epsilon needed.
+
+    Metric hardening (so recall is bounded by 1.0 for ANY ann_fn, not
+    just well-behaved ones): ANN pairs are deduplicated on
+    (query_id, vec_id) — a multi-probe/banded union that forgot its
+    distinct would otherwise double-count hits; hits are capped at k
+    per query by a deterministic window — an ann_fn emitting more than
+    k rows per query can contribute at most k hits, mirroring how
+    ann-benchmarks scores a k-sized result list; and the candidate
+    universe excludes the query ids themselves — q_similarity_topk's
+    corpus never contains them, so an ann_fn returning a query as its
+    own neighbor (cos=1.0) must not score against an exact set that
+    could never hold it.
     """
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1057,7 +1196,7 @@ def tie_aware_recall(ann_fn):
                 l2_norm("embedding").alias("q_nrm"),
             )
         )
-        cs = emb.select(
+        cs = emb.filter(~F.col("vec_id").isin(*_QUERY_IDS)).select(
             "vec_id",
             F.col("embedding").alias("c_emb"),
             l2_norm("embedding").alias("c_nrm"),
@@ -1070,11 +1209,20 @@ def tie_aware_recall(ann_fn):
         ann = (
             ann_fn(spark, sf_dir)
             .select("query_id", "vec_id")
+            .dropDuplicates(["query_id", "vec_id"])
             .join(qs, "query_id")
             .join(cs, "vec_id")
             .select("query_id", "vec_id", true_cos.alias("true_cos"))
         )
-        hits = ann.join(kth, "query_id").where(F.col("true_cos") >= F.col("kth"))
+        topw = Window.partitionBy("query_id").orderBy(
+            F.col("true_cos").desc(), F.col("vec_id")
+        )
+        hits = (
+            ann.withColumn("_rn", F.row_number().over(topw))
+            .filter(F.col("_rn") <= _TOP_K)
+            .join(kth, "query_id")
+            .where(F.col("true_cos") >= F.col("kth"))
+        )
         return (
             exact.agg(F.count("*").alias("n_expected"))
             .crossJoin(hits.agg(F.count("*").alias("n_hit")))

@@ -103,3 +103,29 @@ def test_ratio_stays_linear(spark, name):
         f"{name}: {t1:.2f}s at 1x -> {tN:.2f}s at {FACTOR}x "
         f"(limit {limit:.2f}s) — super-linear scaling"
     )
+
+
+BLOWUP_ROOT = Path(os.environ.get("BLOWUP_ROOT", "/tmp/blowup"))
+_BLOWUP_TIERS = [
+    t for t in ("sf0.3", "sf1", "sf10") if (BLOWUP_ROOT / t).is_dir()
+]
+
+
+@slow_probe
+@pytest.mark.skipif(
+    not _BLOWUP_TIERS,
+    reason="disk blowup corpora absent; build with tools/blowup_probe.py --build",
+)
+@pytest.mark.parametrize("tier", _BLOWUP_TIERS)
+@pytest.mark.parametrize("name", ["similarity_ann_lsh", "similarity_ann_ivf", "similarity_ann_pq"])
+def test_ann_recall_gates_pass_at_disk_blowup(spark, name, tier):
+    """Round 7's closing of the round-6 adjudication: the REGISTERED
+    id-based recall gates (not just the tie-aware metric) must pass
+    OUTRIGHT at every disk blowup tier now that LSH bands/rows/flips,
+    IVF nlist/nprobe and the PQ re-rank budget are derived from the
+    corpus count (measured this round: 3x id-recall LSH 0.76 -> 0.94,
+    PQ 0.64 -> 0.92; 10x and 100x all 0.98-1.0)."""
+    from mapreducegcp_spark.registry import all_queries
+
+    row = all_queries()[name].fn(spark, str(BLOWUP_ROOT / tier)).collect()[0]
+    assert row.recall_ok, (name, tier, row)

@@ -19,7 +19,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from mapreducegcp_spark.operators.similarity import _ARTIFACT_DIR, ivf_centroids, pq_codebooks
+from mapreducegcp_spark.operators.similarity import (
+    _ARTIFACT_DIR,
+    corpus_count,
+    ivf_centroids,
+    ivf_params,
+    pq_codebooks,
+)
 from mapreducegcp_spark.session import get_spark
 
 DEFAULT_DIRS = [
@@ -33,7 +39,8 @@ def main() -> int:
     dirs = sys.argv[1:] or DEFAULT_DIRS
     spark = get_spark("build-ivf-index")
     for d in dirs:
-        C = ivf_centroids(spark, d)
+        nlist, _ = ivf_params(corpus_count(spark, d))
+        C = ivf_centroids(spark, d, k=nlist)
         print(f"{d}: IVF {len(C)} centroids x {len(C[0])} dims -> {_ARTIFACT_DIR}")
         CB = pq_codebooks(spark, d)
         print(f"{d}: PQ {len(CB)} codebooks x {len(CB[0])} centroids -> {_ARTIFACT_DIR}")

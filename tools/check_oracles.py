@@ -18,6 +18,7 @@ import argparse
 import datetime
 import decimal
 import math
+import re
 import sys
 import time
 from pathlib import Path
@@ -102,6 +103,13 @@ def main() -> int:
 
     con = duckdb.connect()
     if args.duckdb_mem:
+        # validate before interpolating into SQL: a malformed value
+        # ('20 gigs', quotes) should be an argparse-style error, not a
+        # confusing DuckDB parse error mid-sweep
+        if not re.fullmatch(r"\d+(\.\d+)?\s*[KMGT]i?B", args.duckdb_mem, re.I):
+            ap.error(
+                f"--duckdb-mem {args.duckdb_mem!r}: expected e.g. '20GB' or '512MiB'"
+            )
         con.execute(f"SET memory_limit='{args.duckdb_mem}'")
     for t in TABLES:
         # a table may be a single parquet FILE (driver fixtures) or a
