@@ -274,3 +274,61 @@ def test_jaccard_df_cap_is_precision_one_lower_bound(spark, sf_dir):
         ).collect()
     }
     assert identity == exact, "an unreachable cap must be exact"
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_local_uf_components_matches_union_find(spark, edges):
+    """Partition-local union-find + boundary contraction must agree
+    with a sequential union-find on arbitrary graphs (same contract
+    as the three sibling engines)."""
+    from mapreducegcp_spark.operators.dedup import local_uf_components
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "a long, b long"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in local_uf_components(pairs, "a", "b").collect()
+    }
+    assert got == _union_find_components(edges)
+
+
+def test_local_uf_components_multi_level_contraction(spark):
+    """Force the multi-partition path: with edges_per_part=4 a 40-node
+    adversarial-id path shatters across many partition-local
+    union-finds, so components MUST be stitched through at least one
+    boundary-contraction level — the cross-partition correctness the
+    single-partition fast path never exercises. Ids are deliberately
+    scrambled (bit-reversed) so labels can't shortcut along the chain."""
+    from mapreducegcp_spark.operators.dedup import local_uf_components
+
+    ids = [int(format(i, "06b")[::-1], 2) for i in range(40)]  # permutation
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(39)], "a long, b long"
+    )
+    out = local_uf_components(pairs, "a", "b", edges_per_part=4).collect()
+    assert {r["node"] for r in out} == set(ids)
+    assert {r["cluster_id"] for r in out} == {min(ids)}
+    assert len(out) == 40  # exactly one row per node after compose/dedup
+
+
+def test_local_uf_components_empty_and_self_pairs(spark):
+    """Self-pairs are ignored and an edgeless input yields an empty
+    mapping — the shared engine contract."""
+    from mapreducegcp_spark.operators.dedup import local_uf_components
+
+    pairs = spark.createDataFrame([(7, 7), (9, 9)], "a long, b long")
+    assert local_uf_components(pairs, "a", "b").collect() == []
