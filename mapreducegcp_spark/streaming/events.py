@@ -120,13 +120,22 @@ class stream_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
+# Progress of the most recent run_to_memory query, for tests and scale
+# probes that need the state-operator metrics (state rows, RocksDB
+# custom metrics) AFTER a registered stream query completes — the
+# query object itself is stopped and gone by the time the fn returns.
+LAST_PROGRESS: dict = {}
+
+
 def run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink.
 
     Replays the finite source, blocks until all data is processed
     (including the trailing no-data micro-batch that advances the
     watermark and flushes closed append-mode windows), stops the query,
-    and returns the sink as a batch DataFrame.
+    and returns the sink as a batch DataFrame. The final
+    ``lastProgress`` dict (state-operator metrics included) is kept in
+    ``LAST_PROGRESS`` for receipt tests.
     """
     name = f"mem_{uuid4().hex[:12]}"
     with stream_partitions(df.sparkSession):
@@ -139,6 +148,9 @@ def run_to_memory(df: DataFrame, mode: str) -> DataFrame:
         try:
             q.processAllAvailable()
         finally:
+            LAST_PROGRESS.clear()
+            if q.lastProgress:
+                LAST_PROGRESS.update(q.lastProgress)
             q.stop()
     return df.sparkSession.table(name)
 

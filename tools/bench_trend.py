@@ -132,6 +132,21 @@ def main() -> None:
         "old": {"file": old_p.name, "total": old.get("value")},
         "new": {"file": new_p.name, "total": new.get("value")},
     }
+    # Machine-load adjudication from the artifacts themselves: each
+    # bench records a fixed-work single-thread probe (bench._calibrate)
+    # before the headliners and at the end. If the NEW capture's probe
+    # ran k x slower than the OLD one's, the box itself was ~k x
+    # loaded, and any mover with ratio <= ~k is load, not plan.
+    cal_old = old.get("calibration_sec")
+    cal_new = new.get("calibration_sec")
+    load_ratio = None
+    if cal_old and cal_new and min(cal_old) > 0:
+        load_ratio = round(max(cal_new) / min(cal_old), 2)
+    headline["calibration"] = {
+        "old": cal_old,
+        "new": cal_new,
+        "load_ratio": load_ratio,
+    }
     movers = _movers(old["queries"], new["queries"], args.threshold)
     runs = new.get("runs", {})
 
@@ -142,6 +157,9 @@ def main() -> None:
         m["module"] = str(mod) if mod else None
         m["module_commits_since_old"] = commits
         m["spread"] = _spread_note(runs, m["query"]).strip()
+        m["load_explained"] = bool(
+            load_ratio and load_ratio > 1.2 and m["ratio"] <= load_ratio * 1.2
+        )
         (suspects if commits else interference).append(m)
 
     print(json.dumps({"headline": headline, "movers": movers}, indent=1))
@@ -150,12 +168,18 @@ def main() -> None:
         if old.get("value") and new.get("value")
         else None
     )
+    load_note = (
+        f"; NEW capture's fixed-work probe ran {load_ratio}x the OLD one's"
+        f" ({'loaded box — movers at or under that ratio are load, not plans' if load_ratio and load_ratio > 1.2 else 'idle-comparable boxes'})"
+        if load_ratio is not None
+        else "; no calibration field in one or both artifacts (pre-round-7)"
+    )
     print(
         f"\nsummary: headline {old.get('value')} -> {new.get('value')} s"
         f" ({total_ratio}x); {len(movers)} mover(s) over {args.threshold}x:"
         f" {len(suspects)} with code changes (REAL suspects),"
         f" {len(interference)} with untouched modules (interference"
-        f" signature)",
+        f" signature){load_note}",
         file=sys.stderr,
     )
     for m in suspects:
