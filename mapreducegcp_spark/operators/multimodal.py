@@ -17,13 +17,16 @@ SOF0/DHT/SOS markers, byte stuffing), and ``decode_media`` parses
 them back — bounded header reads for the uncompressed trio
 (``multimodal_decode_dims``) and FULL entropy-coded decodes for PNG
 (chunk walk + CRC verify + inflate + all-five-filter unfiltering,
-``multimodal_png_roundtrip``) and JPEG (marker walk, DHT/DQT parse,
-Huffman + RLE coefficient decode, dequantize + inverse DCT, gray /
-4:4:4 / 4:2:0 color, ``multimodal_jpeg_roundtrip``; PROGRESSIVE
-(SOF2) files decode too, via the Annex-G successive-approximation
-path). Only lossless/hierarchical/arithmetic JPEG profiles and
-sampling factors above 2 raise NotImplementedError — that residual
-seam is where a deployment wires PIL in.
+``multimodal_png_roundtrip``; 8- AND 16-bit gray/gray-alpha/
+truecolor/RGBA, palette incl. tRNS, Adam7 for every byte-aligned
+profile) and JPEG (marker walk, DHT/DQT parse, Huffman + RLE
+coefficient decode, dequantize + inverse DCT, gray / 4:4:4 / 4:2:0
+color, ``multimodal_jpeg_roundtrip``; PROGRESSIVE (SOF2) files decode
+too, via the Annex-G successive-approximation path). Only
+lossless/hierarchical/arithmetic JPEG profiles, sampling factors
+above 2, and sub-byte-palette-with-Adam7 PNG raise
+NotImplementedError — that residual seam is where a deployment wires
+PIL in.
 The testdata has no binary column, so payloads are derived
 deterministically as ``encode(text, 'UTF-8')`` — ASCII corpus, so
 DuckDB can reproduce every byte from the string.
@@ -1208,10 +1211,11 @@ def _codec_fns():
             # verification, zlib-inflate of IDAT, and per-scanline
             # UNFILTERING (all five standard filter types) — the
             # entropy-coded path that used to be the honest
-            # NotImplementedError boundary. Supports the profiles the
-            # encoder writes (8-bit gray/RGB/RGBA, non-interlaced);
-            # palette/16-bit/interlaced raise NotImplementedError, bad
-            # bytes raise ValueError.
+            # NotImplementedError boundary. Decodes 8- and 16-bit
+            # gray/gray-alpha/truecolor/RGBA (Adam7 or not) plus
+            # palette at 1/2/4/8 bits (Adam7 for depth 8); the one
+            # remaining seam is sub-byte palette + Adam7 (bit-level
+            # scatter). Bad bytes raise ValueError.
             import zlib
 
             if payload[:8] != b"\x89PNG\r\n\x1a\n":
@@ -1239,16 +1243,38 @@ def _codec_fns():
                     w, h, depth, ctype, comp, filt_m, inter = struct.unpack(
                         ">IIBBBBB", body
                     )
+                    # round 7 closed the 16-bit, gray+alpha (ctype 4)
+                    # and interlaced-palette seams: filtering operates
+                    # on BYTES with a bytes-per-pixel offset, so 16-bit
+                    # samples only change that offset (channels * 2),
+                    # and Adam7 scatter is byte-per-pixel for any
+                    # depth >= 8 — palette included. The one remaining
+                    # profile is sub-byte palette + Adam7 (bit-level
+                    # scatter), which no mainstream encoder emits.
                     ok = (comp, filt_m) == (0, 0) and (
-                        (depth == 8 and ctype in (0, 2, 6) and inter in (0, 1))
-                        or (depth in (1, 2, 4, 8) and ctype == 3 and inter == 0)
+                        (depth in (8, 16) and ctype in (0, 2, 4, 6) and inter in (0, 1))
+                        or (
+                            ctype == 3
+                            and (
+                                (depth == 8 and inter in (0, 1))
+                                or (depth in (1, 2, 4) and inter == 0)
+                            )
+                        )
                     )
                     if not ok:
                         raise NotImplementedError(
-                            "png profile beyond 8-bit gray/truecolor/RGBA/"
-                            "palette (Adam7 supported for depth-8 only)"
+                            "png profile beyond 8/16-bit gray/gray-alpha/"
+                            "truecolor/RGBA or palette (sub-byte palette "
+                            "is non-interlaced only)"
                         )
-                    ihdr = (w, h, {0: 1, 2: 3, 3: 1, 6: 4}[ctype], depth, ctype, inter)
+                    ihdr = (
+                        w,
+                        h,
+                        {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype],
+                        depth,
+                        ctype,
+                        inter,
+                    )
                 elif typ == b"PLTE":
                     if clen % 3 or clen > 768:
                         raise ValueError("bad PLTE length")
@@ -1269,10 +1295,13 @@ def _codec_fns():
                 pos += 12 + clen
             if ihdr is None or not ended:
                 raise ValueError("PNG missing IHDR or IEND")
-            w, h, bpp, depth, ctype, inter = ihdr
-            # sub-byte palette depths pack pixels MSB-first; filtering
-            # operates on the PACKED bytes with a one-BYTE left offset
-            stride = w * bpp if depth == 8 else (w * depth + 7) // 8
+            w, h, nch, depth, ctype, inter = ihdr
+            # bpp = the filter's BYTE offset to "the pixel to the
+            # left": channels * bytes-per-sample for depth >= 8; for
+            # sub-byte palette depths pixels pack MSB-first and the
+            # spec fixes the offset at one byte
+            bpp = nch * (2 if depth == 16 else 1)
+            stride = w * bpp if depth >= 8 else (w * depth + 7) // 8
             try:
                 raw = zlib.decompress(bytes(idat))
             except zlib.error as e:
@@ -1378,14 +1407,21 @@ def _codec_fns():
                     "channels": 3 if trns is None else 4,
                     "palette_size": n_entries,
                 }
-            return {
+            out = {
                 "fmt": fmt,
                 "width": w,
                 "height": h,
                 "pixels": bytes(px),
                 "n_filter_types": len(fset),
-                "channels": bpp,
+                "channels": nch,
             }
+            if depth == 16:
+                # samples stay the file's big-endian 16-bit order; the
+                # key is only present on the new-profile path so the
+                # depth-8 output shape (and every frozen hash over it)
+                # is bit-identical to round 6
+                out["bit_depth"] = 16
+            return out
         if fmt == "jpeg":
             # Full baseline decode — marker walk, in-file DQT/DHT
             # parse, Huffman + RLE coefficient decode, dequantize,

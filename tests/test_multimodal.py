@@ -300,13 +300,15 @@ def test_png_corrupt_inputs_raise_valueerror():
 
 
 def test_png_unsupported_profile_raises_notimplemented():
-    """A 16-bit or interlaced-palette png must hit the explicit
-    profile boundary, not mis-decode: rebuild the IHDR with depth 16
-    (gray) and with Adam7 + ctype 3 (interlaced palette)."""
+    """Round 7 closed the 16-bit and interlaced-palette seams; the one
+    remaining profile boundary is SUB-BYTE palette + Adam7 (bit-level
+    scatter, which no mainstream encoder emits) plus nonsense combos
+    like 16-bit palette. Those must still hit the explicit boundary,
+    not mis-decode."""
     import struct
     import zlib
 
-    for depth, ctype, inter in ((16, 0, 0), (8, 3, 1)):
+    for depth, ctype, inter in ((4, 3, 1), (1, 3, 1), (16, 3, 0)):
         ihdr = struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, inter)
         chunk = (
             struct.pack(">I", len(ihdr))
@@ -316,6 +318,157 @@ def test_png_unsupported_profile_raises_notimplemented():
         )
         with pytest.raises(NotImplementedError):
             decode_media(b"\x89PNG\r\n\x1a\n" + chunk, "png")
+
+
+def _png_chunk(t, b):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(b)) + t + b
+        + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+    )
+
+
+def test_png_16bit_gray_imageio_interop(spark):
+    """16-bit grayscale (depth 16, ctype 0) — round 7 seam closure,
+    verified against a zero-shared-code independent ENCODER: the JVM's
+    javax.imageio writes a TYPE_USHORT_GRAY PNG and our decode must
+    reproduce every 16-bit sample exactly (big-endian byte order per
+    spec)."""
+    import numpy as np
+
+    jvm = spark._jvm
+    w, h = 19, 11
+    vals = [((x * 4099 + y * 65551) % 65536) for y in range(h) for x in range(w)]
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_USHORT_GRAY
+    )
+    raster = img.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, vals[y * w + x])
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+    d = decode_media(bytes(baos.toByteArray()), "png")
+    assert (d["width"], d["height"], d["channels"], d["bit_depth"]) == (w, h, 1, 16)
+    got = np.frombuffer(d["pixels"], ">u2").reshape(h, w)
+    assert got.flatten().tolist() == vals
+
+
+def test_png_16bit_rgb_adam7_imageio_interop(spark):
+    """16-bit truecolor + Adam7 in one profile: crafted with the
+    spec-direct reference interlacer at 6 bytes/pixel (the filter
+    offset the 16-bit path must get right), decoded by us AND by
+    javax.imageio as the independent decoder — 16-bit samples equal
+    on every band."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(16)
+    w, h = 13, 9
+    arr16 = rng.randint(0, 65536, (h, w, 3), dtype=np.uint16)
+    arr_bytes = arr16.astype(">u2").view(np.uint8).reshape(h, w, 6)
+    raw = _adam7_reference_encode(arr_bytes, 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 1)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    )
+    d = decode_media(png, "png")
+    assert (d["channels"], d["bit_depth"]) == (3, 16)
+    got = np.frombuffer(d["pixels"], ">u2").reshape(h, w, 3)
+    assert np.array_equal(got, arr16)
+
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(png))
+    )
+    assert img is not None, "ImageIO rejected the 16-bit Adam7 stream"
+    raster = img.getRaster()
+    for y in range(h):
+        for x in range(w):
+            for b in range(3):
+                assert raster.getSample(x, y, b) == int(arr16[y, x, b]), (x, y, b)
+
+
+def test_png_gray_alpha_decode(spark):
+    """Gray+alpha (ctype 4) — the color type the round-6 decoder
+    rejected entirely. Crafted non-interlaced with mixed filters via
+    the reference interlacer's filter rotation (interlace 1 also
+    covered), cross-checked against javax.imageio."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(44)
+    w, h = 12, 10
+    arr = rng.randint(0, 256, (h, w, 2), dtype=np.uint8)
+    raw = _adam7_reference_encode(arr, 2)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 1)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    )
+    d = decode_media(png, "png")
+    assert d["channels"] == 2 and "bit_depth" not in d
+    got = np.frombuffer(d["pixels"], np.uint8).reshape(h, w, 2)
+    assert np.array_equal(got, arr)
+
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(png))
+    )
+    assert img is not None
+    raster = img.getRaster()
+    for y in range(h):
+        for x in range(w):
+            assert raster.getSample(x, y, 0) == int(arr[y, x, 0]), (x, y)
+            assert raster.getSample(x, y, 1) == int(arr[y, x, 1]), (x, y)
+
+
+def test_png_interlaced_palette_imageio_interop(spark):
+    """Adam7 + indexed color (depth-8 palette) — the round-6
+    interlaced-palette seam, closed: indices scatter as bytes exactly
+    like gray, THEN map through PLTE. Crafted with the reference
+    interlacer, verified against javax.imageio's decode of the same
+    bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(77)
+    w, h = 17, 13
+    plte = bytes(rng.randint(0, 256, 256 * 3, dtype=np.uint8))
+    idx = rng.randint(0, 256, (h, w, 1), dtype=np.uint8)
+    raw = _adam7_reference_encode(idx, 1)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 1)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    )
+    d = decode_media(png, "png")
+    assert (d["channels"], d["palette_size"]) == (3, 256)
+    got = np.frombuffer(d["pixels"], np.uint8).reshape(h, w, 3)
+    want = np.frombuffer(plte, np.uint8).reshape(256, 3)[idx[:, :, 0]]
+    assert np.array_equal(got, want)
+
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(png))
+    )
+    assert img is not None, "ImageIO rejected the interlaced-palette stream"
+    for y in range(h):
+        for x in range(w):
+            px = img.getRGB(x, y)
+            assert tuple(int(v) for v in got[y, x]) == (
+                (px >> 16) & 255, (px >> 8) & 255, px & 255
+            ), (x, y)
 
 
 def test_png_rgba_roundtrip_exact():
