@@ -25,6 +25,7 @@ hash-match the DuckDB fold bit-for-bit.
 from __future__ import annotations
 
 import json
+import logging
 import math
 import os
 from pathlib import Path
@@ -541,8 +542,13 @@ def ivf_centroids(
         try:
             _ARTIFACT_DIR.mkdir(parents=True, exist_ok=True)
             path.write_text(json.dumps(C))
-        except OSError:
-            pass  # read-only checkout: fall back to the in-memory cache
+        except OSError as e:
+            # read-only checkout: the in-memory cache still serves this
+            # process, but log it — a silent miss here means every NEW
+            # process retrains (ADVICE r6)
+            logging.getLogger(__name__).warning(
+                "ivf centroid artifact not persisted (%s); next process retrains", e
+            )
     _CENTROID_CACHE[key] = C
     return C
 
@@ -1009,8 +1015,10 @@ def pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
         try:
             _ARTIFACT_DIR.mkdir(parents=True, exist_ok=True)
             path.write_text(json.dumps(CB))
-        except OSError:
-            pass
+        except OSError as e:
+            logging.getLogger(__name__).warning(
+                "pq codebook artifact not persisted (%s); next process retrains", e
+            )
     _CENTROID_CACHE[key] = CB
     return CB
 
