@@ -116,6 +116,57 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_TAU = 0.25  # cosine radius: ~55 in-range rows at sf0.01
+
+_RANGE_ORACLE = f"""
+SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       {_o_cosine('q.embedding', 'c.embedding')} AS cos_sim
+FROM embeddings q JOIN embeddings c ON c.vec_id NOT IN ({_IDS_SQL})
+WHERE q.vec_id IN ({_IDS_SQL})
+  AND {_o_cosine('q.embedding', 'c.embedding')} >= {_RANGE_TAU}
+"""
+
+
+@register("similarity_range_search", oracle=_RANGE_ORACLE, tags=("llm-pipeline",))
+def q_similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search: EVERY corpus vector within a cosine radius of each
+    query — the other standard vector-search API next to top-k (FAISS
+    ``range_search``), and the semantics dedup/decontamination actually
+    want ("all near-duplicates of this document", not "the 10
+    nearest"). Result size is data-dependent, so there is no window —
+    the output is exactly the predicate's true row set, which is why
+    this query carries a full value oracle rather than a recall gate.
+
+    Scale shape: queries broadcast, corpus streams — one map-only pass
+    with the radius predicate fused into the scan projection; nothing
+    shuffles (no top-k window needed). At a 1e9-vector corpus this is
+    the cheapest similarity primitive there is; the LSH banding above
+    accelerates it the same way it does top-k (bands bound the
+    candidate stream, radius filters exactly), and
+    dedup_embedding_cosine IS that accelerated all-pairs form."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            l2_norm("embedding").alias("q_nrm"),
+        )
+    )
+    corpus = emb.filter(~F.col("vec_id").isin(*_QUERY_IDS)).select(
+        "vec_id", "embedding", l2_norm("embedding").alias("c_nrm")
+    )
+    d = dot(F.col("q_emb"), F.col("embedding"))
+    cos = F.when(
+        (F.col("q_nrm") > 0) & (F.col("c_nrm") > 0),
+        d / (F.col("q_nrm") * F.col("c_nrm")),
+    ).otherwise(F.lit(0.0))
+    return (
+        corpus.crossJoin(queries)
+        .select("query_id", "vec_id", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= F.lit(_RANGE_TAU))
+    )
+
+
 _NN_ORACLE = f"""
 SELECT vec_a, vec_b, cos_sim
 FROM (

@@ -498,3 +498,27 @@ def test_token_budget_allocation_conserves_and_splits(spark, monkeypatch):
         assert r.fresh_tokens <= r.n_tokens
     # temperature: the small source is over-sampled relative to share
     assert rows["books"].repeated_tokens > 0
+
+
+def test_bpe_merges_train_once_per_corpus(spark, monkeypatch):
+    """The trained merge table is a per-corpus artifact (like the IVF
+    centroids): encode/fertility/tokenizer-dataset share ONE training
+    run per corpus per process — re-training per query was ~2.7s of
+    every BPE-family invocation at sf0.1. Freshness keys on the
+    documents table's payload bytes, so a regenerated corpus retrains."""
+    import mapreducegcp_spark.operators.textstats as ts
+
+    calls = {"n": 0}
+    real = ts.q_bpe_train_merges
+
+    def counting(spark_, sf_dir_):
+        calls["n"] += 1
+        return real(spark_, sf_dir_)
+
+    monkeypatch.setattr(ts, "q_bpe_train_merges", counting)
+    monkeypatch.setattr(ts, "_MERGES_CACHE", {})
+    d = "/root/testdata/sf0.001"
+    a = ts._encoded_vocab(spark, d).count()
+    b = ts._encoded_vocab(spark, d).count()
+    assert a == b > 0
+    assert calls["n"] == 1, "second consumer must reuse the trained merges"
