@@ -100,6 +100,59 @@ def _calibrate() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _calibrate_mt(n_threads: int = 8) -> float:
+    """Multi-core companion to _calibrate: the same sha256 work run on
+    ``n_threads`` concurrently (hashlib releases the GIL on large
+    buffers, so the threads really run in parallel). The single-thread
+    probe misses contention on OTHER cores — a box running a second
+    32-way Spark job leaves one spare core for the probe but starves
+    the 32-thread query stages; this one inflates whenever total CPU
+    is oversubscribed. Idle 32-core box: ~= the single-thread number
+    (all 8 threads get their own core)."""
+    import hashlib
+    import threading
+
+    buf = b"\x5a" * (1 << 20)
+
+    def work():
+        h = hashlib.sha256()
+        for _ in range(256):
+            h.update(buf)
+        assert h.digest()
+
+    threads = [threading.Thread(target=work) for _ in range(n_threads)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _cpu_snap() -> list[int] | None:
+    """Aggregate jiffy counters from /proc/stat (user nice system idle
+    iowait irq softirq steal ...). Diffed across the whole bench run
+    they answer the question the fixed-work probes can't: was the
+    INTERVAL itself disturbed — hypervisor steal (a noisy cloud
+    neighbor), iowait (a contended disk) — versus the probes' clean
+    before/after moments. A 14s and a 17s capture of identical code on
+    this VM differed exactly this way (probes idle-flat both times)."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:9]]
+    except (OSError, ValueError):
+        return None
+
+
+def _cpu_profile(a: list[int] | None, b: list[int] | None) -> dict | None:
+    if not a or not b:
+        return None
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d) or 1
+    names = ("user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal")
+    return {n: round(v / tot * 100, 1) for n, v in zip(names, d)}
+
+
 def main() -> None:
     sf_dir = sf_dir_from_env()
     spark = get_spark("mapreducegcp-bench")
@@ -121,6 +174,8 @@ def main() -> None:
     # up to 6x on short queries with a single pass). `value` sums ONLY
     # these 18 — the cross-round trend anchor.
     cal_before = _calibrate()
+    cal_mt_before = _calibrate_mt()
+    cpu0 = _cpu_snap()
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -181,6 +236,8 @@ def main() -> None:
             "reruns": reruns,
             "gate_wrappers": gates,
             "calibration_sec": [cal_before, _calibrate()],
+            "calibration_mt_sec": [cal_mt_before, _calibrate_mt()],
+            "cpu_profile": _cpu_profile(cpu0, _cpu_snap()),
             "sf": _sf_of(sf_dir),
         }
         print(json.dumps(breadth_doc), file=sys.stderr)
@@ -208,6 +265,10 @@ def main() -> None:
                 # print time: a loaded box inflates these, making the
                 # capture self-adjudicating (see _calibrate)
                 "calibration_sec": [cal_before, _calibrate()],
+                "calibration_mt_sec": [cal_mt_before, _calibrate_mt()],
+                # whole-interval CPU accounting: steal/iowait expose
+                # disturbances the before/after probes cannot
+                "cpu_profile": _cpu_profile(cpu0, _cpu_snap()),
                 "sf": _sf_of(sf_dir),
             }
         )

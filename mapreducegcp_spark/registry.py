@@ -170,22 +170,20 @@ def _last_checked_round() -> dict[str, int]:
 # lands rows for them (the rotation then treats them normally).
 _RECHECK_FIRST: frozenset[str] = frozenset(
     {
-        # round 6: classifier midpoint moved to DECIMAL(38,0)/HUGEINT
-        "quality_classifier_scores",
-        "quality_classifier_eval",
-        "quality_classifier_funnel",
-        # round 6: BPE batch raised to 8x16 with merged-string
-        # exclusion — new merge sequence, new downstream encodings
-        "bpe_train_merges",
+        # round 7: ANN hyperparameters now derived from corpus count
+        # (lsh_params / ivf_params / pq_cand_budget) — new physical
+        # plans behind the recall gates; gate rows from r1-r6 are
+        # stale evidence for the new shapes
+        "similarity_ann_lsh",
+        "similarity_ann_ivf",
+        "similarity_ann_pq",
+        # round 7: served by the new local_uf_components engine
+        "dedup_embedding_clusters",
+        # round 7: BPE merges cached per corpus — same training
+        # output, but the shared prefix changed; recheck the family
         "bpe_encode_corpus",
         "bpe_fertility_stats",
         "pipeline_tokenizer_dataset",
-        # round 6: power iteration reworked to one-pass Gram matrix —
-        # new (equally-converged) loadings, new oracle replay
-        "embedding_top_eigenvector",
-        # round 6: span dedup rewritten to single-exchange pair rollup
-        # (same output values, different plan — recheck anyway)
-        "dedup_substring_spans",
     }
 )
 
