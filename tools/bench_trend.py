@@ -82,6 +82,21 @@ def _commits_touching(path: Path | None, since: str | None, until: str | None) -
     return [ln for ln in out.splitlines() if ln]
 
 
+def load_ratio_of(old: dict, new: dict) -> float | None:
+    """Worst-case machine-load ratio between two bench artifacts, from
+    their fixed-work probes: max over the single-thread and 8-thread
+    calibration fields of (new's slowest sample / old's fastest).
+    None when neither field is present in both (pre-round-7
+    artifacts). > ~1.2 means the NEW capture ran on a busier box and
+    movers at or under the ratio are load, not plan changes."""
+    ratios = []
+    for field in ("calibration_sec", "calibration_mt_sec"):
+        c_old, c_new = old.get(field), new.get(field)
+        if c_old and c_new and min(c_old) > 0:
+            ratios.append(max(c_new) / min(c_old))
+    return round(max(ratios), 2) if ratios else None
+
+
 def _movers(old_q: dict, new_q: dict, threshold: float) -> list[dict]:
     out = []
     for name in sorted(set(old_q) & set(new_q)):
@@ -137,17 +152,7 @@ def main() -> None:
     # before the headliners and at the end. If the NEW capture's probe
     # ran k x slower than the OLD one's, the box itself was ~k x
     # loaded, and any mover with ratio <= ~k is load, not plan.
-    load_ratio = None
-    ratios = []
-    for field in ("calibration_sec", "calibration_mt_sec"):
-        c_old, c_new = old.get(field), new.get(field)
-        if c_old and c_new and min(c_old) > 0:
-            ratios.append(max(c_new) / min(c_old))
-    if ratios:
-        # worst of the single-thread and 8-thread probes: oversubscribed
-        # total CPU shows in the MT probe even when one spare core keeps
-        # the single-thread one honest-looking
-        load_ratio = round(max(ratios), 2)
+    load_ratio = load_ratio_of(old, new)
     headline["calibration"] = {
         "old": [old.get("calibration_sec"), old.get("calibration_mt_sec")],
         "new": [new.get("calibration_sec"), new.get("calibration_mt_sec")],
