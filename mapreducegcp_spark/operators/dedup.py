@@ -1247,9 +1247,12 @@ def local_uf_components(
                 f"({prev_edges} -> {n_edges} edges at level {_level})"
             )
         prev_edges = n_edges
-        n_part = int(
-            max(1, min(spark.sparkContext.defaultParallelism, n_edges // edges_per_part))
-        )
+        # NO parallelism cap here: the slice size IS the task-memory
+        # bound (a capped n_part would let slices grow as E/cores with
+        # the graph, silently breaking the O(edges_per_part) union-find
+        # state claim at billions of edges — Spark queues surplus
+        # partitions over the cores just fine)
+        n_part = int(max(1, n_edges // edges_per_part))
         mapping = _uf_mapping(E, n_part).localCheckpoint()
         mappings.append(mapping)
         if n_part == 1:
@@ -1263,9 +1266,18 @@ def local_uf_components(
             .distinct()
         )
     else:
+        # Loud documented boundary: locality-based contraction is slow
+        # on graphs whose edges have NO id locality under hash
+        # partitioning (a multi-million-edge pure path shatters into
+        # ~1-edge pieces and the boundary barely shrinks per level).
+        # Real dup graphs are clique-/star-heavy and contract fast;
+        # for adversarial chain shapes use two_phase_components, whose
+        # large-star/small-star rounds contract by structure, not
+        # locality.
         raise RuntimeError(
-            "local_uf_components did not converge in 8 levels; "
-            "edges_per_part is too small for this graph"
+            "local_uf_components did not converge in 8 levels — the "
+            "boundary graph is contracting too slowly (id-locality-free "
+            "chain shapes); use two_phase_components for this graph"
         )
 
     res = mappings[-1]
