@@ -522,3 +522,75 @@ def test_stateful_streams_replay_100x_blowup_on_rocksdb(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Crash-recovery receipt: a streaming query stopped mid-replay and
+    RESTARTED from its checkpoint must produce exactly the batch
+    result — no lost files, no reprocessed duplicates. This is the
+    streaming analog of the task-retry receipt (tests/test_retry.py):
+    the file source's offset log + the parquet sink's commit protocol
+    are what make a production pipeline restartable after an executor
+    or driver loss.
+
+    Phase 1 processes exactly one of four source files
+    (maxFilesPerTrigger=1, stopped after the first progress); phase 2
+    reattaches to the SAME checkpoint with availableNow and drains the
+    rest. The sink is then compared to the batch read row-for-row —
+    a duplicated boundary file or a skipped offset breaks equality."""
+    import time
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = spark.read.parquet(src).schema
+
+    def reader():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    q = (
+        reader()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="20 seconds")  # first trigger fires at once
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while q.lastProgress is None and time.time() < deadline:
+            time.sleep(0.2)
+        assert q.lastProgress is not None, "first micro-batch never committed"
+    finally:
+        q.stop()
+    n_phase1 = spark.read.parquet(sink).count()
+    total = ev.count()
+    assert 0 < n_phase1 < total, (
+        f"phase 1 should stop mid-replay (got {n_phase1} of {total})"
+    )
+
+    q2 = (
+        reader()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    got = sorted(
+        (r.event_id, r.user_id, r.value) for r in spark.read.parquet(sink).collect()
+    )
+    want = sorted((r.event_id, r.user_id, r.value) for r in ev.collect())
+    assert got == want, (
+        f"recovery diverged: {len(got)} sink rows vs {len(want)} source rows"
+    )
