@@ -233,3 +233,20 @@ def test_binaryfile_source_roundtrip_and_metadata_pruning(spark):
     )
     plan = meta_only._jdf.queryExecution().executedPlan().toString()
     assert "content" not in plan
+
+
+def test_avro_source_boundary_is_environmental(spark, tmp_path):
+    """Avro is Spark's one built-in-but-EXTERNAL format: the
+    spark-avro module jar is not in this container's pyspark
+    distribution (only the avro core libs ship), and nothing can be
+    installed here. Pin the boundary explicitly — the engine-side gap
+    is packaging, not code: with the module jar on the classpath the
+    same reader/writer calls work unchanged (same DataSource V2 path
+    ORC/CSV/JSON take). Mirrors the transformWithState protobuf
+    boundary probe in test_streaming.py."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    df = spark.range(3).selectExpr("id", "cast(id as string) AS s")
+    with pytest.raises(AnalysisException, match="[Aa]vro"):
+        df.write.format("avro").mode("overwrite").save(str(tmp_path / "a"))
