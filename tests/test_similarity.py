@@ -255,3 +255,39 @@ def test_ivf_and_pq_params_scale_with_corpus():
     assert sim.pq_cand_budget(500) == 160
     assert sim.pq_cand_budget(2000) == 160
     assert sim.pq_cand_budget(20_000) == 1600  # 8% of the corpus
+
+
+def test_lsh_design_p_measures_corpus_geometry(spark, monkeypatch):
+    """The design cosine is MEASURED, not assumed: on a synthetic
+    corpus where every sampled vector has >= k exact copies, the
+    median k-th-neighbor cosine is 1.0 and p clamps high (few bands,
+    no flips); on a corpus of mutually-orthogonal vectors the k-th
+    cosine is ~0 and p falls to ~0.5 (clamped 0.55 -> max probes)."""
+    import mapreducegcp_spark.operators.similarity as sim
+    from pyspark.sql import functions as F
+
+    # 20 distinct vectors x 12 exact copies each (ids past the query set)
+    rows = []
+    vid = 10
+    for g in range(20):
+        base = [0.0] * 64
+        base[g] = 1.0
+        base[g + 20] = 0.5
+        for _ in range(12):
+            rows.append((vid, base, 0))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(sim, "load_table", lambda s, d, n: emb)
+    p_dup = sim.lsh_design_p(spark, "synthetic-dup-corpus")
+    assert p_dup > 0.95, p_dup
+    r, f, b = sim.lsh_params(240, p_dup)
+    assert f == 0 and b <= 10, (r, f, b)  # duplicate mass -> cheap index
+
+    # orthogonal corpus: kth cosine 0 -> p ~ 0.5 -> clamp floor, deep probes
+    rows2 = [(10 + i, [1.0 if j == i else 0.0 for j in range(64)], 0) for i in range(50)]
+    emb2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(sim, "load_table", lambda s, d, n: emb2)
+    p_orth = sim.lsh_design_p(spark, "synthetic-orth-corpus")
+    assert p_orth < 0.55, p_orth
+    r2, f2, b2 = sim.lsh_params(50, p_orth)
+    assert (f2, b2) == (0, sim.lsh_params(50, 0.55)[2])  # clamp floor applied
