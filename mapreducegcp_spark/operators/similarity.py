@@ -286,52 +286,56 @@ def lsh_params(n: int, p: float = _LSH_DESIGN_P) -> tuple[int, int, int]:
     return r, 2, _LSH_MAX_BANDS
 
 
-_DESIGN_P_CACHE: dict[str, float] = {}
 _LSH_CAL_SAMPLES = 64  # calibration sample size (deterministic hash pick)
 
 
-def lsh_design_p(spark: SparkSession, sf_dir: str) -> float:
-    """Sample-measured sign-agreement probability of the corpus's
-    marginal (k-th) neighbor — the GEOMETRY statistic lsh_params pairs
-    with the corpus count.
+_CALIBRATION_CACHE: dict[str, dict] = {}
 
-    A fixed design cosine is the same trap as fixed bands one level
-    up: a corpus whose k-th neighbors sit closer (duplicate/near-dup
-    mass) or farther (diffuse embeddings) than the assumed ~0.38 would
-    decay recall or overspend probes. So measure it: pick
-    ~64 corpus vectors by deterministic id hash, compute each one's
-    exact k-th-neighbor cosine against the FULL corpus (one broadcast
-    matmul pass — 64 x n dot products, trivial next to any ANN scan),
-    take the median, convert via p = 1 - arccos(cos)/pi. Cached per
-    (corpus path, payload bytes) like the quantizer artifacts; at
-    production scale this is an ingest-time statistic next to the
-    centroids."""
+
+def ann_calibration(spark: SparkSession, sf_dir: str) -> dict:
+    """Ingest-time ANN ground-truth sample: ~64 corpus vectors picked
+    by deterministic id hash, each with its exact top-k neighbors
+    (ids + true cosines) against the FULL corpus.
+
+    ONE broadcast matmul pass (64 x n dot products, trivial next to
+    any ANN scan) feeds every per-corpus ANN hyperparameter this
+    module derives — the LSH design cosine (lsh_design_p), the PQ
+    re-rank budget (pq_cand_calibrated) and the IVF probe depth
+    (ivf_nprobe_calibrated) — the same held-out-sample tuning loop
+    FAISS's autotune runs, cached per (corpus path, payload bytes)
+    like the quantizer artifacts. Returns {} for corpora too small to
+    sample; consumers fall back to their size-only derivations.
+
+    Shape: {"sample_ids": [..], "sample_vecs": [[..]..],
+    "topk": {sample_id: [(vec_id, cos), .. <=k]}}."""
     import numpy as np
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     key = (
-        f"designp_{os.path.normpath(sf_dir)}:{_corpus_bytes(path)}"
+        f"anncal_{os.path.normpath(sf_dir)}:{_corpus_bytes(path)}"
         if os.path.exists(path)
         else None  # synthetic corpus (tests): compute, never cache
     )
-    if key is not None and key in _DESIGN_P_CACHE:
-        return _DESIGN_P_CACHE[key]
+    if key is not None and key in _CALIBRATION_CACHE:
+        return _CALIBRATION_CACHE[key]
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(~F.col("vec_id").isin(*_QUERY_IDS))
     n = corpus_count(spark, sf_dir)
-    # deterministic ~fixed-size sample: id-hash threshold
+    # deterministic fixed-size sample: id-hash threshold, id-ordered
+    # (a bare limit() would take partition-order-dependent rows)
     mod = max(1, n // _LSH_CAL_SAMPLES)
     sample = [
         (int(r["vec_id"]), list(r["embedding"]))
         for r in corpus.where(F.xxhash64("vec_id") % mod == 0)
         .select("vec_id", "embedding")
+        .orderBy("vec_id")
         .limit(_LSH_CAL_SAMPLES)
         .collect()
     ]
     if not sample:
         if key is not None:
-            _DESIGN_P_CACHE[key] = _LSH_DESIGN_P
-        return _LSH_DESIGN_P
+            _CALIBRATION_CACHE[key] = {}
+        return {}
     S = np.asarray([v for _, v in sample], dtype=np.float64)
     Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
     sids = np.asarray([i for i, _ in sample], dtype=np.int64)
@@ -344,37 +348,61 @@ def lsh_design_p(spark: SparkSession, sf_dir: str) -> float:
             En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
             cos = En @ Sn.T  # (batch, samples)
             ids = pdf["vec_id"].to_numpy()
-            # per sample: the top (k+1) cosines seen in this batch
-            # (k+1 because the sample member itself scores 1.0)
-            k1 = min(_TOP_K + 1, len(En))
-            out = {"sample_id": [], "cos": []}
+            k1 = min(_TOP_K, len(En))
+            out = {"sample_id": [], "vec_id": [], "cos": []}
             for s in range(cos.shape[1]):
-                col = cos[:, s]
-                mask = ids != sids[s]
-                vals = np.sort(col[mask])[-k1:]
-                out["sample_id"] += [int(sids[s])] * len(vals)
-                out["cos"] += vals.tolist()
+                col = np.where(ids != sids[s], cos[:, s], -2.0)  # drop self
+                top = np.argsort(col)[-k1:]
+                out["sample_id"] += [int(sids[s])] * len(top)
+                out["vec_id"] += ids[top].tolist()
+                out["cos"] += col[top].tolist()
             yield pd.DataFrame(out)
 
     partial = corpus.select("vec_id", "embedding").mapInPandas(
-        gen, "sample_id long, cos double"
+        gen, "sample_id long, vec_id long, cos double"
     )
-    w = Window.partitionBy("sample_id").orderBy(F.col("cos").desc())
-    kth = (
+    w = Window.partitionBy("sample_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    rows = (
         partial.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == _TOP_K)
-        .select("cos")
+        .filter(F.col("rn") <= _TOP_K)
         .collect()
     )
-    if not kth:
-        if key is not None:
-            _DESIGN_P_CACHE[key] = _LSH_DESIGN_P
-        return _LSH_DESIGN_P
-    med = float(np.median([r["cos"] for r in kth]))
-    p = 1.0 - math.acos(max(-1.0, min(1.0, med))) / math.pi
+    topk: dict[int, list[tuple[int, float]]] = {}
+    for r in sorted(rows, key=lambda r: (r["sample_id"], -r["cos"], r["vec_id"])):
+        topk.setdefault(int(r["sample_id"]), []).append(
+            (int(r["vec_id"]), float(r["cos"]))
+        )
+    cal = {
+        "sample_ids": [i for i, _ in sample],
+        "sample_vecs": [v for _, v in sample],
+        "topk": topk,
+    }
     if key is not None:
-        _DESIGN_P_CACHE[key] = p
-    return p
+        _CALIBRATION_CACHE[key] = cal
+    return cal
+
+
+def lsh_design_p(spark: SparkSession, sf_dir: str) -> float:
+    """Sample-measured sign-agreement probability of the corpus's
+    marginal (k-th) neighbor — the GEOMETRY statistic lsh_params pairs
+    with the corpus count.
+
+    A fixed design cosine is the same trap as fixed bands one level
+    up: a corpus whose k-th neighbors sit closer (duplicate/near-dup
+    mass) or farther (diffuse embeddings) than the assumed ~0.38 would
+    decay recall or overspend probes. Median k-th-neighbor cosine from
+    the shared calibration sample (ann_calibration), converted via
+    p = 1 - arccos(cos)/pi."""
+    import numpy as np
+
+    cal = ann_calibration(spark, sf_dir)
+    kth = [vs[-1][1] for vs in cal.get("topk", {}).values() if vs]
+    if not kth:
+        return _LSH_DESIGN_P
+    med = float(np.median(kth))
+    return 1.0 - math.acos(max(-1.0, min(1.0, med))) / math.pi
 
 
 def _hyperplane(dim: int, h: int) -> list[float]:
@@ -757,6 +785,73 @@ register("similarity_ann_lsh", oracle=_RECALL_ORACLE, tags=("llm-pipeline",))(
 )
 
 
+_NPROBE_CACHE: dict[str, int] = {}
+
+
+def ivf_nprobe_calibrated(spark: SparkSession, sf_dir: str, C) -> int:
+    """Probe depth measured on the calibration sample: for each
+    sampled vector, how deep into ITS ranked centroid list do the
+    centroids of its true top-k neighbors sit? nprobe = the p95 of
+    those depths (+1 safety), floored at the calibrated 6 and capped
+    at nlist. This is the query-time recall knob tuned the way
+    production tunes it — against held-out ground truth — while nlist
+    stays a size-derived index-BUILD choice (ivf_params).
+
+    All arithmetic is driver-side numpy over the bounded sample
+    (64 queries x k neighbors x nlist centroids); the only Spark work
+    is one bounded collect of the neighbors' embeddings."""
+    import numpy as np
+
+    nlist = len(C)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    key = (
+        f"nprobe_{os.path.normpath(sf_dir)}:{_corpus_bytes(path)}:k{nlist}"
+        if os.path.exists(path)
+        else None
+    )
+    if key is not None and key in _NPROBE_CACHE:
+        return _NPROBE_CACHE[key]
+    cal = ann_calibration(spark, sf_dir)
+    topk = cal.get("topk", {})
+    if not topk:
+        return min(nlist, _IVF_NPROBE)
+    emb = load_table(spark, sf_dir, "embeddings")
+    need_ids = sorted({vid for vs in topk.values() for vid, _ in vs})
+    nbr_vecs = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin(need_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    Cn = np.asarray(C, dtype=np.float64)
+
+    def assign(v):
+        x = np.asarray(v, dtype=np.float64)
+        x /= max(np.linalg.norm(x), 1e-12)
+        return int((x @ Cn.T).argmax())
+
+    depths = []
+    for sid, svec in zip(cal["sample_ids"], cal["sample_vecs"]):
+        q = np.asarray(svec, dtype=np.float64)
+        q /= max(np.linalg.norm(q), 1e-12)
+        order = np.argsort(-(q @ Cn.T))  # sample's centroid ranking
+        rank_of = {int(c): i + 1 for i, c in enumerate(order)}
+        needed = [
+            rank_of[assign(nbr_vecs[vid])]
+            for vid, _ in topk.get(sid, [])
+            if vid in nbr_vecs
+        ]
+        if needed:
+            depths.append(max(needed))
+    if not depths:
+        return min(nlist, _IVF_NPROBE)
+    nprobe = int(np.percentile(depths, 95)) + 1
+    nprobe = min(nlist, max(_IVF_NPROBE, nprobe))
+    if key is not None:
+        _NPROBE_CACHE[key] = nprobe
+    return nprobe
+
+
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization (raw plan).
 
@@ -783,8 +878,9 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan. The LSH variant above trades deterministic probe counts for
     this one's data-adaptive buckets."""
     emb = load_table(spark, sf_dir, "embeddings")
-    nlist, nprobe = ivf_params(corpus_count(spark, sf_dir))
+    nlist, _ = ivf_params(corpus_count(spark, sf_dir))
     C = ivf_centroids(spark, sf_dir, k=nlist)
+    nprobe = ivf_nprobe_calibrated(spark, sf_dir, C)
 
     # Assignment and probe ranking are invariant to per-row positive
     # scaling, so raw embeddings feed both UDFs (they normalize in numpy
@@ -1236,6 +1332,85 @@ def _pq_lut_udf(CB):
     return lut
 
 
+_PQ_BUDGET_CACHE: dict[str, int] = {}
+
+
+def pq_cand_calibrated(spark: SparkSession, sf_dir: str) -> int:
+    """Re-rank budget measured end-to-end on the calibration sample:
+    run the REAL ADC scan (same codebooks, same fold) with the ~64
+    sampled vectors as queries, find the worst ADC rank any true
+    top-k neighbor lands at, and set the budget to 1.5x the p95 of
+    those worst ranks — the exact statistic the oversample must
+    cover, no noise model in between (FAISS autotune's method).
+    Floored at the calibration-scale 160, capped at the corpus size;
+    falls back to the size-only fraction rule (pq_cand_budget) when
+    the corpus is too small to sample. Cached per corpus bytes like
+    the codebooks; one n x 64 ADC pass at ingest time."""
+    import numpy as np
+
+    n = corpus_count(spark, sf_dir)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    key = (
+        f"pqbudget_{os.path.normpath(sf_dir)}:{_corpus_bytes(path)}"
+        f"_m{_PQ_M}_k{_PQ_K}"
+        if os.path.exists(path)
+        else None
+    )
+    if key is not None and key in _PQ_BUDGET_CACHE:
+        return _PQ_BUDGET_CACHE[key]
+    cal = ann_calibration(spark, sf_dir)
+    topk = cal.get("topk", {})
+    if not topk:
+        return pq_cand_budget(n)
+    CB = pq_codebooks(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(~F.col("vec_id").isin(*_QUERY_IDS)).select(
+        "vec_id", _pq_encode_udf(CB)(F.col("embedding")).alias("codes")
+    )
+    sample_df = spark.createDataFrame(
+        list(zip(cal["sample_ids"], cal["sample_vecs"])),
+        "sample_id long, embedding array<float>",
+    )
+    queries = F.broadcast(
+        sample_df.select(
+            "sample_id", _pq_lut_udf(CB)(F.col("embedding")).alias("lut")
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("lut"), s * _PQ_K + F.element_at(F.col("codes"), s + 1) + 1
+        ),
+    )
+    aw = Window.partitionBy("sample_id").orderBy(
+        F.col("adc").desc(), F.col("vec_id")
+    )
+    ranked = (
+        corpus.crossJoin(queries)
+        .select("sample_id", "vec_id", adc.alias("adc"))
+        .withColumn("arn", F.row_number().over(aw))
+    )
+    pairs = spark.createDataFrame(
+        [(sid, vid) for sid, vs in topk.items() for vid, _ in vs],
+        "sample_id long, vec_id long",
+    )
+    worst = [
+        int(r["worst"])
+        for r in ranked.join(F.broadcast(pairs), ["sample_id", "vec_id"])
+        .groupBy("sample_id")
+        .agg(F.max("arn").alias("worst"))
+        .collect()
+    ]
+    if not worst:
+        return pq_cand_budget(n)
+    budget = int(min(n, max(_PQ_CAND, math.ceil(1.5 * np.percentile(worst, 95)))))
+    if key is not None:
+        _PQ_BUDGET_CACHE[key] = budget
+    return budget
+
+
 def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via product quantization + exact re-rank (raw plan).
 
@@ -1262,7 +1437,7 @@ def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     CB = pq_codebooks(spark, sf_dir)
-    cand_budget = pq_cand_budget(corpus_count(spark, sf_dir))
+    cand_budget = pq_cand_calibrated(spark, sf_dir)
 
     corpus = emb.filter(~F.col("vec_id").isin(*_QUERY_IDS)).select(
         "vec_id",

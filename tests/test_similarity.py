@@ -291,3 +291,37 @@ def test_lsh_design_p_measures_corpus_geometry(spark, monkeypatch):
     assert p_orth < 0.55, p_orth
     r2, f2, b2 = sim.lsh_params(50, p_orth)
     assert (f2, b2) == (0, sim.lsh_params(50, 0.55)[2])  # clamp floor applied
+
+
+def test_ann_calibrators_fall_back_without_a_sample(spark, monkeypatch):
+    """When the corpus is too small to sample (ann_calibration -> {}),
+    the PQ budget and IVF probe depth fall back to the size-only
+    derivations instead of failing or over-pruning."""
+    import mapreducegcp_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "ann_calibration", lambda s, d: {})
+    monkeypatch.setattr(sim, "corpus_count", lambda s, d: 2000)
+    assert sim.pq_cand_calibrated(spark, "nowhere") == sim.pq_cand_budget(2000)
+    C = [[0.0] * 64 for _ in range(16)]
+    assert sim.ivf_nprobe_calibrated(spark, "nowhere", C) == sim._IVF_NPROBE
+
+
+def test_ann_calibration_discovers_prunability(spark):
+    """The calibrators must discover what the corpus permits: the
+    driver's near-uniform sf0.001 embeddings are UNPRUNABLE at a
+    recall~1 target (worst true-neighbor ADC rank spans the corpus,
+    so the budget walks up to n and the probe depth to nlist) — the
+    no-free-lunch half of the autotune story whose other half is the
+    100x duplicate corpus collapsing to budget 160 / nprobe 6
+    (measured in SCALE.md)."""
+    import mapreducegcp_spark.operators.similarity as sim
+
+    d = "/root/testdata/sf0.001"
+    n = sim.corpus_count(spark, d)
+    budget = sim.pq_cand_calibrated(spark, d)
+    assert sim._PQ_CAND <= budget <= n
+    assert budget > sim._PQ_CAND  # uniform corpus: floor cannot hold recall~1
+    nlist, _ = sim.ivf_params(n)
+    C = sim.ivf_centroids(spark, d, k=nlist)
+    nprobe = sim.ivf_nprobe_calibrated(spark, d, C)
+    assert sim._IVF_NPROBE <= nprobe <= nlist
