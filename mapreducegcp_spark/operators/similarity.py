@@ -312,12 +312,27 @@ def ann_calibration(spark: SparkSession, sf_dir: str) -> dict:
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     key = (
-        f"anncal_{os.path.normpath(sf_dir)}:{_corpus_bytes(path)}"
+        f"anncal_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_b{_corpus_bytes(path)}_k{_TOP_K}_s{_LSH_CAL_SAMPLES}"
         if os.path.exists(path)
         else None  # synthetic corpus (tests): compute, never cache
     )
     if key is not None and key in _CALIBRATION_CACHE:
         return _CALIBRATION_CACHE[key]
+    if key is not None:
+        apath = _ARTIFACT_DIR / f"{key}.json"
+        if apath.exists():
+            doc = json.loads(apath.read_text())
+            cal = {
+                "sample_ids": doc["sample_ids"],
+                "sample_vecs": doc["sample_vecs"],
+                "topk": {
+                    int(k): [(int(v), float(c)) for v, c in vs]
+                    for k, vs in doc["topk"].items()
+                },
+            }
+            _CALIBRATION_CACHE[key] = cal
+            return cal
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(~F.col("vec_id").isin(*_QUERY_IDS))
     n = corpus_count(spark, sf_dir)
@@ -352,7 +367,14 @@ def ann_calibration(spark: SparkSession, sf_dir: str) -> dict:
             out = {"sample_id": [], "vec_id": [], "cos": []}
             for s in range(cos.shape[1]):
                 col = np.where(ids != sids[s], cos[:, s], -2.0)  # drop self
-                top = np.argsort(col)[-k1:]
+                # deterministic tie-break: (cos asc, id desc) so the
+                # LAST k1 are the top cosines with the SMALLEST ids on
+                # ties — matching the final window's (cos desc, id asc)
+                # order. Plain argsort is unstable and on replicated
+                # corpora (exact-copy tie mass) would make the batch
+                # candidate cut — and thus the cached statistics —
+                # vary run to run.
+                top = np.lexsort((-ids, col))[-k1:]
                 out["sample_id"] += [int(sids[s])] * len(top)
                 out["vec_id"] += ids[top].tolist()
                 out["cos"] += col[top].tolist()
@@ -381,6 +403,23 @@ def ann_calibration(spark: SparkSession, sf_dir: str) -> dict:
     }
     if key is not None:
         _CALIBRATION_CACHE[key] = cal
+        try:  # persist next to the quantizer artifacts (ingest-time stat)
+            _ARTIFACT_DIR.mkdir(parents=True, exist_ok=True)
+            (_ARTIFACT_DIR / f"{key}.json").write_text(
+                json.dumps(
+                    {
+                        "sample_ids": cal["sample_ids"],
+                        "sample_vecs": cal["sample_vecs"],
+                        "topk": {str(k): v for k, v in topk.items()},
+                    }
+                )
+            )
+        except OSError as e:
+            logging.getLogger(__name__).warning(
+                "ann calibration artifact not persisted (%s); "
+                "next process re-measures",
+                e,
+            )
     return cal
 
 
