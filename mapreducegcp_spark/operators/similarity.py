@@ -575,9 +575,9 @@ def ivf_params(n: int) -> tuple[int, int]:
     and frozen plan shapes were measured there). Past it, nlist grows
     as sqrt(n) — the classic IVF balance point where coarse-scan cost
     (nlist) and probed-list cost (nprobe * n / nlist) grow together —
-    and nprobe preserves the calibration probe FRACTION (6/16), so
-    recall holds while per-query candidate work stays at that fraction
-    of the corpus rather than a fixed-list blowup. Capped at 1024
+    and the FALLBACK nprobe preserves the calibration probe FRACTION
+    (6/16) — the registered query replaces it with the sample-measured
+    depth (``ivf_nprobe_calibrated``). Capped at 1024
     lists: past that the coarse quantizer itself wants quantizing
     (IVF-HNSW territory), out of scope for this corpus family."""
     if n <= 4096:
@@ -1209,14 +1209,17 @@ _PQ_CAND = 16 * _TOP_K  # ADC oversample floor (calibration-scale budget)
 # grows with corpus density when the score distribution doesn't spread
 # (replication/near-dup mass — the crawl-corpus norm, and exactly what
 # round 6's blowup sweep measured: fixed 160 candidates walked recall
-# 0.88 -> 0.68 by 3x). So past the floor the re-rank budget holds a
-# constant FRACTION of the corpus — the calibration budget's fraction
-# at the sf0.1 base corpus (160 / 2000).
+# 0.88 -> 0.68 by 3x). The REGISTERED query uses the sample-MEASURED
+# budget (pq_cand_calibrated below); this size-only fraction rule —
+# the calibration budget's fraction at the sf0.1 base corpus
+# (160 / 2000) — is the FALLBACK for corpora too small to sample.
 _PQ_CAND_FRAC = 0.08
 
 
 def pq_cand_budget(n: int) -> int:
-    """ADC re-rank budget for a corpus of ``n`` vectors (see above)."""
+    """Size-only fallback ADC re-rank budget (see above); the
+    registered plan uses ``pq_cand_calibrated`` when a calibration
+    sample exists."""
     return max(_PQ_CAND, math.ceil(n * _PQ_CAND_FRAC))
 
 
@@ -1468,11 +1471,13 @@ def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate; the REGISTERED ``similarity_ann_pq`` query wraps this
     plan in the hash-checkable recall gate below.
 
-    The re-rank budget is corpus-derived (``pq_cand_budget``): a fixed
-    oversample decays with density (measured 0.88 -> 0.68 recall by
-    the 3x blowup corpus); a constant re-rank FRACTION past the floor
-    holds it, and the re-rank stays the cheap stage (budget * queries
-    exact cosines vs n * queries ADC folds on the scan side).
+    The re-rank budget is sample-MEASURED (``pq_cand_calibrated``:
+    1.5x the p95 worst true-neighbor rank under this exact ADC scan,
+    cached per corpus) — a fixed oversample decays with density
+    (measured 0.88 -> 0.68 recall by the 3x blowup corpus), and the
+    measured budget prunes exactly as hard as the corpus permits
+    (floor 160 on duplicate-heavy corpora, up to n on uniform ones
+    where a full re-rank is the honest recall~1 answer and is cheap).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     CB = pq_codebooks(spark, sf_dir)
