@@ -332,3 +332,36 @@ def test_local_uf_components_empty_and_self_pairs(spark):
 
     pairs = spark.createDataFrame([(7, 7), (9, 9)], "a long, b long")
     assert local_uf_components(pairs, "a", "b").collect() == []
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_local_uf_multi_level_matches_union_find(spark, edges):
+    """The boundary-contraction RECURSION on arbitrary hypothesis
+    graphs: edges_per_part=3 forces every input through multiple
+    partition-local union-finds and at least one contraction level —
+    the single-partition fast path never runs here, so this pins the
+    cross-partition stitching on shapes the fixed-path test can't
+    shrink to (cycles, stars, disjoint blobs)."""
+    from mapreducegcp_spark.operators.dedup import local_uf_components
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "a long, b long"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in local_uf_components(pairs, "a", "b", edges_per_part=3).collect()
+    }
+    assert got == _union_find_components(edges)
