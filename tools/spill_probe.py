@@ -57,10 +57,21 @@ def row_hash(df) -> tuple[int, str]:
 def stage_spills(spark) -> tuple[int, int]:
     store = spark.sparkContext._jsc.sc().statusStore()
     jlist = spark._jvm.java.util.ArrayList()
-    args = [jlist] + [
-        getattr(store, "stageList$default$%d" % i)() for i in range(2, 6)
-    ]
-    seq = store.stageList(*args)
+    try:
+        # Scala default args surface as stageList$default$N accessors;
+        # arity is 5 in Spark 4.x. A py4j "method does not exist" here
+        # means a Spark upgrade changed the signature — fail with the
+        # fix location rather than a bare reflection error.
+        args = [jlist] + [
+            getattr(store, "stageList$default$%d" % i)() for i in range(2, 6)
+        ]
+        seq = store.stageList(*args)
+    except Exception as e:  # noqa: BLE001
+        raise RuntimeError(
+            "AppStatusStore.stageList reflection failed — the Spark "
+            "version changed its Scala default-arg arity; update the "
+            "range(2, 6) in this helper"
+        ) from e
     mem = disk = 0
     for i in range(seq.size()):
         s = seq.apply(i)
