@@ -18,6 +18,8 @@ functions are all JVM expressions).
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -1152,7 +1154,11 @@ _UF_EDGES_PER_PART = 100_000  # per-partition union-find work target
 
 
 def local_uf_components(
-    pairs: DataFrame, a: str, b: str, edges_per_part: int = _UF_EDGES_PER_PART
+    pairs: DataFrame,
+    a: str,
+    b: str,
+    edges_per_part: int = _UF_EDGES_PER_PART,
+    max_levels: int = 8,
 ) -> DataFrame:
     """Connected components by partition-local union-find + boundary
     contraction — the LATENCY-optimal fourth engine next to
@@ -1196,8 +1202,9 @@ def local_uf_components(
 
     def _uf_mapping(edges: DataFrame, n_part: int) -> DataFrame:
         # defined in local scope so cloudpickle ships it by VALUE —
-        # module-level generators break driver runs from outside the
-        # repo (see .claude/skills/verify gotcha)
+        # a module-level generator would pickle by REFERENCE and break
+        # any driver that imports this package from outside the repo
+        # checkout (executors can't re-import the module to resolve it)
         def gen(batches):
             parent: dict = {}
 
@@ -1236,23 +1243,31 @@ def local_uf_components(
     )
     mappings: list[DataFrame] = []
     prev_edges = None
-    for _level in range(8):
+    for _level in range(max_levels):
         E = edges.localCheckpoint()
         n_edges = E.count()
         if prev_edges is not None and n_edges >= prev_edges:
-            # fail LOUDLY: a non-shrinking boundary means the
-            # contraction argument above no longer holds
-            raise RuntimeError(
+            # a non-shrinking boundary means the contraction argument
+            # above no longer holds for this graph shape — log loudly
+            # and degrade to the structure-driven O(log n) engine
+            # instead of crashing the query (the result contract is
+            # identical; only the round pattern differs)
+            logging.getLogger(__name__).warning(
                 "local_uf_components: boundary graph did not shrink "
-                f"({prev_edges} -> {n_edges} edges at level {_level})"
+                "(%d -> %d edges at level %d); falling back to "
+                "two_phase_components",
+                prev_edges, n_edges, _level,
             )
+            return two_phase_components(pairs, a, b)
         prev_edges = n_edges
         # NO parallelism cap here: the slice size IS the task-memory
         # bound (a capped n_part would let slices grow as E/cores with
         # the graph, silently breaking the O(edges_per_part) union-find
         # state claim at billions of edges — Spark queues surplus
-        # partitions over the cores just fine)
-        n_part = int(max(1, n_edges // edges_per_part))
+        # partitions over the cores just fine). Ceil division keeps
+        # every slice AT OR UNDER edges_per_part (floor would let a
+        # 2N-1-edge set run as one near-double-sized slice).
+        n_part = int(max(1, -(-n_edges // edges_per_part)))
         mapping = _uf_mapping(E, n_part).localCheckpoint()
         mappings.append(mapping)
         if n_part == 1:
@@ -1266,19 +1281,21 @@ def local_uf_components(
             .distinct()
         )
     else:
-        # Loud documented boundary: locality-based contraction is slow
-        # on graphs whose edges have NO id locality under hash
+        # Documented boundary: locality-based contraction is slow on
+        # graphs whose edges have NO id locality under hash
         # partitioning (a multi-million-edge pure path shatters into
         # ~1-edge pieces and the boundary barely shrinks per level).
         # Real dup graphs are clique-/star-heavy and contract fast;
-        # for adversarial chain shapes use two_phase_components, whose
+        # adversarial chain shapes go to two_phase_components, whose
         # large-star/small-star rounds contract by structure, not
-        # locality.
-        raise RuntimeError(
-            "local_uf_components did not converge in 8 levels — the "
-            "boundary graph is contracting too slowly (id-locality-free "
-            "chain shapes); use two_phase_components for this graph"
+        # locality — log loudly and degrade rather than crash.
+        logging.getLogger(__name__).warning(
+            "local_uf_components did not converge in %d levels (boundary "
+            "contracting too slowly: id-locality-free chain shape); "
+            "falling back to two_phase_components",
+            max_levels,
         )
+        return two_phase_components(pairs, a, b)
 
     res = mappings[-1]
     for mapping in reversed(mappings[:-1]):

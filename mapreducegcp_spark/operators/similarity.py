@@ -118,11 +118,19 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RANGE_TAU = 0.25  # cosine radius: ~55 in-range rows at sf0.01
 
+# The norm > 0 guards mirror the Spark side's zero-norm convention
+# (cos := 0.0, excluded by tau): without them DuckDB computes 0/0 =
+# NaN, which it ORDERS ABOVE every number, so a zero embedding would
+# appear in oracle rows but never in Spark output (latent only —
+# generated testdata has no zero vectors, but the oracle should state
+# the same predicate the engine runs).
 _RANGE_ORACLE = f"""
 SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
        {_o_cosine('q.embedding', 'c.embedding')} AS cos_sim
 FROM embeddings q JOIN embeddings c ON c.vec_id NOT IN ({_IDS_SQL})
 WHERE q.vec_id IN ({_IDS_SQL})
+  AND {_DOT.format(a='q.embedding', b='q.embedding')} > 0
+  AND {_DOT.format(a='c.embedding', b='c.embedding')} > 0
   AND {_o_cosine('q.embedding', 'c.embedding')} >= {_RANGE_TAU}
 """
 
@@ -712,6 +720,37 @@ def _corpus_bytes(path: str) -> int:
     return os.path.getsize(path)
 
 
+def _tuned_scalar(key: str | None, cache: dict, compute) -> int:
+    """Shared persistence path for the tuned ANN scalars (PQ re-rank
+    budget, IVF probe depth): in-process cache -> on-disk artifact
+    (_ARTIFACT_DIR/<key>.json) -> compute + persist — the SAME
+    contract as the anncal/centroid artifacts, so a new process never
+    re-pays the full-corpus calibration scan the scalar was derived
+    from (the PQ budget alone is an n x 64 ADC crossJoin). ``key`` is
+    None for unstattable corpora (tests with monkeypatched
+    load_table): compute every time, never cache or persist."""
+    if key is not None and key in cache:
+        return cache[key]
+    if key is not None:
+        path = _ARTIFACT_DIR / f"{key}.json"
+        if path.exists():
+            v = int(json.loads(path.read_text()))
+            cache[key] = v
+            return v
+    v = int(compute())
+    if key is not None:
+        try:
+            _ARTIFACT_DIR.mkdir(parents=True, exist_ok=True)
+            (_ARTIFACT_DIR / f"{key}.json").write_text(json.dumps(v))
+        except OSError as e:
+            logging.getLogger(__name__).warning(
+                "tuned scalar %s not persisted (%s); the next process "
+                "re-pays its calibration scan", key, e
+            )
+        cache[key] = v
+    return v
+
+
 _COUNT_CACHE: dict[str, int] = {}
 
 
@@ -838,18 +877,26 @@ def ivf_nprobe_calibrated(spark: SparkSession, sf_dir: str, C) -> int:
 
     All arithmetic is driver-side numpy over the bounded sample
     (64 queries x k neighbors x nlist centroids); the only Spark work
-    is one bounded collect of the neighbors' embeddings."""
-    import numpy as np
-
+    is one bounded collect of the neighbors' embeddings. Persisted to
+    _ARTIFACT_DIR like the centroids it belongs with (_tuned_scalar),
+    keyed on corpus basename + payload bytes + nlist."""
     nlist = len(C)
     path = os.path.join(sf_dir, "embeddings.parquet")
     key = (
-        f"nprobe_{os.path.normpath(sf_dir)}:{_corpus_bytes(path)}:k{nlist}"
+        f"nprobe_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_b{_corpus_bytes(path)}_k{nlist}"
         if os.path.exists(path)
         else None
     )
-    if key is not None and key in _NPROBE_CACHE:
-        return _NPROBE_CACHE[key]
+    return _tuned_scalar(
+        key, _NPROBE_CACHE, lambda: _nprobe_compute(spark, sf_dir, C)
+    )
+
+
+def _nprobe_compute(spark: SparkSession, sf_dir: str, C) -> int:
+    import numpy as np
+
+    nlist = len(C)
     cal = ann_calibration(spark, sf_dir)
     topk = cal.get("topk", {})
     if not topk:
@@ -885,10 +932,7 @@ def ivf_nprobe_calibrated(spark: SparkSession, sf_dir: str, C) -> int:
     if not depths:
         return min(nlist, _IVF_NPROBE)
     nprobe = int(np.percentile(depths, 95)) + 1
-    nprobe = min(nlist, max(_IVF_NPROBE, nprobe))
-    if key is not None:
-        _NPROBE_CACHE[key] = nprobe
-    return nprobe
+    return min(nlist, max(_IVF_NPROBE, nprobe))
 
 
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1386,20 +1430,26 @@ def pq_cand_calibrated(spark: SparkSession, sf_dir: str) -> int:
     cover, no noise model in between (FAISS autotune's method).
     Floored at the calibration-scale 160, capped at the corpus size;
     falls back to the size-only fraction rule (pq_cand_budget) when
-    the corpus is too small to sample. Cached per corpus bytes like
-    the codebooks; one n x 64 ADC pass at ingest time."""
-    import numpy as np
-
+    the corpus is too small to sample. Persisted to _ARTIFACT_DIR
+    like the codebooks (_tuned_scalar), keyed on corpus basename +
+    payload bytes + PQ shape — one n x 64 ADC pass at ingest time,
+    never re-paid by a new process."""
     n = corpus_count(spark, sf_dir)
     path = os.path.join(sf_dir, "embeddings.parquet")
     key = (
-        f"pqbudget_{os.path.normpath(sf_dir)}:{_corpus_bytes(path)}"
-        f"_m{_PQ_M}_k{_PQ_K}"
+        f"pqbudget_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_b{_corpus_bytes(path)}_m{_PQ_M}_k{_PQ_K}"
         if os.path.exists(path)
         else None
     )
-    if key is not None and key in _PQ_BUDGET_CACHE:
-        return _PQ_BUDGET_CACHE[key]
+    return _tuned_scalar(
+        key, _PQ_BUDGET_CACHE, lambda: _pq_budget_compute(spark, sf_dir, n)
+    )
+
+
+def _pq_budget_compute(spark: SparkSession, sf_dir: str, n: int) -> int:
+    import numpy as np
+
     cal = ann_calibration(spark, sf_dir)
     topk = cal.get("topk", {})
     if not topk:
@@ -1447,10 +1497,7 @@ def pq_cand_calibrated(spark: SparkSession, sf_dir: str) -> int:
     ]
     if not worst:
         return pq_cand_budget(n)
-    budget = int(min(n, max(_PQ_CAND, math.ceil(1.5 * np.percentile(worst, 95)))))
-    if key is not None:
-        _PQ_BUDGET_CACHE[key] = budget
-    return budget
+    return int(min(n, max(_PQ_CAND, math.ceil(1.5 * np.percentile(worst, 95)))))
 
 
 def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:

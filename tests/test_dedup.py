@@ -325,6 +325,52 @@ def test_local_uf_components_multi_level_contraction(spark):
     assert len(out) == 40  # exactly one row per node after compose/dedup
 
 
+def test_local_uf_components_falls_back_instead_of_crashing(spark, caplog):
+    """A graph the contraction loop cannot finish must DEGRADE to
+    two_phase_components (loud warning, identical result contract),
+    not crash the registered query (ADVICE r7). Deterministic trigger:
+    max_levels=1 on the bit-reversed path that provably needs >=2
+    contraction levels at edges_per_part=4 (same graph as the
+    multi-level test above), so the for-else fallback path runs for
+    real — warning logged, result still exactly the component map."""
+    import logging
+
+    from mapreducegcp_spark.operators.dedup import local_uf_components
+
+    ids = [int(format(i, "06b")[::-1], 2) for i in range(13)]
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(12)], "a long, b long"
+    )
+    with caplog.at_level(logging.WARNING, "mapreducegcp_spark.operators.dedup"):
+        out = local_uf_components(
+            pairs, "a", "b", edges_per_part=4, max_levels=1
+        ).collect()
+    assert any(
+        "falling back to two_phase_components" in r.getMessage()
+        for r in caplog.records
+    )
+    assert {r["node"] for r in out} == set(ids)
+    assert {r["cluster_id"] for r in out} == {min(ids)}
+
+
+def test_local_uf_components_slice_bound_is_ceil(spark):
+    """n_part = ceil(edges / edges_per_part): 5 edges at 4-per-slice
+    must run as 2 partitions, never one near-double slice (ADVICE r7
+    pinned the floor-division bug where 2N-1 edges ran single-slice)."""
+    from mapreducegcp_spark.operators import dedup as dd
+
+    assert int(max(1, -(-5 // 4))) == 2
+    assert int(max(1, -(-199_999 // 100_000))) == 2
+    assert int(max(1, -(-100_000 // 100_000))) == 1
+    # and the engine still resolves the graph correctly at that sizing
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "a long, b long"
+    )
+    out = dd.local_uf_components(pairs, "a", "b", edges_per_part=4).collect()
+    assert {r["cluster_id"] for r in out} == {0}
+    assert len(out) == 6
+
+
 def test_local_uf_components_empty_and_self_pairs(spark):
     """Self-pairs are ignored and an edgeless input yields an empty
     mapping — the shared engine contract."""

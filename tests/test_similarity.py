@@ -306,6 +306,35 @@ def test_ann_calibrators_fall_back_without_a_sample(spark, monkeypatch):
     assert sim.ivf_nprobe_calibrated(spark, "nowhere", C) == sim._IVF_NPROBE
 
 
+def test_tuned_scalars_persist_like_the_other_ann_artifacts(spark, monkeypatch, tmp_path):
+    """The calibrated PQ budget and IVF nprobe must survive process
+    death the way the anncal/centroid artifacts do (ADVICE r7: the
+    in-process cache alone meant every new process re-paid the full
+    n x 64 ADC crossJoin): _tuned_scalar writes <key>.json on first
+    compute, and a cleared in-memory cache is served from DISK with
+    the compute function never called again."""
+    import mapreducegcp_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "_ARTIFACT_DIR", tmp_path)
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return 37
+
+    cache: dict = {}
+    assert sim._tuned_scalar("pqbudget_test_b1_m8_k32", cache, compute) == 37
+    assert (tmp_path / "pqbudget_test_b1_m8_k32.json").exists()
+    cache.clear()  # simulate a new process
+    assert sim._tuned_scalar("pqbudget_test_b1_m8_k32", cache, compute) == 37
+    assert len(calls) == 1, "second process must read the artifact, not recompute"
+    # key=None (unstattable corpus): compute every time, never persist
+    assert sim._tuned_scalar(None, cache, compute) == 37
+    assert sim._tuned_scalar(None, cache, compute) == 37
+    assert len(calls) == 3
+    assert list(tmp_path.iterdir()) == [tmp_path / "pqbudget_test_b1_m8_k32.json"]
+
+
 def test_ann_calibration_discovers_prunability(spark):
     """The calibrators must discover what the corpus permits: the
     driver's near-uniform sf0.001 embeddings are UNPRUNABLE at a

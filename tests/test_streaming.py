@@ -585,7 +585,11 @@ def test_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(120)
+    # awaitTermination(timeout) returns False on timeout WITHOUT
+    # raising — on a loaded box comparing the sink before the
+    # availableNow drain finishes would read as a spurious
+    # "recovery diverged" failure
+    assert q2.awaitTermination(120), "availableNow drain did not finish in 120s"
 
     got = sorted(
         (r.event_id, r.user_id, r.value) for r in spark.read.parquet(sink).collect()
