@@ -1241,11 +1241,17 @@ def local_uf_components(
         pairs.where(F.col(a) != F.col(b))
         .select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
     )
+    from pyspark.sql import Observation
+
     mappings: list[DataFrame] = []
     prev_edges = None
     for _level in range(max_levels):
-        E = edges.localCheckpoint()
-        n_edges = E.count()
+        # count rides the checkpoint materialization (observe), not a
+        # second scheduled job per level — same trick as two_phase's
+        # fixed-point signature
+        obs = Observation()
+        E = edges.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+        n_edges = int(obs.get["n"])
         if prev_edges is not None and n_edges >= prev_edges:
             # a non-shrinking boundary means the contraction argument
             # above no longer holds for this graph shape — log loudly
@@ -1268,10 +1274,14 @@ def local_uf_components(
         # every slice AT OR UNDER edges_per_part (floor would let a
         # 2N-1-edge set run as one near-double-sized slice).
         n_part = int(max(1, -(-n_edges // edges_per_part)))
+        if n_part == 1:
+            # single partition sees every edge: no boundary possible,
+            # and the mapping feeds the final compose exactly once —
+            # checkpointing it here would be a wasted materialization
+            mappings.append(_uf_mapping(E, n_part))
+            break
         mapping = _uf_mapping(E, n_part).localCheckpoint()
         mappings.append(mapping)
-        if n_part == 1:
-            break  # single partition saw every edge: no boundary possible
         edges = (
             mapping.groupBy("node")
             .agg(F.collect_set("root").alias("roots"))
