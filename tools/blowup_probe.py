@@ -145,8 +145,44 @@ _PERMUTE = (
 )
 
 
-def build(spark: SparkSession, sf_dir: str, out_dir: Path, factor: int) -> None:
+# Skewed-replication knobs (--skew): real 100 TB corpora are zipfian,
+# not uniform — the uniform tiers above prove plan LINEARITY, this
+# tier proves the skew MITIGATIONS engage. In copies > 0:
+#   - 1 in SKEW_MOD_KEYS orders rows remap o_custkey to ONE base
+#     customer (hot join key: customer<-orders fan-in concentrates);
+#   - 1 in SKEW_MOD_KEYS events rows remap user_id to ONE base user
+#     (hot window/sessionize partition);
+#   - 1 in SKEW_MOD_DOCS documents get the SAME base text verbatim
+#     (hot shingles: per-shingle document frequency concentrates on
+#     one duplicate cluster — the df-cap target — and exact dedup
+#     sees one giant group).
+# Selection hashes the row's own key with the copy index, so the hot
+# sets are deterministic and the corpus is reproducible byte-for-byte.
+# Referential integrity holds: the hot custkey/user exist in copy 0.
+SKEW_MOD_KEYS = 5   # 20% of replicated rows hit the hot key
+SKEW_MOD_DOCS = 20  # 5% of replicated docs carry the hot text
+
+
+def _hot_literals(spark: SparkSession, sf_dir: str) -> dict:
+    """The hot-key literals, read once from the BASE corpus (bounded
+    1-row collects): min custkey, min user_id, and min-doc text."""
+    o = load_table(spark, sf_dir, "customer").agg(F.min("c_custkey")).collect()[0][0]
+    u = load_table(spark, sf_dir, "events").agg(F.min("user_id")).collect()[0][0]
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .select("text")
+        .limit(1)
+        .collect()[0][0]
+    )
+    return {"custkey": int(o), "user": int(u), "text": d}
+
+
+def build(
+    spark: SparkSession, sf_dir: str, out_dir: Path, factor: int, skew: bool = False
+) -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
+    hot = _hot_literals(spark, sf_dir) if skew else None
     for name in TABLES:
         df = load_table(spark, sf_dir, name)
         keys = KEYS[name]
@@ -161,6 +197,40 @@ def build(spark: SparkSession, sf_dir: str, out_dir: Path, factor: int) -> None:
                     p = p.withColumn(k, (F.col(k) + F.lit(i * OFFSET)).cast("long"))
                 if name == "documents" and i > 0:
                     p = p.withColumn("text", F.expr(_PERMUTE))
+                if skew and i > 0:
+                    if name == "orders":
+                        p = p.withColumn(
+                            "o_custkey",
+                            F.when(
+                                F.pmod(
+                                    F.xxhash64("o_orderkey", F.lit(i)),
+                                    F.lit(SKEW_MOD_KEYS),
+                                )
+                                == 0,
+                                F.lit(hot["custkey"]).cast("long"),
+                            ).otherwise(F.col("o_custkey")),
+                        )
+                    elif name == "events":
+                        p = p.withColumn(
+                            "user_id",
+                            F.when(
+                                F.pmod(
+                                    F.xxhash64("event_id", F.lit(i)),
+                                    F.lit(SKEW_MOD_KEYS),
+                                )
+                                == 0,
+                                F.lit(hot["user"]).cast("long"),
+                            ).otherwise(F.col("user_id")),
+                        )
+                    elif name == "documents":
+                        p = p.withColumn(
+                            "text",
+                            F.when(
+                                F.pmod(F.xxhash64("doc_id"), F.lit(SKEW_MOD_DOCS))
+                                == 0,
+                                F.lit(hot["text"]),
+                            ).otherwise(F.col("text")),
+                        )
                 parts.append(p)
             out = parts[0]
             for p in parts[1:]:
@@ -205,6 +275,155 @@ def run(spark: SparkSession, sf_dir: str, big_dir: str, factor: int) -> None:
     print(json.dumps({"factor": factor, "rows": rows}))
 
 
+# Skew-sensitive families for the --skew --run table: the hot join key
+# (customer<-orders), the hot window/sessionize partition (user_id),
+# and the hot-shingle / giant-duplicate-cluster dedup family.
+SKEW_QUERIES = [
+    "wordcount",
+    "tpch_q10_returned_items",
+    "join_nation_revenue",
+    "window_topn_per_customer",
+    "sessionize_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "tfidf_top_terms",
+]
+
+# strict value-oracle list at the skewed tier — skew changes the data
+# DISTRIBUTION, never the semantics, so the same Spark-vs-DuckDB
+# compare must stay green on a zipfian corpus (hot join key, hot
+# window partition, one giant duplicate cluster).
+SKEW_VERIFY = [
+    "wordcount",
+    "dedup_exact",
+    "sessionize_events",
+    "window_topn_per_customer",
+    "tpch_q10_returned_items",
+    "agg_pricing_summary",
+    "events_run_length_islands",
+    "tfidf_top_terms",
+    "text_gopher_rules",
+    "quality_classifier_scores",
+]
+
+
+def skew_receipt(spark: SparkSession, big_dir: str) -> None:
+    """Pin that AQE's skew-join split ENGAGES on the hot key and that
+    the split execution returns the same bytes as the unsplit one.
+
+    Forces the sort-merge path (broadcast off — at production volume
+    the orders side is thousands of times the customer side and SMJ is
+    the real plan) with the skew thresholds scaled to this corpus the
+    same way production tunes them to task-size targets. Evidence:
+    ``skew=true`` markers in the executed adaptive plan + identical
+    sha256 with the skew-split disabled."""
+    import hashlib
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        )
+    }
+
+    def hot_join():
+        # grouped on c_nationkey, NOT the join key: a downstream
+        # aggregation re-shuffles anyway, so AQE is free to split the
+        # skewed join partition without introducing an extra exchange
+        # (grouping on c_custkey made AQE decline the split — the join
+        # output would have had to keep hash(c_custkey) distribution)
+        o = load_table(spark, big_dir, "orders")
+        c = load_table(spark, big_dir, "customer")
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                # decimal domain: associative, so the hash compare is
+                # invariant to how the split re-orders the fold
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                    "revenue"
+                ),
+            )
+        )
+
+    def run_once(split_on: bool):
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", str(split_on).lower())
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", str(split_on).lower())
+        df = hot_join()
+        t0 = time.time()
+        rows = sorted(repr(tuple(r)) for r in df.collect())
+        sec = time.time() - t0
+        h = hashlib.sha256()
+        for r in rows:
+            h.update(r.encode())
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(rows), h.hexdigest(), sec, plan
+
+    try:
+        n_on, h_on, t_on, plan_on = run_once(True)
+        n_off, h_off, t_off, plan_off = run_once(False)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    split_engaged = "skew=true" in plan_on
+    print(
+        json.dumps(
+            {
+                "receipt": "aqe_skew_split",
+                "rows": n_on,
+                "split_engaged": split_engaged,
+                "hash_equal": h_on == h_off,
+                "t_split_on": round(t_on, 2),
+                "t_split_off": round(t_off, 2),
+            }
+        ),
+        flush=True,
+    )
+    if not split_engaged:
+        raise SystemExit("skew receipt: AQE never split the hot partition")
+    if h_on != h_off:
+        raise SystemExit("skew receipt: split and unsplit outputs diverged")
+
+
+def run_skew(spark: SparkSession, sf_dir: str, big_dir: str, factor: int) -> None:
+    from bench import _raw_overrides, _run
+    from mapreducegcp_spark.registry import all_queries
+
+    catalog = all_queries()
+    raw = _raw_overrides()
+    for d in (sf_dir, big_dir):
+        _run(catalog["wordcount"].fn, spark, d)
+    rows = {}
+    print(f"| query | t_1x (s) | t_{factor}x-skew (s) | ratio |")
+    print("|---|---|---|---|")
+    for name in SKEW_QUERIES:
+        fn = raw.get(name) or catalog[name].fn
+        t1 = min(_run(fn, spark, sf_dir) for _ in range(2))
+        tN = min(_run(fn, spark, big_dir) for _ in range(2))
+        rows[name] = (round(t1, 2), round(tN, 2), round(tN / t1, 1))
+        print(f"| `{name}` | {t1:.2f} | {tN:.2f} | {tN / t1:.1f} |", flush=True)
+    skew_receipt(spark, big_dir)
+    print(json.dumps({"factor": factor, "skew": True, "rows": rows}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -218,18 +437,32 @@ def main() -> None:
         help="strict Spark-vs-DuckDB multiset compare of the VERIFY_100X "
         "list against the blowup corpus (the SCALE.md receipt, one command)",
     )
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="zipfian replication tier: hot join key (o_custkey), hot "
+        "window partition (user_id), hot document text (shingle df). "
+        "--run uses the skew-sensitive query list + the AQE skew-split "
+        "receipt; --verify uses the SKEW_VERIFY oracle list",
+    )
     args = ap.parse_args()
 
     # sf0.1 * 10 = sf1, * 100 = sf10 — the dir name feeds bench's _sf_of
     # sf0.1 * 3 = sf0.3 — the mid tier exists for the exact-pair-graph
     # family, whose cost is quadratic in the blowup factor on THIS
     # corpus by construction (see VERIFY notes / SCALE.md)
-    out_dir = Path(args.root) / {3: "sf0.3", 10: "sf1", 100: "sf10"}[args.factor]
+    tier = {3: "sf0.3", 10: "sf1", 100: "sf10"}[args.factor]
+    if args.skew:
+        tier += "skew"
+    out_dir = Path(args.root) / tier
     spark = get_spark("blowup-probe")
     if args.build:
-        build(spark, args.sf_dir, out_dir, args.factor)
+        build(spark, args.sf_dir, out_dir, args.factor, skew=args.skew)
     if args.run:
-        run(spark, args.sf_dir, str(out_dir), args.factor)
+        if args.skew:
+            run_skew(spark, args.sf_dir, str(out_dir), args.factor)
+        else:
+            run(spark, args.sf_dir, str(out_dir), args.factor)
     if args.verify:
         import subprocess
 
@@ -239,7 +472,7 @@ def main() -> None:
                 str(Path(__file__).with_name("check_oracles.py")),
                 "--sf-dir",
                 str(out_dir),
-                *VERIFY_100X,
+                *(SKEW_VERIFY if args.skew else VERIFY_100X),
             ]
         )
         if rc:

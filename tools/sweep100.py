@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""Full-catalog strict oracle sweep at the 100x blowup corpus.
+
+Round 6j verified the whole catalog at the 3x/10x tiers and round 7
+re-certified a 30-query list at 100x (`blowup_probe --verify
+--factor 100`); this driver extends the strict Spark-vs-DuckDB
+multiset compare toward ALL registered queries at /tmp/blowup/sf10
+(100x sf0.1: 600M lineitem-rows-equivalent volume, 5M documents, 2M
+embeddings) — the SCALE.md "N/288 exact at 100x, M excluded with
+named reasons" table row.
+
+Exclusion honesty: a query is excluded ONLY when its ORACLE is
+intractable at this volume, in one of two documented ways:
+
+- PRE_EXCLUDED: complexity class known from the 3x/10x sweeps — the
+  exact-pair-graph family (the synthetic vocabulary saturates the
+  shingle space, so the oracle's exact self-join grows quadratically
+  with the blowup factor; the uncapped join spilled >70 GB at 10x)
+  and the all-pairs embedding oracles (n^2 list-lambda cosines over
+  2M vectors). Every entry names the tier where the query IS
+  verified exact.
+- measured timeout: anything else that exceeds the per-query solo
+  budget gets recorded with the measured bound instead of a guess.
+
+Results append to SWEEP100.jsonl (one line per query) so the sweep is
+resumable — re-running skips queries already recorded. Batches run as
+check_oracles subprocesses (one Spark/DuckDB pair per batch) so a
+DuckDB out-of-core crash loses one batch, not the sweep; a timed-out
+batch is retried query-by-query to isolate the hog.
+
+    python tools/sweep100.py            # run / resume
+    python tools/sweep100.py --report   # print the SCALE.md table row
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF100 = "/tmp/blowup/sf10"
+OUT = REPO / "SWEEP100.jsonl"
+BATCH = 6
+BATCH_TIMEOUT = 2400  # s — generous 400 s/query average
+SOLO_TIMEOUT = 900  # s — per-query budget when isolating a slow batch
+
+# Oracle complexity class known from the 3x/10x sweeps (SCALE.md):
+# {query: (reason, tier where verified exact)}.
+PRE_EXCLUDED = {
+    # exact shingle-pair-graph family: oracle self-join quadratic in
+    # the blowup factor on this corpus (shingle-space saturation)
+    "dedup_ngram_jaccard": ("exact shingle self-join oracle quadratic in blowup (spilled >70 GB at 10x)", "3x"),
+    "dedup_ngram_containment": ("exact shingle self-join oracle quadratic in blowup", "3x"),
+    "dedup_lsh_eval": ("eval against the exact pair graph (quadratic oracle)", "3x"),
+    "dedup_simhash_eval": ("eval against the exact pair graph (quadratic oracle)", "3x"),
+    "dedup_semantic_vs_lexical_eval": ("eval joins the exact lexical pair graph (quadratic oracle)", "3x"),
+    "dedup_connected_components": ("recursive-CTE closure over the quadratic pair graph", "3x"),
+    "dedup_clusters_recursive_sql": ("recursive-CTE closure over the quadratic pair graph", "3x"),
+    "dedup_clusters_twophase": ("recursive-CTE closure over the quadratic pair graph", "3x"),
+    "dedup_clusters_localuf": ("recursive-CTE closure over the quadratic pair graph", "3x"),
+    "dedup_keep_manifest": ("manifest derives from the quadratic pair graph", "3x"),
+    "decontaminate_ngram_overlap": ("train x test n-gram join saturates at blowup vocabulary", "3x"),
+    "split_leakage_safe": ("leakage graph is the quadratic pair graph", "3x"),
+    "split_leakage_audit": ("leakage graph is the quadratic pair graph (363 s at 3x)", "3x"),
+    "pipeline_training_dataset": ("capstone includes the pair-graph dedup stage (846 s at 3x)", "3x"),
+    # all-pairs embedding oracles: n^2 list-lambda cosines at 2M vectors
+    "dedup_embedding_cosine": ("all-pairs cosine oracle: 4e12 pairs at 2M vectors", "3x"),
+    "dedup_embedding_clusters": ("components over the all-pairs cosine oracle", "3x"),
+    "similarity_nearest_neighbor": ("all-pairs exact-NN oracle: 4e12 cosines at 2M vectors", "10x"),
+    "similarity_topk_bruteforce": ("labeled O(n^2) baseline; oracle shares the blowup", "10x"),
+}
+
+
+def catalog_names() -> list[str]:
+    from mapreducegcp_spark.registry import all_queries
+
+    return sorted(all_queries())
+
+
+def done_names() -> dict[str, dict]:
+    if not OUT.exists():
+        return {}
+    rows = {}
+    for line in OUT.read_text().splitlines():
+        if line.strip():
+            r = json.loads(line)
+            rows[r["query"]] = r
+    return rows
+
+
+def record(row: dict) -> None:
+    with OUT.open("a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+def run_batch(names: list[str], timeout: int) -> dict[str, dict] | None:
+    """One check_oracles subprocess; None on timeout, else per-query
+    rows parsed from its PASS/FAIL/ROWS-ONLY output lines."""
+    t0 = time.time()
+    try:
+        out = subprocess.run(
+            [
+                sys.executable,
+                str(REPO / "tools" / "check_oracles.py"),
+                "--sf-dir",
+                SF100,
+                "--duckdb-mem",
+                "24GB",
+                *names,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            cwd=str(REPO),
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    rows: dict[str, dict] = {}
+    # check_oracles lines: "PASS name (N rows, Ts)" /
+    # "FAIL name: reason" / "SKIP name: rows-only (...)"
+    status_map = {"PASS": "pass", "FAIL": "fail", "SKIP": "rows_only"}
+    for line in out.stdout.splitlines():
+        parts = line.split()
+        if len(parts) >= 2 and parts[0] in status_map:
+            q = parts[1].rstrip(":")
+            rows[q] = {
+                "query": q,
+                "status": status_map[parts[0]],
+                "detail": line.strip()[:400],
+                "sf": "100x",
+            }
+    # a crashed batch (nonzero rc with missing rows) records errors for
+    # whatever queries produced no line
+    for n in names:
+        if n not in rows:
+            rows[n] = {
+                "query": n,
+                "status": "err",
+                "detail": (out.stderr.strip().splitlines() or ["no output"])[-1][:400],
+                "sf": "100x",
+            }
+    print(
+        f"  batch({len(names)}) -> "
+        + ", ".join(f"{r['status']}:{q}" for q, r in rows.items())
+        + f" [{time.time() - t0:.0f}s]",
+        flush=True,
+    )
+    return rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--report", action="store_true")
+    ap.add_argument("--limit", type=int, default=None, help="stop after N new queries")
+    args = ap.parse_args()
+
+    names = catalog_names()
+    done = done_names()
+
+    if args.report:
+        statuses = {}
+        for n in names:
+            if n in PRE_EXCLUDED:
+                statuses[n] = "excluded"
+            elif n in done:
+                statuses[n] = done[n]["status"]
+            else:
+                statuses[n] = "not_run"
+        from collections import Counter
+
+        c = Counter(statuses.values())
+        print(json.dumps(c, indent=1))
+        for n, s in statuses.items():
+            if s not in ("pass", "excluded"):
+                print(s, n, done.get(n, {}).get("detail", ""))
+        return
+
+    todo = [n for n in names if n not in done and n not in PRE_EXCLUDED]
+    for n, (reason, tier) in PRE_EXCLUDED.items():
+        if n not in done:
+            record(
+                {
+                    "query": n,
+                    "status": "excluded",
+                    "detail": f"{reason}; verified exact at {tier}",
+                    "sf": "100x",
+                }
+            )
+    print(f"sweep100: {len(todo)} to run, {len(done)} recorded", flush=True)
+    if args.limit:
+        todo = todo[: args.limit]
+
+    for i in range(0, len(todo), BATCH):
+        batch = todo[i : i + BATCH]
+        rows = run_batch(batch, BATCH_TIMEOUT)
+        if rows is None:
+            print(f"  batch timeout, isolating: {batch}", flush=True)
+            for n in batch:
+                solo = run_batch([n], SOLO_TIMEOUT)
+                if solo is None:
+                    record(
+                        {
+                            "query": n,
+                            "status": "excluded",
+                            "detail": f"measured: exceeded {SOLO_TIMEOUT}s solo budget at 100x",
+                            "sf": "100x",
+                        }
+                    )
+                else:
+                    record(solo[n])
+        else:
+            for n in batch:
+                record(rows[n])
+
+
+if __name__ == "__main__":
+    main()
