@@ -22,11 +22,13 @@ truecolor/RGBA, palette incl. tRNS, Adam7 for every byte-aligned
 profile) and JPEG (marker walk, DHT/DQT parse, Huffman + RLE
 coefficient decode, dequantize + inverse DCT, gray / 4:4:4 / 4:2:0
 color, ``multimodal_jpeg_roundtrip``; PROGRESSIVE (SOF2) files decode
-too, via the Annex-G successive-approximation path). Only
-lossless/hierarchical/arithmetic JPEG profiles, sampling factors
-above 2, and sub-byte-palette-with-Adam7 PNG raise
-NotImplementedError — that residual seam is where a deployment wires
-PIL in.
+too, via the Annex-G successive-approximation path; sampling factors
+run the full T.81 range 1-4 with integer upsampling ratios — 4:2:2 /
+4:2:0 / 4:4:0 / 4:1:1 all encode AND decode). Only
+lossless/hierarchical/arithmetic JPEG profiles, fractional-ratio
+sampling mixes (e.g. 3x against 2x — libjpeg rejects these too), and
+sub-byte-palette-with-Adam7 PNG raise NotImplementedError — that
+residual seam is where a deployment wires PIL in.
 The testdata has no binary column, so payloads are derived
 deterministically as ``encode(text, 'UTF-8')`` — ASCII corpus, so
 DuckDB can reproduce every byte from the string.
@@ -176,8 +178,11 @@ def _codec_fns():
     T.81 Annex-G successive-approximation path (DC first/refine,
     spectral-selection AC bands with EOB runs, AC refinement),
     verified bit-near-exactly against javax.imageio's decode of the
-    same third-party progressive bytes. Only lossless / hierarchical /
-    arithmetic-coded profiles and sampling factors above 2 raise
+    same third-party progressive bytes. Sampling factors cover the
+    full T.81 range 1-4 per axis (the encoder can emit 4:2:2, 4:2:0,
+    4:4:0 and 4:1:1); only lossless / hierarchical / arithmetic-coded
+    profiles and fractional-ratio sampling mixes (a 3x component
+    against a 2x one — libjpeg rejects those outright) raise
     NotImplementedError — the seam where a deployment wires
     PIL/soundfile in.
     """
@@ -267,13 +272,21 @@ def _codec_fns():
             raise ValueError("jpeg needs positive dims")
         if channels not in (1, 3):
             raise ValueError("jpeg channels must be 1 (gray) or 3 (RGB)")
-        if subsampling not in ("444", "422", "420"):
-            raise ValueError("jpeg subsampling must be '444', '422' or '420'")
+        subsamp = {
+            "444": (1, 1),
+            "422": (2, 1),
+            "420": (2, 2),
+            "440": (1, 2),
+            "411": (4, 1),
+        }
+        if subsampling not in subsamp:
+            raise ValueError(
+                "jpeg subsampling must be one of " + ", ".join(sorted(subsamp))
+            )
         if channels != 3:
             subsampling = "444"
         # chroma decimation factors per axis (sh horizontal, sv vertical)
-        sh = 2 if subsampling in ("422", "420") else 1
-        sv = 2 if subsampling == "420" else 1
+        sh, sv = subsamp[subsampling]
         zz, C = _jpeg_tables()
         q = np.array(JPEG_QTAB, dtype=np.float64).reshape(8, 8)
         n = width * height * channels
@@ -501,10 +514,9 @@ def _codec_fns():
         for i in range(nc):
             cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
             hi, vi = samp >> 4, samp & 15
-            if hi not in (1, 2) or vi not in (1, 2):
-                raise NotImplementedError(
-                    "jpeg sampling factors beyond 1-2 per axis"
-                )
+            if not (1 <= hi <= 4) or not (1 <= vi <= 4):
+                # T.81 A.1.1 bounds the factors at 4; 0 is malformed
+                raise ValueError("jpeg sampling factors out of range 1-4")
             comps.append((cid, hi, vi, qid))
         return w, h, comps
 
@@ -640,6 +652,15 @@ def _codec_fns():
             ch = (h * vi + vmax - 1) // vmax
             plane = plane[:ch, :cw]
             if hi < hmax or vi < vmax:
+                if hmax % hi or vmax % vi:
+                    # T.81 permits e.g. a 3x-vs-2x component mix whose
+                    # upsample ratio is fractional; no mainstream
+                    # encoder emits it (libjpeg rejects non-integer
+                    # ratios outright) — explicit seam, not silence
+                    raise NotImplementedError(
+                        "non-integer chroma upsampling ratio "
+                        f"({hmax}/{hi} x {vmax}/{vi})"
+                    )
                 plane = np.repeat(
                     np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
                 )

@@ -731,6 +731,90 @@ def test_jpeg_420_roundtrip_and_imageio_agreement(spark):
     assert worst <= 16, worst
 
 
+def test_jpeg_extended_sampling_profiles_roundtrip_and_imageio(spark):
+    """4:1:1 (DV-video stills: chroma quartered horizontally, 32x8
+    MCUs) and 4:4:0 (chroma halved vertically) — the rest of the T.81
+    integer-ratio sampling space beyond 4:2:2/4:2:0 (round 8; the
+    former `sampling factors beyond 1-2` seam). Self round-trip near
+    the source on smooth content, both streams smaller than the 4:4:4
+    twin, and javax.imageio (independent decoder, zero shared code)
+    accepts both and lands near the source too."""
+    import numpy as np
+
+    from mapreducegcp_spark.operators.multimodal import decode_media, encode_media
+
+    w, h = 37, 22
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(xx * 5 + 40) % 256, (yy * 7 + 10) % 256, ((xx + yy) * 3) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    p444 = encode_media(rgb.tobytes(), "jpeg", width=w, height=h, channels=3)
+    jvm = spark._jvm
+    for sub, mcu_w, mcu_h in (("411", 32, 8), ("440", 8, 16)):
+        p = encode_media(
+            rgb.tobytes(), "jpeg", width=w, height=h, channels=3, subsampling=sub
+        )
+        assert len(p) < len(p444), sub
+        d = decode_media(p, "jpeg")
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert d["n_blocks"] == (
+            (w + mcu_w - 1) // mcu_w * ((h + mcu_h - 1) // mcu_h)
+        ), sub
+        got = np.frombuffer(d["pixels"], np.uint8).reshape(h, w, 3).astype(int)
+        assert int(np.abs(got - rgb.astype(int)).max()) <= 24, sub
+        img = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(p))
+        )
+        assert img is not None and (img.getWidth(), img.getHeight()) == (w, h), sub
+        worst = 0
+        for y in range(h):
+            for x in range(w):
+                pix = img.getRGB(x, y)
+                worst = max(
+                    worst,
+                    abs(((pix >> 16) & 255) - int(rgb[y, x, 0])),
+                    abs(((pix >> 8) & 255) - int(rgb[y, x, 1])),
+                    abs((pix & 255) - int(rgb[y, x, 2])),
+                )
+        assert worst <= 24, (sub, worst)
+
+
+def test_jpeg_fractional_sampling_mix_is_an_explicit_seam():
+    """A 3x-against-2x component mix has a fractional upsampling ratio;
+    T.81 permits it but no mainstream encoder emits it (libjpeg
+    rejects it outright). The decoder must name the seam, not decode
+    garbage: a handcrafted SOF with factors (3,1)/(2,1)/(1,1) must
+    raise NotImplementedError from the finalize ratio check."""
+    import numpy as np
+    import pytest
+
+    from mapreducegcp_spark.operators.multimodal import decode_media, encode_media
+
+    # take a real 4:4:4 stream and rewrite its SOF sampling bytes:
+    # comp0 (3,1), comp1 (2,1), comp2 (1,1) — parse passes (1..4),
+    # finalize must refuse the 3/2 ratio
+    w, h = 24, 8
+    rgb = (np.indices((h, w)).sum(0) % 256).astype(np.uint8)
+    rgb = np.stack([rgb] * 3, axis=-1)
+    p = bytearray(
+        encode_media(rgb.tobytes(), "jpeg", width=w, height=h, channels=3)
+    )
+    i = p.find(b"\xff\xc0")
+    assert i >= 0
+    # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) then per-comp 3 bytes
+    base = i + 2 + 2 + 1 + 4 + 1
+    p[base + 1] = 0x31  # comp 0: h=3, v=1
+    p[base + 4] = 0x21  # comp 1: h=2, v=1
+    p[base + 7] = 0x11  # comp 2: h=1, v=1
+    with pytest.raises((NotImplementedError, ValueError)) as exc:
+        decode_media(bytes(p), "jpeg")
+    # the scan bytes no longer match the declared geometry, so the
+    # entropy decoder may hit a framing error before finalize — both
+    # are loud; what must NOT happen is silent wrong pixels
+    assert exc.type in (NotImplementedError, ValueError)
+
+
 def test_jpeg_ingests_imageio_written_420_file(spark):
     """The ingest receipt: javax.imageio WRITES a color JPEG with its
     default settings (baseline 4:2:0, two quant tables, its own
@@ -868,10 +952,12 @@ def test_jpeg_16bit_quant_table_decodes():
     assert decode_media(patched, "jpeg")["pixels"] == base
 
 
-def test_jpeg_sampling_beyond_two_still_raises():
-    """Sampling factors above 2 stay an honest NotImplementedError:
-    patch the Y component's factors in SOF0 to 3x3 and the decoder
-    must refuse rather than misinterpret the MCU layout."""
+def test_jpeg_sampling_out_of_t81_range_raises():
+    """Sampling factors 1-4 are now SUPPORTED (round 8 closed the
+    former beyond-1-2 seam; see the 4:1:1/4:4:0 round-trip test), so
+    the loud-contract pin moves to the T.81 A.1.1 bound itself:
+    factors of 0 or above 4 are malformed streams and must raise
+    ValueError rather than misinterpret the MCU layout."""
     blob = encode_media(
         bytes(300), "jpeg", width=10, height=10, channels=3
     )
@@ -879,9 +965,10 @@ def test_jpeg_sampling_beyond_two_still_raises():
     # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) then (id, samp, qid)*3
     samp_off = i + 2 + 2 + 1 + 4 + 1 + 1  # first component's sampling byte
     assert blob[samp_off] == 0x11
-    patched = blob[:samp_off] + b"\x33" + blob[samp_off + 1 :]
-    with pytest.raises(NotImplementedError):
-        decode_media(patched, "jpeg")
+    for bad in (b"\x55", b"\x01", b"\x10"):  # 5x5, h=0, v=0
+        patched = blob[:samp_off] + bad + blob[samp_off + 1 :]
+        with pytest.raises(ValueError):
+            decode_media(patched, "jpeg")
 
 
 def _imageio_progressive_bytes(jvm, arr, gray=False):
