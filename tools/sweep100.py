@@ -158,6 +158,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--report", action="store_true")
     ap.add_argument("--limit", type=int, default=None, help="stop after N new queries")
+    ap.add_argument(
+        "--reverse",
+        action="store_true",
+        help="work the todo list back-to-front — a second worker run "
+        "this way converges toward the forward worker with at most "
+        "one batch of overlap (the done log is re-read before every "
+        "batch)",
+    )
     args = ap.parse_args()
 
     names = catalog_names()
@@ -182,6 +190,8 @@ def main() -> None:
         return
 
     todo = [n for n in names if n not in done and n not in PRE_EXCLUDED]
+    if args.reverse:
+        todo = todo[::-1]
     for n, (reason, tier) in PRE_EXCLUDED.items():
         if n not in done:
             record(
@@ -197,7 +207,12 @@ def main() -> None:
         todo = todo[: args.limit]
 
     for i in range(0, len(todo), BATCH):
-        batch = todo[i : i + BATCH]
+        # re-read the log so a concurrent worker's completed queries
+        # are skipped (two workers converge with <= one batch overlap)
+        fresh = done_names()
+        batch = [n for n in todo[i : i + BATCH] if n not in fresh]
+        if not batch:
+            continue
         rows = run_batch(batch, BATCH_TIMEOUT)
         if rows is None:
             print(f"  batch timeout, isolating: {batch}", flush=True)
