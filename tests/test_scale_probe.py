@@ -129,3 +129,66 @@ def test_ann_recall_gates_pass_at_disk_blowup(spark, name, tier):
 
     row = all_queries()[name].fn(spark, str(BLOWUP_ROOT / tier)).collect()[0]
     assert row.recall_ok, (name, tier, row)
+
+
+_SKEW_TIER = BLOWUP_ROOT / "sf1skew"
+
+
+@slow_probe
+@pytest.mark.skipif(
+    not _SKEW_TIER.is_dir(),
+    reason="skewed blowup corpus absent; build with "
+    "tools/blowup_probe.py --build --factor 10 --skew",
+)
+def test_aqe_skew_split_receipt_on_zipfian_corpus(spark):
+    """Round-8 skew receipt, re-runnable: on the zipfian 10x corpus
+    (18% of orders on ONE hot customer) the forced-SMJ hot join must
+    show AQE skew-split markers in the executed adaptive plan AND
+    hash-equal the unsplit execution (decimal-domain sum, so the
+    compare is fold-order-invariant). SystemExit from the probe means
+    the mitigation no longer engages or diverged — both are round-8
+    regressions."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent / "tools"))
+    from blowup_probe import skew_receipt
+
+    skew_receipt(spark, str(_SKEW_TIER))  # raises SystemExit on failure
+
+
+@slow_probe
+@pytest.mark.skipif(
+    not _SKEW_TIER.is_dir(),
+    reason="skewed blowup corpus absent; build with "
+    "tools/blowup_probe.py --build --factor 10 --skew",
+)
+@pytest.mark.parametrize(
+    "name", ["dedup_exact", "window_topn_per_customer", "sessionize_events"]
+)
+def test_skew_tier_oracles_stay_exact(spark, name):
+    """Skew changes the data DISTRIBUTION, never the semantics: the
+    hot-partition window, the hot-user sessionizer and the
+    giant-duplicate-cluster dedup must stay strict-multiset-equal to
+    their DuckDB oracles on the zipfian corpus (the probe's full
+    10-query SKEW_VERIFY list ran green when the tier was built; this
+    re-runnable subset guards the three most skew-sensitive shapes)."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent / "tools"))
+    import subprocess
+
+    out = subprocess.run(
+        [
+            _sys.executable,
+            str(_Path(__file__).resolve().parent.parent / "tools" / "check_oracles.py"),
+            "--sf-dir",
+            str(_SKEW_TIER),
+            name,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert f"PASS {name}" in out.stdout, out.stdout + out.stderr[-1500:]
