@@ -1295,7 +1295,15 @@ def q_sql_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame
     against the edge list; depth is bounded by the hierarchy (3
     levels), so the loop count is schema-, not data-, sized. The
     frontier shuffles on the join key like any other join — skew/AQE
-    handling applies per iteration."""
+    handling applies per iteration. Spark guards runaway recursion
+    with a cumulative ROW limit (default 1e6) on top of the level
+    limit; a 3-level walk over a real corpus emits one row per entity,
+    so the default aborts around 1M customers+suppliers
+    (RECURSION_ROW_LIMIT_EXCEEDED at the 100x corpus, 16M nodes).
+    The level limit is the right runaway guard for a fixed-depth
+    hierarchy; raise the row cap so output size is bounded by the
+    data, not a constant."""
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
     for t in ("region", "nation", "supplier", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_rc")
     return spark.sql(
