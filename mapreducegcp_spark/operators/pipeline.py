@@ -143,7 +143,9 @@ WHERE d.source = '{_NEW_SOURCE}'
 
 
 @register("dedup_incremental", oracle=_INCR_ORACLE, tags=("llm-pipeline",))
-def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_incremental(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
     """Incremental dedup: admit an arriving batch (source = src18)
     against the existing corpus — drop exact-normalized duplicates,
     then near-duplicates (shingle Jaccard >= 0.5 against any corpus
@@ -153,10 +155,20 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment would have materialized incrementally.
 
     Scale: cost is proportional to the new batch's shingle mass times
-    per-shingle corpus frequency — independent of corpus size for
-    non-pathological shingles (cap document frequency to bound the hot
-    ones). The exact stage is one hash semi-join; the near-dup stage
-    reuses the dedup_ngram_jaccard inverted-index join asymmetrically."""
+    per-shingle corpus frequency. ``df_cap`` is the hot-shingle
+    mitigation, identical in contract to dedup_ngram_jaccard's: corpus
+    shingles appearing in more than ``df_cap`` documents are dropped
+    from the probe JOIN (never from the size denominators), so
+    per-shingle fan-out is bounded by new_df x df_cap and surviving
+    pairs keep their true union size — capped decisions are
+    conservative (a doc can only move drop_neardup -> keep, never the
+    reverse; precision of reported matches stays 1.0). Default None is
+    the exact registered/oracle path. The cap is not optional at
+    saturation scale: on the synthetic 100x blowup corpus the ~30-word
+    vocabulary drives every shingle's df to O(corpus), and the exact
+    join's intermediate exhausted 77 GB of spill disk (measured; same
+    family as dedup_ngram_jaccard's 10x receipt). The exact stage is
+    one hash semi-join either way."""
     from mapreducegcp_spark.operators.dedup import _JACCARD_THRESHOLD, shingles
 
     assert _JACCARD_THRESHOLD == MIN_JACCARD
@@ -176,14 +188,29 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 64-bit shingle ids: identity-only join keys (see dedup.py
     # _doc_shingle_ids for the collision argument), ~3x narrower shuffle.
+    # Lazy checkpoint: three consumers (sizes + both join sides) would
+    # otherwise each re-run tokenize+shingle over the corpus.
     sh = docs.select(
         "doc_id", "source", tokens("text").alias("toks")
     ).select(
         "doc_id", "source", F.explode(shingles("toks")).alias("shingle_str")
-    ).select("doc_id", "source", F.xxhash64("shingle_str").alias("shingle"))
+    ).select(
+        "doc_id", "source", F.xxhash64("shingle_str").alias("shingle")
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    new_sh = sh.filter(is_new).select(F.col("doc_id").alias("new_doc"), "shingle")
-    old_sh = sh.filter(~is_new).select(F.col("doc_id").alias("old_doc"), "shingle")
+    joinable = sh
+    if df_cap is not None:
+        # Hot set is tiny by definition (df > df_cap survivors only),
+        # so the anti-join broadcasts and the cap applies map-side.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    new_sh = joinable.filter(is_new).select(F.col("doc_id").alias("new_doc"), "shingle")
+    old_sh = joinable.filter(~is_new).select(F.col("doc_id").alias("old_doc"), "shingle")
     pairs = (
         new_sh.join(old_sh, "shingle")
         .groupBy("new_doc", "old_doc")

@@ -411,3 +411,43 @@ def test_local_uf_multi_level_matches_union_find(spark, edges):
         for r in local_uf_components(pairs, "a", "b", edges_per_part=3).collect()
     }
     assert got == _union_find_components(edges)
+
+
+def test_incremental_df_cap_decisions_are_conservative(spark, sf_dir):
+    """dedup_incremental's df_cap mirrors the jaccard contract at the
+    DECISION level: the exact-hash stage is cap-independent
+    (drop_exact rows identical), a capped drop_neardup implies an
+    exact drop_neardup (the cap can only lose pairs, so it can only
+    move docs toward keep), a surviving match's jaccard never exceeds
+    the exact best (denominators stay uncapped), and an unreachable
+    cap is the identity. The synthetic corpus's tiny vocabulary makes
+    corpus-hot shingles real at any size, so a small cap genuinely
+    drops join keys here."""
+    from mapreducegcp_spark.operators.pipeline import q_dedup_incremental
+
+    exact = {r.doc_id: r for r in q_dedup_incremental(spark, sf_dir).collect()}
+    capped = {
+        r.doc_id: r
+        for r in q_dedup_incremental(spark, sf_dir, df_cap=8).collect()
+    }
+    assert set(capped) == set(exact), "cap must not change the admitted batch"
+    for doc_id, c in capped.items():
+        e = exact[doc_id]
+        if c.decision == "drop_exact" or e.decision == "drop_exact":
+            # hash stage sees no shingles: cap-independent
+            assert c.decision == e.decision == "drop_exact"
+        elif c.decision == "drop_neardup":
+            assert e.decision == "drop_neardup", doc_id
+            assert c.jaccard <= e.jaccard + 1e-12, (doc_id, c.jaccard, e.jaccard)
+        else:
+            assert c.decision == "keep"  # exact may be keep OR drop_neardup
+
+    identity = {
+        r.doc_id: r
+        for r in q_dedup_incremental(spark, sf_dir, df_cap=10_000_000).collect()
+    }
+    assert all(
+        identity[d].decision == exact[d].decision
+        and identity[d].match_doc_id == exact[d].match_doc_id
+        for d in exact
+    ), "an unreachable cap must be exact"
