@@ -36,8 +36,15 @@ def get_spark(
     app_name: str = "mapreducegcp-spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    """Build (or reuse) a local SparkSession tuned for this engine."""
+    """Build (or reuse) a local SparkSession tuned for this engine.
+
+    ``extra_conf`` entries are applied last (they win over the
+    defaults). Creation-time-only confs (driver memory, maxResultSize)
+    are silently ignored by getOrCreate when a session already exists —
+    callers that need them must be the ones creating the session.
+    """
     n = cpus or cpus_from_env()
     builder = (
         SparkSession.builder.master(f"local[{n}]")
@@ -64,6 +71,8 @@ def get_spark(
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

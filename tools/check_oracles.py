@@ -99,7 +99,13 @@ def main() -> int:
     if unknown:
         sys.exit(f"check_oracles: unknown query name(s) {unknown}")
     names = [n for n in names if n not in set(args.exclude)]
-    spark = get_spark("check-oracles")
+    # The compare intentionally materializes FULL query results on the
+    # driver (exact multiset check) — lift the collect guard that a
+    # production driver would keep: at the 100x corpus, row-level
+    # queries legitimately return >1 GiB of rows.
+    spark = get_spark(
+        "check-oracles", extra_conf={"spark.driver.maxResultSize": "0"}
+    )
 
     con = duckdb.connect()
     if args.duckdb_mem:
