@@ -156,8 +156,10 @@ def q_dedup_incremental(
 
     Scale: cost is proportional to the new batch's shingle mass times
     per-shingle corpus frequency. ``df_cap`` is the hot-shingle
-    mitigation, identical in contract to dedup_ngram_jaccard's: corpus
-    shingles appearing in more than ``df_cap`` documents are dropped
+    mitigation, identical in contract to dedup_ngram_jaccard's:
+    shingles appearing in more than ``df_cap`` documents — df measured
+    over corpus PLUS arriving batch, so a shingle rare in the corpus
+    but saturating the batch is also capped — are dropped
     from the probe JOIN (never from the size denominators), so
     per-shingle fan-out is bounded by new_df x df_cap and surviving
     pairs keep their true union size — capped decisions are
@@ -200,15 +202,19 @@ def q_dedup_incremental(
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     joinable = sh
     if df_cap is not None:
-        # Hot set is tiny by definition (df > df_cap survivors only),
-        # so the anti-join broadcasts and the cap applies map-side.
+        # |hot| <= total_shingle_rows / df_cap (each survivor owns >
+        # df_cap rows), so for the intended regime (df_cap sized to
+        # make per-shingle fan-out affordable) the set is small — but
+        # a tiny df_cap over a large unsaturated shingle space could
+        # still make it wide, so leave the join strategy to AQE
+        # instead of forcing a driver-side broadcast of it.
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .where(F.col("df") > df_cap)
             .select("shingle")
         )
-        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        joinable = sh.join(hot, "shingle", "left_anti")
     new_sh = joinable.filter(is_new).select(F.col("doc_id").alias("new_doc"), "shingle")
     old_sh = joinable.filter(~is_new).select(F.col("doc_id").alias("old_doc"), "shingle")
     pairs = (

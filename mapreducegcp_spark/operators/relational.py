@@ -1302,10 +1302,24 @@ def q_sql_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame
     (RECURSION_ROW_LIMIT_EXCEEDED at the 100x corpus, 16M nodes).
     The level limit is the right runaway guard for a fixed-depth
     hierarchy; raise the row cap so output size is bounded by the
-    data, not a constant."""
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
+    data, not a constant.
+
+    The conf mutation is session-wide and cannot be bracketed around
+    execution (the returned DataFrame runs lazily, after this function
+    exits), so instead of removing the guard with a huge constant the
+    cap is SIZED FROM THE DATA: a 3-level walk emits at most one row
+    per entity, so 2x the node count (+slack for the seed level)
+    bounds this query while remaining a meaningful runaway guard for
+    every later WITH RECURSIVE in the session (dedup.py recursive
+    cluster resolution, graph.py), where row blowup is data-dependent."""
+    n_nodes = 0
     for t in ("region", "nation", "supplier", "customer"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_rc")
+        df = load_table(spark, sf_dir, t)
+        df.createOrReplaceTempView(f"{t}_rc")
+        n_nodes += df.count()
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(2 * n_nodes + 1_000, 1_000_000))
+    )
     return spark.sql(
         """
         WITH RECURSIVE edges AS (
