@@ -409,11 +409,52 @@ def q_dedup_minhash_lsh(
     132s -> ~8s at sf0.1 vs the earlier nested-HOF plan.
     ``shingle_rows``: optional pre-materialized (doc_id, shingle)
     table shared with other shingle consumers (dedup_lsh_eval).
+
+    EXACT-COLLAPSE PRE-PASS (the RefinedWeb/SlimPajama order): verbatim
+    duplicates are collapsed to one representative per sha256(text)
+    group BEFORE shingling/banding, and pairs are expanded back through
+    the group map afterwards. Within a group signatures are identical,
+    so (a) every intra-group pair is a candidate in every band with
+    estimate exactly 32/32 = 1.0, and (b) a cross-group member pair is
+    a candidate iff its representatives share a bucket, with the same
+    estimate — the expansion therefore reproduces the uncollapsed
+    output EXACTLY (same oracle), while the bucket self-join sees one
+    row per distinct text instead of one per document. That removes
+    the bucket-size^2 candidate blowup a verbatim duplicate cluster
+    otherwise drives through the shuffle (the zipfian skew tier's
+    2,244-copy cluster: 2,244^2 x 8 banded candidate rows + distinct
+    before; one representative row per band after — intra pairs are
+    emitted directly by a group self-join, output-bound). Groups whose
+    representative yields no shingles (texts shorter than the shingle
+    width) are excluded from intra expansion, matching the uncollapsed
+    plan which emits nothing for unsigned docs.
     """
     r = MINHASH_K // LSH_BANDS
-    sigw = minhash_signatures(
-        shingle_rows if shingle_rows is not None else _doc_shingles(spark, sf_dir)
-    ).cache()
+
+    # Group map: one representative (min doc_id) per verbatim text.
+    docs_h = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+    groups = docs_h.groupBy("h").agg(F.min("doc_id").alias("rep"))
+    members = (
+        docs_h.join(groups, "h")
+        .select("rep", F.col("doc_id").alias("member"))
+        .localCheckpoint(eager=False)
+    )
+    rep_ids = groups.select(F.col("rep").alias("doc_id"))
+
+    if shingle_rows is not None:
+        rep_shingles = shingle_rows.join(rep_ids, "doc_id", "leftsemi")
+    else:
+        # Collapse BEFORE tokenize+shingle: the dominant map cost runs
+        # once per distinct text, not once per copy.
+        rep_docs = fan_out_scan(load_table(spark, sf_dir, "documents"), spark).join(
+            rep_ids, "doc_id", "leftsemi"
+        )
+        rep_shingles = rep_docs.select(
+            "doc_id", tokens("text").alias("toks")
+        ).select("doc_id", F.explode(shingles("toks")).alias("shingle"))
+    sigw = minhash_signatures(rep_shingles).cache()
 
     # Narrow band table: (doc_id, band, bucket) only — the signatures do
     # NOT flow through the self-join shuffle.
@@ -459,12 +500,48 @@ def q_dedup_minhash_lsh(
         ).cast("double")
         / MINHASH_K
     )
-    return (
+    rep_pairs = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", est.alias("jaccard_est"))
         .filter(F.col("jaccard_est") >= _JACCARD_THRESHOLD)
     )
+
+    # Expand representative pairs back to member pairs. Cross-group:
+    # each member inherits its rep's estimate (identical signatures);
+    # canonical orientation via least/greatest — exactly one of the
+    # two orientations satisfied the uncollapsed a < b predicate.
+    ma = members.select(F.col("rep").alias("doc_a"), F.col("member").alias("a_m"))
+    mb = members.select(F.col("rep").alias("doc_b"), F.col("member").alias("b_m"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("a_m", "b_m").alias("doc_a"),
+            F.greatest("a_m", "b_m").alias("doc_b"),
+            "jaccard_est",
+        )
+    )
+    # Intra-group: all-equal signatures -> candidate in every band,
+    # estimate exactly 1.0. Restrict to groups whose rep has a
+    # signature (>=1 shingle) — unsigned docs emit nothing either way.
+    signed = sigw.select(F.col("doc_id").alias("rep"))
+    signed_members = members.join(signed, "rep", "leftsemi")
+    x = signed_members.alias("x")
+    y = signed_members.alias("y")
+    intra = (
+        x.join(
+            y,
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.member") < F.col("y.member")),
+        )
+        .select(
+            F.col("x.member").alias("doc_a"),
+            F.col("y.member").alias("doc_b"),
+            F.lit(1.0).alias("jaccard_est"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # ------------------------------------------------- SimHash

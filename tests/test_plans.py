@@ -615,3 +615,18 @@ def test_codec_roundtrips_parallelize_python_stage(spark):
             name,
             tree[:2000],
         )
+
+
+def test_minhash_lsh_exact_collapse_precedes_banding(spark):
+    """dedup_minhash_lsh composes exact-collapse BEFORE LSH banding:
+    verbatim sha256(text) groups are reduced to one representative
+    ahead of the bucket self-join (killing the bucket-size^2 candidate
+    blowup a verbatim duplicate cluster drives — the zipfian skew
+    tier's worst mover), and pairs are expanded back afterwards. Pin
+    the three structural facts: the sha2 group hash exists in the
+    plan, the shingle source is representative-filtered (left-semi),
+    and the output is the cross-expansion UNION intra-group pairs."""
+    tree, _ = _plans(spark, "dedup_minhash_lsh")
+    assert "sha2" in tree, tree[:2000]
+    assert "LeftSemi" in tree, tree[:2000]
+    assert "Union" in tree, tree[:2000]
