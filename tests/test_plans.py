@@ -94,8 +94,9 @@ SHAPE = [
     # trigram search: posting agg + broadcast candidate verify
     ("agg_weighted_median", 2, 0, False),
     ("search_trigram_index", 1, 1, False),
-    # phash near-dup: one band-key self-join shuffle pair + distinct;
-    # payloads reduce to a 60-bit long before anything wide
+    # phash near-dup: one (segment, key) probe/index shuffle pair for
+    # the 1-flip multi-index join + the survivor distinct; payloads
+    # reduce to a 60-bit long before anything wide
     ("multimodal_phash_near_dup", 3, 0, False),
     # full corpus->manifest pipeline: dedup window + packing window;
     # the final rollup reuses the packing partitioning
