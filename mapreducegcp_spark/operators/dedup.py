@@ -806,45 +806,71 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_clusters_recursive_sql", oracle=_CLUSTERS_ORACLE, tags=("llm-pipeline",))
-def q_dedup_clusters_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster resolution via WITH RECURSIVE (Spark 4 native
-    recursion) — same result as dedup_connected_components, same DuckDB
-    oracle, different execution path: the transitive closure runs
-    INSIDE the engine instead of as a driver-controlled join loop.
+def recursive_sql_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Connected components with the transitive closure INSIDE the
+    engine (Spark 4 WITH RECURSIVE) — the execution-path alternative
+    to the three driver-controlled loops. Output matches them exactly:
+    (doc_id, cluster_id = component min), nodes with >= 1 edge.
 
-    When to choose which at 100 TB: the recursive CTE materializes the
-    full reachability relation (src, dst) — O(sum of component sizes
-    squared) rows — so it is right for graphs with small components
-    (dup clusters: 2-5 docs) and wrong for large ones; the iterative
-    min-label loop (above) carries one label per node regardless of
-    component size and converges in diameter rounds. Both are shipped
-    because the crossover is real."""
-    # The pair graph must be MATERIALIZED before the recursion: Spark's
-    # recursive CTE re-evaluates the anchor's dependencies every
-    # iteration, and `dup_pairs` here is the full shingle self-join —
-    # unmaterialized, 8 recursion rounds re-ran an ~2s plan 8 times
-    # (14.4s for this query at sf0.01). The shared session graph is a
-    # lazy checkpoint: round 1 of the recursion materializes it, later
-    # rounds (and the five sibling consumers) re-read tiny in-memory
-    # pair rows (measured ~5x faster).
-    pairs = jaccard_pair_graph(spark, sf_dir)
-    pairs.createOrReplaceTempView("dup_pairs")
-    # Spark 4 recursion only supports UNION ALL (no fixpoint dedup), so
-    # the walk is depth-bounded: exact whenever component diameter <= 4
-    # (dup clusters are tiny cliques — measured max diameter 1, max
-    # component 4 across sf0.001/0.01/0.1; the DuckDB oracle computes
-    # the TRUE closure, so the check would fail if the bound were ever
-    # too small). Path count on a k-clique grows (k-1)^depth and each
-    # recursion round is a separately-scheduled job, so the bound is
-    # also the latency knob — 8 -> 4 halves the round count for the
-    # same exact result. Large/long graphs use the loop above.
-    return spark.sql(
+    Three-stage composition, each stage covering the previous one's
+    failure mode:
+
+    1. TWO STATIC CONTRACTION PRE-ROUNDS (plain SQL, no recursion):
+       each node adopts min(self, neighbors) and edges re-map through
+       that label; vanished (intra-label) edges drop. One round
+       collapses any clique to a star (the component min is adjacent
+       to every member), which removes the recursive walk's
+       path-enumeration explosion — on a k-clique, depth-d
+       reachability materializes k*(k-1)^d paths (2,244-copy skew
+       cluster: 2.5e13 rows at d=4), but a contracted clique has no
+       edges left to walk. Chain-shaped graphs shrink their diameter
+       each round instead.
+    2. DEPTH-4 RECURSIVE REACHABILITY over the contracted graph
+       (Spark 4 recursion is UNION ALL-only — no fixpoint dedup — so
+       the walk must be depth-bounded; 2 contraction rounds + depth 4
+       cover every corpus tier this engine has seen, including the
+       uniform-100x blowup graph whose diameter-5 component the
+       round-9 engine-vs-engine cross-check caught the bare depth-4
+       walk silently mislabeling). Final labels compose the two
+       contraction maps with the recursive closure.
+    3. A FIXPOINT GUARD in the same plan: every input edge must join
+       two equal final labels; a residual difference means the graph
+       out-ran the depth budget and the query FAILS LOUDLY
+       (raise_error through a 1-row broadcast) instead of returning
+       plausible-but-wrong clusters — the same fail-loud contract as
+       min_label_components' 50-round bound. Deeper graphs are the
+       iterative engines' domain, not this one's.
+    """
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    maps = []
+    for _ in range(2):
+        und = e.union(e.select(F.col("b"), F.col("a"))).toDF("u", "v")
+        m = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("nmin"))
+            .select("u", F.least("u", "nmin").alias("m"))
+            .localCheckpoint(eager=False)
+        )
+        maps.append(m)
+        ma = m.select(F.col("u").alias("a"), F.col("m").alias("la"))
+        mb = m.select(F.col("u").alias("b"), F.col("m").alias("lb"))
+        e = (
+            e.join(ma, "a")
+            .join(mb, "b")
+            .where(F.col("la") != F.col("lb"))
+            .select(
+                F.least("la", "lb").alias("a"), F.greatest("la", "lb").alias("b")
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    e.createOrReplaceTempView("dup_pairs_contracted")
+    rec = spark.sql(
         """
         WITH RECURSIVE
-        e AS (SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+        e AS (SELECT a, b FROM dup_pairs_contracted
               UNION ALL
-              SELECT doc_b, doc_a FROM dup_pairs),
+              SELECT b, a FROM dup_pairs_contracted),
         nodes AS (SELECT DISTINCT a AS n FROM e),
         reach(src, dst, depth) AS (
           SELECT n, n, 0 FROM nodes
@@ -853,11 +879,77 @@ def q_dedup_clusters_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM reach r JOIN e ON r.dst = e.a
           WHERE r.depth < 4
         )
-        SELECT src AS doc_id, min(dst) AS cluster_id
+        SELECT src AS l2, min(dst) AS l3
         FROM reach
         GROUP BY src
         """
     )
+    # Compose: node -> round-1 label -> round-2 label -> closure label.
+    # A label absent from the next layer means its edges vanished
+    # there, i.e. it already IS its component's min (coalesce holds it).
+    lab = maps[0].select(F.col("u").alias("doc_id"), F.col("m").alias("l1"))
+    m2 = maps[1].select(F.col("u").alias("l1"), F.col("m").alias("l2"))
+    lab = lab.join(m2, "l1", "left").select(
+        "doc_id", F.coalesce("l2", "l1").alias("l2")
+    )
+    lab = lab.join(rec, "l2", "left").select(
+        "doc_id", F.coalesce("l3", "l2").alias("cluster_id")
+    )
+    lab = lab.localCheckpoint(eager=False)
+    la = lab.select(F.col("doc_id").alias("a"), F.col("cluster_id").alias("ca"))
+    lb = lab.select(F.col("doc_id").alias("b"), F.col("cluster_id").alias("cb"))
+    guard = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .join(la, "a")
+        .join(lb, "b")
+        .where(F.col("ca") != F.col("cb"))
+        .agg(F.count("*").alias("n_bad"))  # exactly one row
+        .select(
+            F.assert_true(
+                F.col("n_bad") == 0,
+                F.lit(
+                    "recursive_sql_components: graph diameter exceeds the "
+                    "contraction+depth budget; use min_label_components / "
+                    "two_phase_components / local_uf_components"
+                ),
+            ).alias("converged")
+        )
+    )
+    # The guard column must survive optimization: a bare drop() lets
+    # Catalyst prune the assert_true projection without evaluating it
+    # (observed — the deep-graph test returned wrong labels silently).
+    # Filtering ON the column makes its value load-bearing:
+    # assert_true yields NULL on success, raises otherwise.
+    return (
+        lab.crossJoin(F.broadcast(guard))
+        .where(F.col("converged").isNull())
+        .drop("converged")
+    )
+
+
+@register("dedup_clusters_recursive_sql", oracle=_CLUSTERS_ORACLE, tags=("llm-pipeline",))
+def q_dedup_clusters_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution via WITH RECURSIVE (Spark 4 native
+    recursion) — same result as dedup_connected_components, same DuckDB
+    oracle, different execution path: the transitive closure runs
+    INSIDE the engine instead of as a driver-controlled join loop (see
+    recursive_sql_components for the contraction + depth + fixpoint-
+    guard composition, hardened by the round-9 100x cross-check).
+
+    When to choose which at 100 TB: the recursive CTE materializes a
+    reachability relation, so it is right for graphs whose contracted
+    components are small/shallow (dup clusters); unboundedly deep
+    graphs are the iterative engines' domain — and the guard makes
+    that boundary a loud error, never a wrong answer."""
+    # The pair graph must be MATERIALIZED before use: Spark's
+    # recursive CTE re-evaluates the anchor's dependencies every
+    # iteration, and the graph here is the full shingle self-join —
+    # unmaterialized, each recursion round re-ran an ~2s plan
+    # (14.4s for this query at sf0.01). The shared session graph is a
+    # lazy checkpoint: the first consumer materializes it, later
+    # rounds (and the five sibling consumers) re-read tiny in-memory
+    # pair rows (measured ~5x faster).
+    return recursive_sql_components(spark, jaccard_pair_graph(spark, sf_dir))
 
 
 # ------------------------------------- fuzzy string join (FastSS, dist<=1)

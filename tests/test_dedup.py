@@ -451,3 +451,63 @@ def test_incremental_df_cap_decisions_are_conservative(spark, sf_dir):
         and identity[d].match_doc_id == exact[d].match_doc_id
         for d in exact
     ), "an unreachable cap must be exact"
+
+
+def _pairs_df(spark, edges):
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def test_recursive_sql_resolves_diameter_5_chain(spark):
+    """The defect class the round-9 engine-vs-engine 100x cross-check
+    caught: a bare depth-4 reachability walk silently mislabels a
+    diameter-5 component (the uniform-100x LSH graph grew one from
+    cross-copy chains). The contraction pre-rounds must cover it and
+    agree with the iterative engine."""
+    from mapreducegcp_spark.operators.dedup import (
+        min_label_components,
+        recursive_sql_components,
+    )
+
+    chain = _pairs_df(spark, [(i, i + 1) for i in range(6)])  # diameter 6... 0-6
+    rec = sorted(tuple(r) for r in recursive_sql_components(spark, chain).collect())
+    ref = sorted(
+        tuple(r)
+        for r in min_label_components(chain, "doc_a", "doc_b")
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+        .collect()
+    )
+    assert rec == ref
+    assert all(c == 0 for _, c in rec)
+
+
+def test_recursive_sql_collapses_cliques_before_walking(spark):
+    """A verbatim-duplicate clique is the path-explosion shape
+    (k*(k-1)^depth reachability rows); the contraction pre-round must
+    collapse it so the walk sees no clique edges. 300-clique = 44,850
+    edges; bare depth-4 would materialize ~8e9 paths — this must
+    finish fast and exactly."""
+    import itertools
+
+    from mapreducegcp_spark.operators.dedup import recursive_sql_components
+
+    k = 300
+    clique = _pairs_df(
+        spark, [(a, b) for a, b in itertools.combinations(range(k), 2)]
+    )
+    out = sorted(
+        tuple(r) for r in recursive_sql_components(spark, clique).collect()
+    )
+    assert out == [(i, 0) for i in range(k)]
+
+
+def test_recursive_sql_guard_fails_loud_on_deep_graph(spark):
+    """A graph deeper than the contraction+depth budget must RAISE
+    (the fail-loud contract), never return plausible-but-wrong
+    clusters — the silent-mislabel failure mode the cross-check
+    caught is permanently fenced."""
+    import pytest
+    from mapreducegcp_spark.operators.dedup import recursive_sql_components
+
+    deep = _pairs_df(spark, [(i, i + 1) for i in range(40)])
+    with pytest.raises(Exception, match="contraction\\+depth budget"):
+        recursive_sql_components(spark, deep).collect()

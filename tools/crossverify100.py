@@ -159,43 +159,22 @@ def _canon(df: DataFrame) -> list:
     return sorted(tuple(r) for r in df.collect())
 
 
-def _recursive_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
-    # The registered dedup_clusters_recursive_sql body on an explicit
-    # pair table (same SQL, same depth bound — valid for component
-    # diameter <= 4, which _assert_diameter_ok checks first).
-    pairs.createOrReplaceTempView("xv_pairs")
-    return spark.sql(
-        """
-        WITH RECURSIVE
-        e AS (SELECT doc_a AS a, doc_b AS b FROM xv_pairs
-              UNION ALL
-              SELECT doc_b, doc_a FROM xv_pairs),
-        nodes AS (SELECT DISTINCT a AS n FROM e),
-        reach(src, dst, depth) AS (
-          SELECT n, n, 0 FROM nodes
-          UNION ALL
-          SELECT r.src, e.b, r.depth + 1
-          FROM reach r JOIN e ON r.dst = e.a
-          WHERE r.depth < 4
-        )
-        SELECT src AS doc_id, min(dst) AS cluster_id
-        FROM reach
-        GROUP BY src
-        """
-    )
-
-
 def step_engines(spark: SparkSession) -> dict:
     from mapreducegcp_spark.operators.dedup import (
         local_uf_components,
         min_label_components,
         q_dedup_minhash_lsh,
+        recursive_sql_components,
         two_phase_components,
     )
 
     results = {}
 
-    # Tier 1: uniform 100x LSH pair graph, all four engines.
+    # Tier 1: uniform 100x LSH pair graph, all four engines. This
+    # tier caught a real defect in round 9: the graph has a
+    # diameter-5 component (cross-copy LSH chains) that the
+    # recursive engine's bare depth-4 walk silently mislabeled —
+    # fixed by its contraction pre-rounds + fixpoint guard.
     t0 = time.time()
     pairs = (
         q_dedup_minhash_lsh(spark, BIG)
@@ -210,7 +189,7 @@ def step_engines(spark: SparkSession) -> dict:
         .select(F.col("node").alias("doc_id"), "cluster_id"),
         "local_uf": lambda p: local_uf_components(p, "doc_a", "doc_b")
         .select(F.col("node").alias("doc_id"), "cluster_id"),
-        "recursive_sql": lambda p: _recursive_components(spark, p),
+        "recursive_sql": lambda p: recursive_sql_components(spark, p),
     }
     outs = {name: _canon(fn(pairs)) for name, fn in engines.items()}
     ref = outs["min_label"]
@@ -226,9 +205,10 @@ def step_engines(spark: SparkSession) -> dict:
         for k, v in outs.items():
             print(k, "first rows:", v[:5], "n:", len(v))
 
-    # Tier 2: 10x-skew verbatim-cluster graph (≈2.5M-edge clique),
-    # the three scalable engines; the recursive CTE is out of its
-    # documented validity domain (reachability rows ~ clique^2 paths).
+    # Tier 2: 10x-skew verbatim-cluster graph (~2.5M-edge clique),
+    # all four engines — the recursive engine's contraction pre-round
+    # collapses the clique before any reachability walk, so the
+    # path-enumeration explosion that excluded it in round 8 is gone.
     if Path(SKEW).exists():
         t0 = time.time()
         pairs_s = (
@@ -237,20 +217,19 @@ def step_engines(spark: SparkSession) -> dict:
             .localCheckpoint()
         )
         n_edges_s = pairs_s.count()
-        outs_s = {
-            name: _canon(fn(pairs_s))
-            for name, fn in engines.items()
-            if name != "recursive_sql"
-        }
+        outs_s = {name: _canon(fn(pairs_s)) for name, fn in engines.items()}
         ref_s = outs_s["min_label"]
         agree_s = all(v == ref_s for v in outs_s.values())
         results["skew_clique_10x"] = {
             "edges": n_edges_s,
             "nodes": len(ref_s),
-            "engines": 3,
+            "engines": 4,
             "agree": agree_s,
             "sec": round(time.time() - t0, 1),
         }
+        if not agree_s:
+            for k, v in outs_s.items():
+                print("skew", k, "first rows:", v[:5], "n:", len(v))
     else:
         results["skew_clique_10x"] = {"skipped": f"{SKEW} absent"}
 
