@@ -624,10 +624,31 @@ def test_minhash_lsh_exact_collapse_precedes_banding(spark):
     ahead of the bucket self-join (killing the bucket-size^2 candidate
     blowup a verbatim duplicate cluster drives — the zipfian skew
     tier's worst mover), and pairs are expanded back afterwards. Pin
-    the three structural facts: the sha2 group hash exists in the
-    plan, the shingle source is representative-filtered (left-semi),
-    and the output is the cross-expansion UNION intra-group pairs."""
+    the two structural facts visible in the consumer plan — the
+    shingle source is representative-filtered (left-semi against the
+    group map) and the output is the cross-expansion UNION
+    intra-group pairs — plus the group map's semantics directly (its
+    sha2 build sits behind the session-cached checkpoint, so the
+    expression is not in this plan)."""
     tree, _ = _plans(spark, "dedup_minhash_lsh")
-    assert "sha2" in tree, tree[:2000]
     assert "LeftSemi" in tree, tree[:2000]
     assert "Union" in tree, tree[:2000]
+
+    from mapreducegcp_spark.operators.dedup import exact_group_map
+
+    gm = exact_group_map(spark, SF_DIR)
+    rows = {r.member: r.rep for r in gm.collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert set(rows) == set(docs)  # one row per document
+    by_text: dict = {}
+    for doc_id, text in docs.items():
+        by_text.setdefault(text, []).append(doc_id)
+    for text, ids in by_text.items():
+        want = min(ids)
+        for i in ids:
+            assert rows[i] == want, (i, rows[i], want)
