@@ -463,6 +463,13 @@ def q_dedup_minhash_lsh(
     representative yields no shingles (texts shorter than the shingle
     width) are excluded from intra expansion, matching the uncollapsed
     plan which emits nothing for unsigned docs.
+
+    Note the OUTPUT for a verbatim cluster is quadratic in cluster
+    size BY THE PAIR SEMANTICS (every member pair is a true near-dup
+    pair) — the collapse removes quadratic WORK, not quadratic truth.
+    A production manifest consumer that only needs keep/drop decisions
+    reads the group map + representative pairs instead
+    (dedup_keep_manifest's shape) and never materializes intra pairs.
     """
     r = MINHASH_K // LSH_BANDS
 
