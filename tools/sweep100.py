@@ -74,7 +74,20 @@ PRE_EXCLUDED = {
     "dedup_embedding_clusters": ("components over the all-pairs cosine oracle", "3x"),
     "similarity_nearest_neighbor": ("all-pairs exact-NN oracle: 4e12 cosines at 2M vectors", "10x"),
     "similarity_topk_bruteforce": ("labeled O(n^2) baseline; oracle shares the blowup", "10x"),
+    # the round-8 sweep excluded these two at runtime (recorded in
+    # SWEEP100_r08.json); pre-registered here so future sweeps skip
+    # the disk-exhausting solo attempts
+    "dedup_incremental": ("exact shingle probe join saturates at blowup vocabulary (>77 GB spill measured); df_cap=1000 scale path 25.5s at 100x", "3x/10x"),
+    "multimodal_phash_near_dup": ("all-pairs hamming oracle: 1.25e11 candidate pairs in DuckDB (>900s); engine multi-index completes standalone in 204s", "10x"),
 }
+
+# Round 9 closed the residual gap for every PRE_EXCLUDED query
+# without the intractable oracle: tools/crossverify100.py runs the
+# UNCHANGED strict compare for all 20 on a deterministic 100x-corpus
+# stratum (20/20 exact), checks the four cluster engines row-for-row
+# on full-volume pair graphs, and pins restriction-equality /
+# closure re-derivation — executable via
+# RUN_SCALE_PROBE=1 pytest tests/test_crossverify100.py.
 
 
 def catalog_names() -> list[str]:
