@@ -470,6 +470,13 @@ def q_dedup_minhash_lsh(
     A production manifest consumer that only needs keep/drop decisions
     reads the group map + representative pairs instead
     (dedup_keep_manifest's shape) and never materializes intra pairs.
+    Callers that cache or localCheckpoint the returned pair stream
+    RAW should `.repartition(n)` first: the intra expansion emits one
+    verbatim group's pairs per join partition, and a lineage-
+    truncated checkpoint whose hot partition cannot cache is
+    unrecoverable (measured at the 100x-skew tier — SCALE.md
+    "Cluster engines at 3x10^8 edges"). Downstream groupBy/joins are
+    immune (they re-shuffle on pair keys).
     """
     r = MINHASH_K // LSH_BANDS
 
