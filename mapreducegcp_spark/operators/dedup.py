@@ -288,12 +288,22 @@ def exact_group_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair-graph cache above, so repeated LSH consumers (bench
     min-of-2, dedup_lsh_eval after dedup_minhash_lsh) pay the
     doc-sized window shuffle once. One exchange total: min(doc_id)
-    OVER (PARTITION BY hash) replaces the earlier groupBy+join pair."""
+    OVER (PARTITION BY hash) replaces the earlier groupBy+join pair.
+
+    NULL-text documents are each their OWN singleton group (the hash
+    is coalesced with a per-doc sentinel that cannot collide with a
+    hex digest): sha2(NULL) is NULL, and grouping all NULL-text docs
+    together would tell a (rep, member) consumer that distinct
+    empty documents are verbatim duplicates of each other."""
     import os
 
     def build() -> DataFrame:
         docs_h = load_table(spark, sf_dir, "documents").select(
-            "doc_id", F.sha2("text", 256).alias("h")
+            "doc_id",
+            F.coalesce(
+                F.sha2("text", 256),
+                F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+            ).alias("h"),
         )
         return (
             docs_h.select(
@@ -312,6 +322,39 @@ def exact_group_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _GROUP_MAP_CACHE:
         _GROUP_MAP_CACHE[key] = build()
     return _GROUP_MAP_CACHE[key]
+
+
+_HAS_DUPS_CACHE: dict[tuple, bool] = {}
+
+
+def has_verbatim_dups(spark: SparkSession, sf_dir: str) -> bool:
+    """ONE bounded 1-row sync on the (session-cached) group map: does
+    this corpus contain ANY verbatim sha256(text) duplicate?
+    dedup_minhash_lsh uses it to skip the exact-collapse expansion
+    joins entirely on duplicate-free corpora (the common case for an
+    already-cleaned corpus) — the group map is computed either way, so
+    the decision costs one limit-1 scan, cached per (session, corpus)
+    with the same freshness key as the map itself. When the corpus
+    file cannot be statted the cache is bypassed, mirroring
+    exact_group_map."""
+    import os
+
+    members = exact_group_map(spark, sf_dir)
+
+    def probe() -> bool:
+        return bool(
+            members.where(F.col("member") != F.col("rep")).limit(1).take(1)
+        )
+
+    path = os.path.normpath(sf_dir)
+    try:
+        st = os.stat(os.path.join(path, "documents.parquet"))
+    except OSError:
+        return probe()
+    key = (spark.sparkContext.applicationId, path, st.st_size, st.st_mtime_ns)
+    if key not in _HAS_DUPS_CACHE:
+        _HAS_DUPS_CACHE[key] = probe()
+    return _HAS_DUPS_CACHE[key]
 
 
 def jaccard_pair_graph(
@@ -464,6 +507,18 @@ def q_dedup_minhash_lsh(
     width) are excluded from intra expansion, matching the uncollapsed
     plan which emits nothing for unsigned docs.
 
+    The pre-pass is ADAPTIVE (round 10): a 1-row sync on the
+    session-cached group map (has_verbatim_dups) skips the collapse
+    filter and both expansion joins entirely on duplicate-free
+    corpora — the representative pairs ARE the output there. When
+    duplicates exist, every collapse/expansion join is against the
+    DUPLICATE-sized member set of multi-copy groups rather than the
+    corpus-sized map (left_anti on copies, left join + coalesce on
+    expansion), so a corpus with 8 verbatim copies pays ~16 broadcast
+    rows while the 2,244-copy skew tier still gets the full
+    bucket-blowup protection. Output identical on every path (same
+    oracle); both plan shapes pinned in tests/test_plans.py.
+
     Note the OUTPUT for a verbatim cluster is quadratic in cluster
     size BY THE PAIR SEMANTICS (every member pair is a true near-dup
     pair) — the collapse removes quadratic WORK, not quadratic truth.
@@ -480,21 +535,35 @@ def q_dedup_minhash_lsh(
     """
     r = MINHASH_K // LSH_BANDS
 
-    # Group map: one representative (min doc_id) per verbatim text.
-    members = exact_group_map(spark, sf_dir)
-    rep_ids = members.where(F.col("member") == F.col("rep")).select(
-        F.col("member").alias("doc_id")
-    )
+    # Adaptive collapse: ONE bounded 1-row sync on the session-cached
+    # group map decides whether any collapse/expansion machinery is
+    # needed at all (duplicate-free corpora skip it; plan pinned both
+    # ways in tests/test_plans.py).
+    collapse = has_verbatim_dups(spark, sf_dir)
+    if collapse:
+        members = exact_group_map(spark, sf_dir)
+        # Non-representative verbatim copies — DUPLICATE-sized, not
+        # corpus-sized: on a lightly-duplicated corpus AQE broadcasts
+        # every join against it; on the verbatim-skew tier it degrades
+        # gracefully to the shuffle joins of the unrestricted plan.
+        non_rep = members.where(F.col("member") != F.col("rep"))
+        dup_ids = non_rep.select(F.col("member").alias("doc_id"))
 
+    # Collapse BEFORE tokenize+shingle: the dominant map cost runs
+    # once per distinct text, not once per copy. Representatives =
+    # all docs minus the non-rep copies (anti vs the duplicate-sized
+    # set, not semi vs the corpus-sized one).
     if shingle_rows is not None:
-        rep_shingles = shingle_rows.join(rep_ids, "doc_id", "leftsemi")
-    else:
-        # Collapse BEFORE tokenize+shingle: the dominant map cost runs
-        # once per distinct text, not once per copy.
-        rep_docs = fan_out_scan(load_table(spark, sf_dir, "documents"), spark).join(
-            rep_ids, "doc_id", "leftsemi"
+        rep_shingles = (
+            shingle_rows.join(dup_ids, "doc_id", "left_anti")
+            if collapse
+            else shingle_rows
         )
-        rep_shingles = rep_docs.select(
+    else:
+        docs = fan_out_scan(load_table(spark, sf_dir, "documents"), spark)
+        if collapse:
+            docs = docs.join(dup_ids, "doc_id", "left_anti")
+        rep_shingles = docs.select(
             "doc_id", tokens("text").alias("toks")
         ).select("doc_id", F.explode(shingles("toks")).alias("shingle"))
     sigw = minhash_signatures(rep_shingles).cache()
@@ -550,18 +619,39 @@ def q_dedup_minhash_lsh(
         .filter(F.col("jaccard_est") >= _JACCARD_THRESHOLD)
     )
 
+    if not collapse:
+        # Duplicate-free corpus: every document is its own
+        # representative, the expansion joins are identities and the
+        # intra-group set is empty — the representative pairs ARE the
+        # answer, same oracle.
+        return rep_pairs
+
     # Expand representative pairs back to member pairs. Cross-group:
     # each member inherits its rep's estimate (identical signatures);
     # canonical orientation via least/greatest — exactly one of the
     # two orientations satisfied the uncollapsed a < b predicate.
-    ma = members.select(F.col("rep").alias("doc_a"), F.col("member").alias("a_m"))
-    mb = members.select(F.col("rep").alias("doc_b"), F.col("member").alias("b_m"))
+    # Restricted to MULTI-member groups (singleton groups expand to
+    # themselves): multi_members' row count is the total membership of
+    # groups with >=2 copies, so the expansion joins scale with how
+    # much verbatim duplication exists, not with the corpus — LEFT
+    # joins + coalesce pass singleton endpoints through untouched.
+    multi_members = non_rep.unionByName(
+        non_rep.select("rep").distinct().withColumn("member", F.col("rep"))
+    )
+    ma = multi_members.select(
+        F.col("rep").alias("doc_a"), F.col("member").alias("a_m")
+    )
+    mb = multi_members.select(
+        F.col("rep").alias("doc_b"), F.col("member").alias("b_m")
+    )
+    a_m = F.coalesce(F.col("a_m"), F.col("doc_a"))
+    b_m = F.coalesce(F.col("b_m"), F.col("doc_b"))
     cross = (
-        rep_pairs.join(ma, "doc_a")
-        .join(mb, "doc_b")
+        rep_pairs.join(ma, "doc_a", "left")
+        .join(mb, "doc_b", "left")
         .select(
-            F.least("a_m", "b_m").alias("doc_a"),
-            F.greatest("a_m", "b_m").alias("doc_b"),
+            F.least(a_m, b_m).alias("doc_a"),
+            F.greatest(a_m, b_m).alias("doc_b"),
             "jaccard_est",
         )
     )
@@ -569,7 +659,7 @@ def q_dedup_minhash_lsh(
     # estimate exactly 1.0. Restrict to groups whose rep has a
     # signature (>=1 shingle) — unsigned docs emit nothing either way.
     signed = sigw.select(F.col("doc_id").alias("rep"))
-    signed_members = members.join(signed, "rep", "leftsemi")
+    signed_members = multi_members.join(signed, "rep", "leftsemi")
     x = signed_members.alias("x")
     y = signed_members.alias("y")
     intra = (

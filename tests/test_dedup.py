@@ -511,3 +511,50 @@ def test_recursive_sql_guard_fails_loud_on_deep_graph(spark):
     deep = _pairs_df(spark, [(i, i + 1) for i in range(40)])
     with pytest.raises(Exception, match="contraction\\+depth budget"):
         recursive_sql_components(spark, deep).collect()
+
+
+def test_exact_group_map_null_text_docs_are_singletons(spark, tmp_path):
+    """sha2(NULL) is NULL; without the per-doc sentinel every NULL-text
+    document would collapse into ONE 'verbatim duplicate' group — a
+    (rep, member) consumer would treat distinct empty documents as
+    copies of each other. Each NULL-text doc must be its own group,
+    while real duplicate texts still share a representative."""
+    import pandas as pd
+
+    from mapreducegcp_spark.operators.dedup import exact_group_map
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["same text here", "same text here", None, None, "solo"],
+            "lang": "en",
+            "source": "test",
+            "n_chars": [14, 14, 0, 0, 4],
+        }
+    ).astype({"doc_id": "int64", "n_chars": "int64"})
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    rows = {r.member: r.rep for r in exact_group_map(spark, str(tmp_path)).collect()}
+    assert rows == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
+
+
+def test_has_verbatim_dups_both_ways(spark, tmp_path):
+    """The adaptive-collapse decision: True on a corpus with a verbatim
+    duplicate pair, False on the duplicate-free driver corpus."""
+    import pandas as pd
+
+    from mapreducegcp_spark.operators.dedup import has_verbatim_dups
+
+    assert has_verbatim_dups(spark, "/root/testdata/sf0.001") is False
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["twin", "twin"],
+            "lang": "en",
+            "source": "test",
+            "n_chars": [4, 4],
+        }
+    ).astype({"doc_id": "int64", "n_chars": "int64"})
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    assert has_verbatim_dups(spark, str(tmp_path)) is True

@@ -618,22 +618,87 @@ def test_codec_roundtrips_parallelize_python_stage(spark):
         )
 
 
-def test_minhash_lsh_exact_collapse_precedes_banding(spark):
-    """dedup_minhash_lsh composes exact-collapse BEFORE LSH banding:
-    verbatim sha256(text) groups are reduced to one representative
-    ahead of the bucket self-join (killing the bucket-size^2 candidate
-    blowup a verbatim duplicate cluster drives — the zipfian skew
-    tier's worst mover), and pairs are expanded back afterwards. Pin
-    the two structural facts visible in the consumer plan — the
-    shingle source is representative-filtered (left-semi against the
-    group map) and the output is the cross-expansion UNION
-    intra-group pairs — plus the group map's semantics directly (its
-    sha2 build sits behind the session-cached checkpoint, so the
-    expression is not in this plan)."""
+def test_minhash_lsh_skips_collapse_on_dupfree_corpus(spark):
+    """Adaptive exact-collapse (round 10): sf0.001 has ZERO verbatim
+    duplicates, so the 1-row group-map sync must strip the collapse
+    anti-join, both expansion joins and the intra-group union from the
+    physical plan — the representative pairs ARE the output, and a
+    duplicate-free corpus pays nothing beyond the one cached group-map
+    materialization. The collapse shape on a corpus WITH duplicates is
+    pinned by test_minhash_lsh_exact_collapse_precedes_banding."""
     tree, _ = _plans(spark, "dedup_minhash_lsh")
-    assert "LeftSemi" in tree, tree[:2000]
+    assert "Union" not in tree, tree[:2000]
+    assert "LeftSemi" not in tree and "LeftAnti" not in tree, tree[:2000]
+
+
+def _write_dup_corpus(tmp_path):
+    """A tiny documents.parquet WITH verbatim duplicates: a 3-copy
+    group, a 2-copy group, a near-dup of the first group, a 2-copy
+    group too short to shingle (unsigned), and two singletons."""
+    import pandas as pd
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog tonight",
+        2: "the quick brown fox jumps over the lazy dog tonight",
+        3: "the quick brown fox jumps over the lazy dog tonight",
+        4: "pack my box with five dozen liquor jugs right now",
+        5: "pack my box with five dozen liquor jugs right now",
+        6: "the quick brown fox jumps over the lazy cat tonight",
+        7: "hi",
+        8: "hi",
+        9: "completely unrelated text about distributed query engines",
+        10: "another singleton document mentioning columnar parquet files",
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": "en",
+            "source": "test",
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).astype({"doc_id": "int64", "n_chars": "int64"})
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+
+def test_minhash_lsh_exact_collapse_precedes_banding(spark, tmp_path):
+    """dedup_minhash_lsh composes exact-collapse BEFORE LSH banding on
+    a corpus WITH verbatim duplicates: the shingle source is filtered
+    by an anti-join against the DUPLICATE-sized copy set (not a semi
+    against the corpus-sized map), and the output is the
+    cross-expansion UNION intra-group pairs. Values strict-match the
+    registered DuckDB oracle (which runs the UNCOLLAPSED semantics) on
+    the same corpus — the collapse is a pure work optimization."""
+    import duckdb
+
+    from mapreducegcp_spark.registry import all_queries
+
+    _write_dup_corpus(tmp_path)
+    rq = all_queries()["dedup_minhash_lsh"]
+    df = rq.fn(spark, str(tmp_path))
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in tree, tree[:2000]
     assert "Union" in tree, tree[:2000]
 
+    got = sorted((r.doc_a, r.doc_b, r.jaccard_est) for r in df.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(rq.oracle).fetchall()))
+    assert got == want, (got[:10], want[:10])
+    # the verbatim groups must be fully present as intra pairs
+    pairs = {(a, b) for a, b, _ in got}
+    assert {(1, 2), (1, 3), (2, 3), (4, 5)} <= pairs
+    # the unsigned 2-copy group ("hi" shingles to nothing) emits none
+    assert (7, 8) not in pairs
+
+
+def test_exact_group_map_semantics(spark):
+    """Group-map semantics pinned directly on the real corpus (its
+    sha2 build sits behind the session-cached checkpoint, so the
+    expression is not visible in consumer plans)."""
     from mapreducegcp_spark.operators.dedup import exact_group_map
 
     gm = exact_group_map(spark, SF_DIR)
