@@ -1279,6 +1279,38 @@ FROM h GROUP BY root_region, depth
 """
 
 
+# sql_recursive_cte_hierarchy's recursion-cap inputs: total node count
+# per (session, corpus), keyed like dedup's group-map cache (path +
+# byte size + mtime of each hierarchy table) so a regenerated corpus
+# at the same path misses instead of silently serving a stale count.
+_HIERARCHY_NODES_CACHE: dict[tuple, int] = {}
+
+
+def _hierarchy_node_count(spark: SparkSession, sf_dir: str) -> int:
+    import os
+
+    def count_nodes() -> int:
+        return sum(
+            load_table(spark, sf_dir, t).count()
+            for t in ("region", "nation", "supplier", "customer")
+        )
+
+    path = os.path.normpath(sf_dir)
+    stats = []
+    for t in ("region", "nation", "supplier", "customer"):
+        try:
+            st = os.stat(os.path.join(path, f"{t}.parquet"))
+        except OSError:
+            # unstattable corpus (monkeypatched load_table in tests):
+            # bypass the cache rather than risk serving a stale count
+            return count_nodes()
+        stats.append((st.st_size, st.st_mtime_ns))
+    key = (spark.sparkContext.applicationId, path, tuple(stats))
+    if key not in _HIERARCHY_NODES_CACHE:
+        _HIERARCHY_NODES_CACHE[key] = count_nodes()
+    return _HIERARCHY_NODES_CACHE[key]
+
+
 @register("sql_recursive_cte_hierarchy", oracle=_RCTE_ORACLE, tags=("relational",))
 def q_sql_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (ANSI WITH RECURSIVE, new engine surface in Spark
@@ -1311,14 +1343,24 @@ def q_sql_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame
     per entity, so 2x the node count (+slack for the seed level)
     bounds this query while remaining a meaningful runaway guard for
     every later WITH RECURSIVE in the session (dedup.py recursive
-    cluster resolution, graph.py), where row blowup is data-dependent."""
-    n_nodes = 0
+    cluster resolution), where row blowup is data-dependent. Two
+    session-hygiene rules (round 10): the node count is CACHED per
+    (session, corpus) — repeat invocations (bench min-of-N, repeated
+    driver checks) run zero extra count() jobs — and the cap is
+    MONOTONE: never lowered below what an earlier, larger corpus in
+    the same session established, so whether a later recursion trips
+    RECURSION_ROW_LIMIT_EXCEEDED cannot depend on this query having
+    run on a small corpus in between."""
     for t in ("region", "nation", "supplier", "customer"):
-        df = load_table(spark, sf_dir, t)
-        df.createOrReplaceTempView(f"{t}_rc")
-        n_nodes += df.count()
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_rc")
+    n_nodes = _hierarchy_node_count(spark, sf_dir)
+    try:
+        current = int(spark.conf.get("spark.sql.cteRecursionRowLimit"))
+    except Exception:
+        current = 1_000_000
     spark.conf.set(
-        "spark.sql.cteRecursionRowLimit", str(max(2 * n_nodes + 1_000, 1_000_000))
+        "spark.sql.cteRecursionRowLimit",
+        str(max(2 * n_nodes + 1_000, 1_000_000, current)),
     )
     return spark.sql(
         """

@@ -717,3 +717,37 @@ def test_gopher_rules_each_gate_fires_independently(spark, monkeypatch):
     assert not rows[3].keep and not rows[3].r_repetition and rows[3].r_n_tokens
     assert rows[3].top_token_frac == pytest.approx(8 / 28)
     assert rows[1].distinct_ratio == pytest.approx(1.0)
+
+
+def test_recursive_cte_cap_monotone_and_counts_cached(spark, sf_dir, monkeypatch):
+    """sql_recursive_cte_hierarchy's session-wide recursion-row-cap
+    mutation must be MONOTONE (never lowered below what an earlier,
+    larger corpus established — otherwise whether a later recursion
+    trips RECURSION_ROW_LIMIT_EXCEEDED depends on query order) and its
+    node counts must be cached per (session, corpus) so repeat
+    invocations run zero count() jobs."""
+    import mapreducegcp_spark.operators.relational as rel
+
+    fn = all_queries()["sql_recursive_cte_hierarchy"].fn
+    key = "spark.sql.cteRecursionRowLimit"
+    prior = spark.conf.get(key)
+    try:
+        # a bigger earlier corpus raised the cap: must not be lowered
+        spark.conf.set(key, "99000000")
+        fn(spark, sf_dir)
+        assert int(spark.conf.get(key)) == 99_000_000
+        # from the default, the tiny corpus keeps the 1M floor
+        spark.conf.set(key, "1000000")
+        fn(spark, sf_dir)
+        assert int(spark.conf.get(key)) == 1_000_000
+    finally:
+        spark.conf.set(key, prior)
+
+    # counts cached: a second lookup must not touch load_table at all
+    assert rel._hierarchy_node_count(spark, sf_dir) > 0
+
+    def boom(*a, **k):
+        raise AssertionError("count jobs must be cached per corpus")
+
+    monkeypatch.setattr(rel, "load_table", boom)
+    assert rel._hierarchy_node_count(spark, sf_dir) > 0
