@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreducegcp_spark.functions.checkpoint import safe_checkpoint
 from mapreducegcp_spark.functions.text import TOKEN_ORACLE_EXPR, tokens
 from mapreducegcp_spark.functions.vectors import blas_pair_candidates, dot, l2_norm
 from mapreducegcp_spark.registry import register
@@ -305,12 +306,16 @@ def exact_group_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
             ).alias("h"),
         )
-        return (
+        # safe_checkpoint: the window leaves the map partitioned by
+        # text hash, so one giant verbatim group = one hot partition;
+        # a lineage-truncated hot block is unrecoverable (SCALE.md,
+        # functions/checkpoint.py) — bound the pinned blocks first.
+        return safe_checkpoint(
             docs_h.select(
                 F.min("doc_id").over(Window.partitionBy("h")).alias("rep"),
                 F.col("doc_id").alias("member"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            eager=False,
         )
 
     path = os.path.normpath(sf_dir)
@@ -375,10 +380,14 @@ def jaccard_pair_graph(
     import os
 
     def build() -> DataFrame:
-        return (
-            q_dedup_ngram_jaccard(spark, sf_dir, shingle_rows)
-            .select("doc_a", "doc_b")
-            .localCheckpoint(eager=False)
+        # safe_checkpoint: near-dup pair streams concentrate a hot
+        # cluster's pairs in few partitions; a lineage-truncated hot
+        # block is unrecoverable (functions/checkpoint.py).
+        return safe_checkpoint(
+            q_dedup_ngram_jaccard(spark, sf_dir, shingle_rows).select(
+                "doc_a", "doc_b"
+            ),
+            eager=False,
         )
 
     path = os.path.normpath(sf_dir)
@@ -1341,7 +1350,15 @@ def two_phase_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
     fixed point is one star per component; labels read directly off
     the final edges. Same contract as min_label_components: nodes
     without edges are absent; self-pairs ignored; output (node,
-    cluster_id = component min)."""
+    cluster_id = component min).
+
+    Checkpoint-skew note (functions/checkpoint.py): the initial C0
+    checkpoint pins a (lo, hi)-hash-balanced distinct output, and the
+    per-round `small` checkpoint is hi-keyed — its hottest block is
+    bounded by the largest star's degree, which the small-star rewrite
+    itself shrinks round over round; rebalancing it would forfeit the
+    exchange reuse the round is built on. Callers checkpointing RAW
+    pair streams (unbounded hot keys) must use safe_checkpoint."""
     spark = pairs.sparkSession
     half = pairs.select(F.col(a).alias("x"), F.col(b).alias("y")).where(
         F.col(a) != F.col(b)
@@ -1552,7 +1569,12 @@ def local_uf_components(
         # second scheduled job per level — same trick as two_phase's
         # fixed-point signature
         obs = Observation()
-        E = edges.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+        # safe_checkpoint: at level 0 `edges` carries the CALLER's
+        # partitioning — a skewed pair stream (one verbatim cluster's
+        # pairs in one partition) would pin one unrecoverable hot
+        # block (functions/checkpoint.py). The observation rides the
+        # materialization below the repartition, still one job.
+        E = safe_checkpoint(edges.observe(obs, F.count(F.lit(1)).alias("n")))
         n_edges = int(obs.get["n"])
         if prev_edges is not None and n_edges >= prev_edges:
             # a non-shrinking boundary means the contraction argument

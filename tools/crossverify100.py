@@ -160,6 +160,7 @@ def _canon(df: DataFrame) -> list:
 
 
 def step_engines(spark: SparkSession) -> dict:
+    from mapreducegcp_spark.functions.checkpoint import safe_checkpoint
     from mapreducegcp_spark.operators.dedup import (
         local_uf_components,
         min_label_components,
@@ -176,11 +177,13 @@ def step_engines(spark: SparkSession) -> dict:
     # recursive engine's bare depth-4 walk silently mislabeled —
     # fixed by its contraction pre-rounds + fixpoint guard.
     t0 = time.time()
-    pairs = (
-        q_dedup_minhash_lsh(spark, BIG)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()  # materialize once, four consumers
-    )
+    # safe_checkpoint, not a raw localCheckpoint: the intra expansion
+    # emits one verbatim cluster's pairs into a single partition, and
+    # a lineage-truncated hot block that cannot cache is unrecoverable
+    # (functions/checkpoint.py) — measured at this very tier.
+    pairs = safe_checkpoint(
+        q_dedup_minhash_lsh(spark, BIG).select("doc_a", "doc_b")
+    )  # materialize once, four consumers
     n_edges = pairs.count()
     engines = {
         "min_label": lambda p: min_label_components(p, "doc_a", "doc_b")
@@ -211,10 +214,8 @@ def step_engines(spark: SparkSession) -> dict:
     # path-enumeration explosion that excluded it in round 8 is gone.
     if Path(SKEW).exists():
         t0 = time.time()
-        pairs_s = (
-            q_dedup_minhash_lsh(spark, SKEW)
-            .select("doc_a", "doc_b")
-            .localCheckpoint()
+        pairs_s = safe_checkpoint(
+            q_dedup_minhash_lsh(spark, SKEW).select("doc_a", "doc_b")
         )
         n_edges_s = pairs_s.count()
         outs_s = {name: _canon(fn(pairs_s)) for name, fn in engines.items()}
