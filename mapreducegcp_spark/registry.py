@@ -170,20 +170,27 @@ def _last_checked_round() -> dict[str, int]:
 # lands rows for them (the rotation then treats them normally).
 _RECHECK_FIRST: frozenset[str] = frozenset(
     {
-        # round 7: ANN hyperparameters now derived from corpus count
-        # (lsh_params / ivf_params / pq_cand_budget) — new physical
-        # plans behind the recall gates; gate rows from r1-r6 are
-        # stale evidence for the new shapes
-        "similarity_ann_lsh",
-        "similarity_ann_ivf",
-        "similarity_ann_pq",
-        # round 7: served by the new local_uf_components engine
-        "dedup_embedding_clusters",
-        # round 7: BPE merges cached per corpus — same training
-        # output, but the shared prefix changed; recheck the family
-        "bpe_encode_corpus",
-        "bpe_fertility_stats",
-        "pipeline_tokenizer_dataset",
+        # round 7 entries cleared: all seven landed green rows in
+        # CORRECTNESS_r09 (driver re-verified the new shapes).
+        #
+        # round 10: adaptive exact-collapse — dedup_minhash_lsh gets a
+        # NEW plan on both the duplicate-free (skip) and duplicated
+        # (duplicate-sized expansion) paths; dedup_lsh_eval consumes
+        # it through the shared-shingle entry point
+        "dedup_minhash_lsh",
+        "dedup_lsh_eval",
+        # round 10: pair-graph / group-map session caches and
+        # local_uf's level-0 edge pin now go through safe_checkpoint
+        # (repartition before lineage truncation) — same values, new
+        # materialization shape for every pair-graph consumer
+        "dedup_ngram_jaccard",
+        "dedup_connected_components",
+        "dedup_clusters_twophase",
+        "dedup_clusters_localuf",
+        "dedup_clusters_recursive_sql",
+        "dedup_keep_manifest",
+        # round 10: recursion row cap now cached per corpus + monotone
+        "sql_recursive_cte_hierarchy",
     }
 )
 
