@@ -70,3 +70,20 @@ def test_lsh_restriction_and_closure_rederivation(spark, stratum):
     reproduce the registered engine outputs."""
     res = cv.step_restrict(spark)
     assert res["ok"], res
+
+
+need_tenx = pytest.mark.skipif(
+    not (RUN and Path(cv.TENX).exists()),
+    reason="opt-in 10x stratum check; needs RUN_SCALE_PROBE=1 and "
+    f"{cv.TENX} (tools/blowup_probe.py --build --factor 10)",
+)
+
+
+@need_tenx
+def test_stratum10_allpairs_family_exact(spark):
+    """The all-pairs-oracle family strict-value-verified on the
+    deterministic 10x-drawn stratum — the documented stand-in for
+    similarity_nearest_neighbor's full-10x strict row, whose
+    200k-vector all-pairs DuckDB oracle exhausts spill disk."""
+    res = cv.step_stratum10(spark)
+    assert res["ok"], res

@@ -73,10 +73,24 @@ from pyspark.sql import functions as F
 from mapreducegcp_spark.session import get_spark
 
 BIG = "/tmp/blowup/sf10"        # 100x uniform corpus
+TENX = "/tmp/blowup/sf1"        # 10x uniform corpus
 SKEW = "/tmp/blowup/sf1skew"    # 10x zipfian corpus (verbatim cluster)
 STRAT = "/tmp/blowup/sf10strat"
+STRAT10 = "/tmp/blowup/sf1strat"
 OFFSET = 10_000_000_000         # blowup_probe key offset: copy 0 = id < OFFSET
 SAMPLE_MOD, SAMPLE_HIT = 99, 7  # 1-in-99 hash sample of replicated copies
+SAMPLE_MOD_10X = 9              # 1-in-9 at 10x -> same ~10k-doc stratum size
+
+# The 10x full-catalog re-sweep's single oracle-capacity gap (SCALE.md
+# "Full-catalog 10x re-sweep"): the all-pairs list-cosine oracle at
+# 200k vectors exhausts spill disk. Its 10x value check runs on the
+# 10x-drawn stratum instead (same method as the 100x layer A); the
+# two family neighbors run alongside for context.
+ALLPAIRS_10X = [
+    "similarity_nearest_neighbor",
+    "similarity_topk_bruteforce",
+    "dedup_embedding_cosine",
+]
 
 # The exclusion register (SCALE.md "Full-catalog strict sweep at the
 # 100x corpus"), verbatim.
@@ -104,17 +118,22 @@ EXCLUDED_20 = [
 ]
 
 
-def build_stratum(spark: SparkSession, big_dir: str = BIG, out: str = STRAT) -> None:
-    """Deterministic stratum of the 100x corpus: full copy 0 plus a
-    1-in-99 hash-of-own-id sample of replicated copies, for the two
-    tables the excluded families read; the other eight are symlinked
-    so check_oracles' view registration works unchanged."""
+def build_stratum(
+    spark: SparkSession,
+    big_dir: str = BIG,
+    out: str = STRAT,
+    sample_mod: int = SAMPLE_MOD,
+) -> None:
+    """Deterministic stratum of a blowup corpus: full copy 0 plus a
+    1-in-``sample_mod`` hash-of-own-id sample of replicated copies,
+    for the two tables the excluded families read; the other eight are
+    symlinked so check_oracles' view registration works unchanged."""
     out_p = Path(out)
     out_p.mkdir(parents=True, exist_ok=True)
     for table, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
         df = spark.read.parquet(f"{big_dir}/{table}.parquet")
         keep = (F.col(key) < OFFSET) | (
-            F.pmod(F.xxhash64(key), F.lit(SAMPLE_MOD)) == SAMPLE_HIT
+            F.pmod(F.xxhash64(key), F.lit(sample_mod)) == SAMPLE_HIT
         )
         dst = out_p / f"{table}.parquet"
         df.filter(keep).repartition(8).write.mode("overwrite").parquet(str(dst))
@@ -152,6 +171,38 @@ def step_stratum() -> dict:
     if not ok:
         sys.stderr.write(proc.stderr[-4000:])
     return {"step": "stratum_oracle", "ok": ok, "summary": summary,
+            "sec": round(time.time() - t0, 1)}
+
+
+def step_stratum10(spark: SparkSession) -> dict:
+    """10x-tier value check for the all-pairs-oracle family: build the
+    10x-drawn stratum (full copy 0 + 1-in-9 sample of copies, ~10k
+    docs / ~4k vectors — the size the quadratic oracles are proven
+    tractable at) and run the unchanged strict compare. This is the
+    documented stand-in for similarity_nearest_neighbor's full-10x
+    strict row, whose 200k-vector all-pairs DuckDB oracle exhausts
+    spill disk (engine untouched; oracle capacity)."""
+    build_stratum(spark, big_dir=TENX, out=STRAT10, sample_mod=SAMPLE_MOD_10X)
+    t0 = time.time()
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(Path(__file__).parent / "check_oracles.py"),
+            "--sf-dir", STRAT10,
+            "--duckdb-mem", "24GB",
+            *ALLPAIRS_10X,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=7200,
+    )
+    sys.stdout.write(proc.stdout)
+    tail = [l for l in proc.stdout.splitlines() if l.strip()]
+    summary = tail[-1] if tail else ""
+    ok = summary.startswith(f"{len(ALLPAIRS_10X)} pass, 0 fail")
+    if not ok:
+        sys.stderr.write(proc.stderr[-4000:])
+    return {"step": "stratum10_allpairs", "ok": ok, "summary": summary,
             "sec": round(time.time() - t0, 1)}
 
 
@@ -329,19 +380,23 @@ def main() -> None:
     ap.add_argument("--stratum", action="store_true")
     ap.add_argument("--engines", action="store_true")
     ap.add_argument("--restrict", action="store_true")
+    ap.add_argument("--stratum10", action="store_true")
     ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
     if args.all:
         args.build = args.stratum = args.engines = args.restrict = True
+        args.stratum10 = True
 
     out = []
     spark = None
-    if args.build or args.engines or args.restrict:
+    if args.build or args.engines or args.restrict or args.stratum10:
         spark = get_spark()
     if args.build:
         build_stratum(spark)
     if args.stratum:
         out.append(step_stratum())
+    if args.stratum10:
+        out.append(step_stratum10(spark))
     if args.engines:
         out.append(step_engines(spark))
     if args.restrict:

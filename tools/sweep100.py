@@ -179,6 +179,22 @@ def main() -> None:
         "one batch of overlap (the done log is re-read before every "
         "batch)",
     )
+    ap.add_argument(
+        "--stride",
+        type=int,
+        default=1,
+        help="with --offset, shard the todo list (todo[offset::stride]) "
+        "so N concurrent workers each take every N-th query; the "
+        "done-log re-read before each batch keeps overlap to zero",
+    )
+    ap.add_argument("--offset", type=int, default=0)
+    ap.add_argument(
+        "--batch-timeout",
+        type=int,
+        default=BATCH_TIMEOUT,
+        help="per-batch budget (s); raise when several workers share "
+        "the box and per-query wall inflates with contention",
+    )
     args = ap.parse_args()
 
     names = catalog_names()
@@ -205,6 +221,8 @@ def main() -> None:
     todo = [n for n in names if n not in done and n not in PRE_EXCLUDED]
     if args.reverse:
         todo = todo[::-1]
+    if args.stride > 1:
+        todo = todo[args.offset :: args.stride]
     for n, (reason, tier) in PRE_EXCLUDED.items():
         if n not in done:
             record(
@@ -226,17 +244,18 @@ def main() -> None:
         batch = [n for n in todo[i : i + BATCH] if n not in fresh]
         if not batch:
             continue
-        rows = run_batch(batch, BATCH_TIMEOUT)
+        rows = run_batch(batch, args.batch_timeout)
         if rows is None:
             print(f"  batch timeout, isolating: {batch}", flush=True)
+            solo_budget = max(SOLO_TIMEOUT, args.batch_timeout // 2)
             for n in batch:
-                solo = run_batch([n], SOLO_TIMEOUT)
+                solo = run_batch([n], solo_budget)
                 if solo is None:
                     record(
                         {
                             "query": n,
                             "status": "excluded",
-                            "detail": f"measured: exceeded {SOLO_TIMEOUT}s solo budget at 100x",
+                            "detail": f"measured: exceeded {solo_budget}s solo budget at 100x",
                             "sf": "100x",
                         }
                     )
