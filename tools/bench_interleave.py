@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Interleaved cross-revision benchmark — the variance-proof trend tool.
+
+Single-session BENCH_r{N}.json captures carry ±10-15% session noise on
+a ~15 s headline (measured round 10: same-tree totals spread 14.4-18.0 s
+across one session, calibration flat), so a cross-ROUND ratio of two
+single captures can read 1.2x with zero code change. This tool removes
+the session variable: it checks out each revision into a git worktree
+and runs `bench.py --headline-only` ALTERNATING revision per run, N
+rounds, on one box in one session — every revision sees the same cache
+state, load, and thermal conditions — then reports min-of-N per query
+per revision. BENCH_INTERLEAVE_r10.json (r8/r9/r10: 14.21/14.64/14.70 s
+where the committed artifacts said 13.39/15.93) is the worked example.
+
+    python tools/bench_interleave.py REV [REV...] [--runs 3] [--out F]
+
+The working tree itself is always included as revision "worktree".
+Worktrees are created under /tmp and removed afterwards.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def bench_once(tree: Path) -> dict:
+    p = subprocess.run(
+        [sys.executable, "bench.py", "--headline-only"],
+        cwd=tree,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"no bench output from {tree}: {p.stderr[-500:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("revs", nargs="+", help="git revisions to compare")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--out", default=None, help="write the result JSON here")
+    args = ap.parse_args()
+
+    trees: dict[str, Path] = {"worktree": REPO}
+    made: list[Path] = []
+    tmp = Path(tempfile.mkdtemp(prefix="bench_ilv_"))
+    try:
+        for rev in args.revs:
+            short = subprocess.run(
+                ["git", "rev-parse", "--short", rev],
+                cwd=REPO, capture_output=True, text=True, check=True,
+            ).stdout.strip()
+            dst = tmp / short
+            subprocess.run(
+                ["git", "worktree", "add", str(dst), rev],
+                cwd=REPO, check=True, capture_output=True,
+            )
+            trees[f"{rev}@{short}"] = dst
+            made.append(dst)
+
+        captures: dict[str, list[dict]] = {k: [] for k in trees}
+        for i in range(args.runs):
+            for name, tree in trees.items():
+                doc = bench_once(tree)
+                captures[name].append(doc)
+                print(
+                    f"run {i + 1}/{args.runs} {name}: total {doc['value']} "
+                    f"cal {doc['calibration_sec']}",
+                    flush=True,
+                )
+
+        out = {"method": "interleaved min-of-N, one box, one session"}
+        for name, docs in captures.items():
+            qmins: dict[str, float] = {}
+            for d in docs:
+                for q, s in d["queries"].items():
+                    qmins[q] = min(qmins.get(q, float("inf")), s)
+            out[name] = {
+                "queries": qmins,
+                "total_min": round(sum(qmins.values()), 3),
+                "totals": [d["value"] for d in docs],
+                "cal": [c for d in docs for c in d["calibration_sec"]],
+            }
+            print(f"{name}: min-sum {out[name]['total_min']}  totals {out[name]['totals']}")
+        if args.out:
+            Path(args.out).write_text(json.dumps(out, indent=1))
+    finally:
+        for dst in made:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", str(dst)],
+                cwd=REPO, capture_output=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
