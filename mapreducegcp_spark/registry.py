@@ -165,41 +165,90 @@ def _last_checked_round() -> dict[str, int]:
 # the never-checked tier, so the next driver window re-verifies them
 # even though they hold a (now-stale) green row — the round-5 judge
 # flagged exactly this gap: a snapshot that omits behaviorally-changed
-# queries can't substantiate a "stays green" claim. Maintained by
-# hand per round; clear entries once the next CORRECTNESS artifact
-# lands rows for them (the rotation then treats them normally).
+# queries can't substantiate a "stays green" claim.
+#
+# Since round 11 the bulk of this set is DERIVED FROM GIT, not curated:
+# every query whose DEFINING MODULE changed since the last round
+# boundary (the driver's "round N: verdict/..." commit) is boosted
+# automatically (see ``_changed_modules_since_round``), so a missed
+# hand entry can no longer silently postpone re-verification of changed
+# code. This hand list remains ONLY for cross-module semantic changes
+# git can't attribute (a helper in functions/ changing the values of a
+# query defined elsewhere); clear entries once the next CORRECTNESS
+# artifact lands rows for them.
 _RECHECK_FIRST: frozenset[str] = frozenset(
     {
-        # round 7 entries cleared: all seven landed green rows in
-        # CORRECTNESS_r09 (driver re-verified the new shapes).
-        #
-        # round 10: adaptive exact-collapse — dedup_minhash_lsh gets a
-        # NEW plan on both the duplicate-free (skip) and duplicated
-        # (duplicate-sized expansion) paths; dedup_lsh_eval consumes
-        # it through the shared-shingle entry point
-        "dedup_minhash_lsh",
-        "dedup_lsh_eval",
-        # round 10: pair-graph / group-map session caches and
-        # local_uf's level-0 edge pin now go through safe_checkpoint
-        # (repartition before lineage truncation) — same values, new
-        # materialization shape for every pair-graph consumer
-        "dedup_ngram_jaccard",
-        "dedup_connected_components",
-        "dedup_clusters_twophase",
-        "dedup_clusters_localuf",
-        "dedup_clusters_recursive_sql",
-        "dedup_keep_manifest",
-        # round 10: recursion row cap now cached per corpus + monotone
-        "sql_recursive_cte_hierarchy",
+        # round 10 entries cleared: all nine landed green rows in
+        # CORRECTNESS_r10 (driver re-verified the new shapes).
     }
 )
+
+# -- git-derived recheck tier (round-11 verdict ask #3) ----------------
+#
+# The driver commits a "round N: verdict/advice/correctness/bench"
+# boundary after each round's CORRECTNESS artifact, so `git diff
+# <boundary>` is exactly "code changed since the last driver
+# verification". Mapping those paths through each registered query's
+# defining module (fn.__module__) yields the queries whose green rows
+# are stale BY CONSTRUCTION. Computed once per process (the registry is
+# consulted on every catalog call; a subprocess git per call would be
+# driver-visible overhead) and defensively: a non-checkout install, a
+# missing git binary, or no boundary commit all degrade to the empty
+# set — the hand list above still applies.
+_ROUND_BOUNDARY_SUBJECT = r"^round [0-9]+: "
+_CHANGED_MODULES: frozenset[str] | None = None
+
+
+def _changed_modules_since_round() -> frozenset[str]:
+    """Dotted module names under this package whose source file changed
+    (committed or working-tree) since the last round-boundary commit."""
+    global _CHANGED_MODULES
+    if _CHANGED_MODULES is not None:
+        return _CHANGED_MODULES
+    import subprocess
+
+    changed: set[str] = set()
+    try:
+        boundary = subprocess.run(
+            ["git", "-C", str(_REPO_ROOT), "log", "-n1", "--format=%H",
+             "-E", f"--grep={_ROUND_BOUNDARY_SUBJECT}"],
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if boundary:
+            # diff to the WORKING TREE (not HEAD): uncommitted edits to
+            # an operator module must boost its queries too
+            out = subprocess.run(
+                ["git", "-C", str(_REPO_ROOT), "diff", "--name-only", boundary],
+                capture_output=True, text=True, timeout=30,
+            ).stdout
+            pkg = Path(__file__).resolve().parent.name  # mapreducegcp_spark
+            for line in out.splitlines():
+                p = line.strip()
+                if p.startswith(f"{pkg}/") and p.endswith(".py"):
+                    changed.add(p[: -len(".py")].replace("/", "."))
+    except (OSError, subprocess.SubprocessError):
+        pass
+    _CHANGED_MODULES = frozenset(changed)
+    return _CHANGED_MODULES
+
+
+def _recheck_names(reg: dict[str, RegisteredQuery]) -> frozenset[str]:
+    """The full recheck tier: the curated cross-module list plus every
+    query whose defining module changed since the last round boundary."""
+    changed = _changed_modules_since_round()
+    derived = {
+        n for n, rq in reg.items()
+        if getattr(rq.fn, "__module__", None) in changed
+    }
+    return _RECHECK_FIRST | derived
 
 
 def _evidence_rotation(reg: dict[str, RegisteredQuery]) -> dict[str, RegisteredQuery]:
     """Order the catalog by evidence age: never-driver-checked queries
     first (round 0), then queries whose behavior changed after their
-    last driver row (``_RECHECK_FIRST`` — their green rows are stale
-    evidence), then ascending by the last round that checked them.
+    last driver row (``_recheck_names``: git-derived changed-module
+    queries plus the curated cross-module list — their green rows are
+    stale evidence), then ascending by the last round that checked them.
     Within an evidence tier, ``reference-parity``-tagged queries
     (the SURVEY §2.1 probes) come first — they are the operator
     inventory itself, so their driver rows matter most; registration
@@ -207,11 +256,12 @@ def _evidence_rotation(reg: dict[str, RegisteredQuery]) -> dict[str, RegisteredQ
     front of this dict always spends its budget on the queries with the
     stalest correctness evidence."""
     last = _last_checked_round()
+    recheck = _recheck_names(reg)
     idx = {name: i for i, name in enumerate(reg)}
     ordered = sorted(
         reg,
         key=lambda n: (
-            0 if n not in last else (0.5 if n in _RECHECK_FIRST else last[n]),
+            0 if n not in last else (0.5 if n in recheck else last[n]),
             0 if "reference-parity" in reg[n].tags else 1,
             idx[n],
         ),

@@ -60,19 +60,77 @@ def test_real_catalog_front_has_no_stale_evidence():
     """Against the real committed artifacts: every query in the front-50
     window must be no more recently checked than anything after it —
     the monotone property the driver budget depends on. Queries in
-    ``_RECHECK_FIRST`` (behavior changed after their last driver row)
+    the recheck tier (behavior changed after their last driver row)
     carry effective age 0.5: after never-checked, before everything
     with still-valid evidence."""
     last = registry._last_checked_round()
-    names = list(registry.all_queries())
+    qs = registry.all_queries()
+    recheck = registry._recheck_names(qs)
+    names = list(qs)
 
     def age(n: str) -> float:
         if n not in last:
             return 0.0
-        return 0.5 if n in registry._RECHECK_FIRST else float(last[n])
+        return 0.5 if n in recheck else float(last[n])
 
     ages = [age(n) for n in names]
     assert ages == sorted(ages)
+
+
+def test_recheck_tier_derives_from_git_changed_modules(monkeypatch):
+    """Verdict r10 ask #3 'done' criterion: the boost set must be a
+    SUPERSET of the queries whose defining module changed since the
+    last round-boundary commit — computed here independently with the
+    same git primitive the registry uses, so a regression in the
+    path->module mapping (not just in the git call) fails loudly."""
+    import subprocess
+    from pathlib import Path
+
+    repo = Path(registry.__file__).resolve().parent.parent
+    boundary = subprocess.run(
+        ["git", "-C", str(repo), "log", "-n1", "--format=%H",
+         "-E", "--grep=^round [0-9]+: "],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    if not boundary:
+        pytest.skip("no round-boundary commit in this checkout (fresh clone)")
+    diff = subprocess.run(
+        ["git", "-C", str(repo), "diff", "--name-only", boundary],
+        capture_output=True, text=True,
+    ).stdout.splitlines()
+    changed_mods = {
+        p.strip()[:-3].replace("/", ".")
+        for p in diff
+        if p.strip().startswith("mapreducegcp_spark/") and p.strip().endswith(".py")
+    }
+    qs = registry.all_queries()
+    expected = {
+        n for n, rq in qs.items()
+        if getattr(rq.fn, "__module__", None) in changed_mods
+    }
+    monkeypatch.setattr(registry, "_CHANGED_MODULES", None)  # defeat the cache
+    boost = registry._recheck_names(qs)
+    assert boost >= expected, sorted(expected - boost)
+
+
+def test_recheck_names_merges_hand_list_and_derived(monkeypatch):
+    """Unit: a query whose defining module is in the changed set joins
+    the hand-curated entries; untouched modules do not."""
+
+    def fake_fn_in(mod):
+        def fn(spark, sf_dir):  # pragma: no cover - never called
+            return None
+
+        fn.__module__ = mod
+        return fn
+
+    reg = {
+        "q_touched": registry.RegisteredQuery("q_touched", fn=fake_fn_in("pkg.ops.a")),
+        "q_cold": registry.RegisteredQuery("q_cold", fn=fake_fn_in("pkg.ops.b")),
+    }
+    monkeypatch.setattr(registry, "_CHANGED_MODULES", frozenset({"pkg.ops.a"}))
+    monkeypatch.setattr(registry, "_RECHECK_FIRST", frozenset({"q_hand"}))
+    assert registry._recheck_names(reg) == {"q_touched", "q_hand"}
 
 
 def test_recheck_first_tier_sorts_after_never_checked(fake_artifacts, monkeypatch):
