@@ -1329,7 +1329,13 @@ def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------- two-phase components (large-star / small-star)
 
 
-def two_phase_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
+def two_phase_components(
+    pairs: DataFrame,
+    a: str,
+    b: str,
+    *,
+    block_probe=None,
+) -> DataFrame:
     """Connected components by alternating large-star / small-star
     rounds (Kiveris et al., "Connected Components in MapReduce and
     Beyond") — the O(log n)-round engine min_label_components'
@@ -1355,10 +1361,17 @@ def two_phase_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
     Checkpoint-skew note (functions/checkpoint.py): the initial C0
     checkpoint pins a (lo, hi)-hash-balanced distinct output, and the
     per-round `small` checkpoint is hi-keyed — its hottest block is
-    bounded by the largest star's degree, which the small-star rewrite
-    itself shrinks round over round; rebalancing it would forfeit the
-    exchange reuse the round is built on. Callers checkpointing RAW
-    pair streams (unbounded hot keys) must use safe_checkpoint."""
+    bounded by the largest star's degree plus the partition's fair
+    share of other stars, and the small-star rewrite itself shrinks
+    star degrees round over round; rebalancing through safe_checkpoint
+    would forfeit the exchange reuse the round is built on. This bound
+    is EXECUTABLE, not prose: pass ``block_probe`` (a callable
+    ``(tag, checkpointed_df) -> None``, tags "C0"/"round{i}") and the
+    gated crossverify run (tests/test_crossverify100.py::
+    test_two_phase_checkpoint_blocks_bounded) measures every pinned
+    block of every round on the full-volume blowup pair graphs against
+    that bound. Callers checkpointing RAW pair streams (unbounded hot
+    keys) must use safe_checkpoint."""
     spark = pairs.sparkSession
     half = pairs.select(F.col(a).alias("x"), F.col(b).alias("y")).where(
         F.col(a) != F.col(b)
@@ -1374,6 +1387,8 @@ def two_phase_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
     # jaccard materialization instead of two: ~1.1s off
     # dedup_clusters_twophase at sf0.1, warm best-of-2).
     C0 = canon.localCheckpoint()
+    if block_probe is not None:
+        block_probe("C0", C0)
     n_edges = C0.count()
     n_part = int(
         max(2, min(spark.sparkContext.defaultParallelism, 1 + n_edges // 100_000))
@@ -1390,7 +1405,7 @@ def two_phase_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
     sig = _sig(C)
     from pyspark.sql import Observation
 
-    for _ in range(50):  # fixed point in O(log n) alternations
+    for _round in range(50):  # fixed point in O(log n) alternations
         S = C.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
             C.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
         )
@@ -1428,6 +1443,8 @@ def two_phase_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+        if block_probe is not None:
+            block_probe(f"round{_round}", small)
         m = obs.get
         new_sig = (m["n"], m["h"])
         C = small
@@ -1569,12 +1586,17 @@ def local_uf_components(
         # second scheduled job per level — same trick as two_phase's
         # fixed-point signature
         obs = Observation()
-        # safe_checkpoint: at level 0 `edges` carries the CALLER's
-        # partitioning — a skewed pair stream (one verbatim cluster's
-        # pairs in one partition) would pin one unrecoverable hot
-        # block (functions/checkpoint.py). The observation rides the
-        # materialization below the repartition, still one job.
-        E = safe_checkpoint(edges.observe(obs, F.count(F.lit(1)).alias("n")))
+        # safe_checkpoint at LEVEL 0 ONLY: there `edges` carries the
+        # CALLER's partitioning — a skewed pair stream (one verbatim
+        # cluster's pairs in one partition) would pin one unrecoverable
+        # hot block (functions/checkpoint.py). Boundary graphs at
+        # levels >= 1 come out of _uf_mapping's groupBy — hash-balanced
+        # by construction, and _uf_mapping re-shuffles them by "lo"
+        # anyway, so a round-robin exchange there is pure overhead
+        # (round-10 ADVICE): a plain localCheckpoint truncates lineage
+        # and the observation rides either materialization, one job.
+        observed = edges.observe(obs, F.count(F.lit(1)).alias("n"))
+        E = safe_checkpoint(observed) if _level == 0 else observed.localCheckpoint()
         n_edges = int(obs.get["n"])
         if prev_edges is not None and n_edges >= prev_edges:
             # a non-shrinking boundary means the contraction argument

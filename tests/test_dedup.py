@@ -162,6 +162,38 @@ def test_two_phase_components_long_chain(spark):
     assert {r["cluster_id"] for r in out} == {0}
 
 
+def test_two_phase_block_probe_sees_every_checkpoint(spark):
+    """The ``block_probe`` hook (the executable form of the
+    checkpoint-skew exemption, round-10 verdict ask #4) must fire for
+    C0 and for every round's checkpointed `small` edge set, with row
+    counts that match the data — the gated crossverify step relies on
+    this hook measuring ALL pinned blocks, so a silently skipped
+    checkpoint would void the bound."""
+    from pyspark.sql import functions as F
+
+    from mapreducegcp_spark.operators.dedup import two_phase_components
+
+    # two triangles + a 6-node path: converges in >1 round
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    edges += [(i, i + 1) for i in range(20, 25)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    seen: list[tuple[str, int, int]] = []
+
+    def probe(tag, df):
+        parts = df.groupBy(F.spark_partition_id()).count().collect()
+        seen.append((tag, df.count(), max((r["count"] for r in parts), default=0)))
+
+    out = two_phase_components(pairs, "a", "b", block_probe=probe).collect()
+    assert {r["cluster_id"] for r in out} == {0, 10, 20}
+    tags = [t for t, _, _ in seen]
+    assert tags[0] == "C0" and tags[1:] == [f"round{i}" for i in range(len(tags) - 1)]
+    assert len(tags) >= 3  # C0 + at least two alternation rounds
+    c0_rows = seen[0][1]
+    assert c0_rows == len(set(map(tuple, map(sorted, edges))))
+    # every probe saw a materialized block set covering all rows
+    assert all(mx <= rows for _, rows, mx in seen if rows)
+
+
 def test_min_label_components_raises_past_diameter_cap(spark):
     """A 60-node path exceeds the 50-round diameter bound — the loop
     must raise (silently-unconverged labels would be wrong), naming

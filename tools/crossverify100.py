@@ -291,6 +291,72 @@ def step_engines(spark: SparkSession) -> dict:
     return {"step": "component_engines", "ok": ok, **results}
 
 
+def step_two_phase_blocks(spark: SparkSession) -> dict:
+    """Executable pin of two_phase_components' checkpoint-skew claim
+    (round-10 verdict ask #4): its per-round `small` checkpoint is
+    hi-keyed, exempted from safe_checkpoint on the DOCUMENTED bound
+    that the hottest pinned block is at most the largest star's degree
+    plus a fair share of the other stars. This step measures every
+    pinned block of every round on the full-volume blowup pair graphs
+    (uniform 100x LSH graph; 10x-skew verbatim clique when present) via
+    the operator's ``block_probe`` hook and asserts:
+
+    - C0 (hash-balanced distinct output): max block <= 4x ideal + 1024;
+    - each round's `small`: max block <= max hi-degree + 4x ideal + 1024.
+
+    4x ideal is generous hash-imbalance slack; the failure mode being
+    excluded is categorical (one block holding ~all rows)."""
+    from mapreducegcp_spark.operators.dedup import (
+        q_dedup_minhash_lsh,
+        two_phase_components,
+    )
+
+    results: dict = {}
+    tiers = {"uniform_100x": BIG}
+    if Path(SKEW).exists():
+        tiers["skew_clique_10x"] = SKEW
+    else:
+        results["skew_clique_10x"] = {"skipped": f"{SKEW} absent", "ok": True}
+    for tier, d in tiers.items():
+        t0 = time.time()
+        pairs = q_dedup_minhash_lsh(spark, d).select("doc_a", "doc_b")
+        stats: list[dict] = []
+
+        def probe(tag: str, df: DataFrame, _stats=stats) -> None:
+            parts = df.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+            sizes = [r["count"] for r in parts] or [0]
+            dmax = (
+                df.groupBy("hi").count().agg(F.max("count").alias("m"))
+                .collect()[0]["m"]
+            )
+            _stats.append(
+                {
+                    "tag": tag,
+                    "rows": int(sum(sizes)),
+                    "blocks": len(sizes),
+                    "max_block": int(max(sizes)),
+                    "max_hi_degree": int(dmax or 0),
+                }
+            )
+
+        two_phase_components(pairs, "doc_a", "doc_b", block_probe=probe).count()
+        ok = True
+        for s in stats:
+            ideal = s["rows"] / max(1, s["blocks"])
+            bound = 4 * ideal + 1024
+            if s["tag"] != "C0":
+                bound += s["max_hi_degree"]
+            s["bound"] = int(bound)
+            s["ok"] = s["max_block"] <= bound
+            ok = ok and s["ok"]
+        results[tier] = {"rounds": stats, "ok": ok, "sec": round(time.time() - t0, 1)}
+    return {
+        "step": "two_phase_blocks",
+        "ok": all(v["ok"] for v in results.values()),
+        **results,
+    }
+
+
 def _duck_con(sf_dir: str):
     import duckdb
 
@@ -381,15 +447,16 @@ def main() -> None:
     ap.add_argument("--engines", action="store_true")
     ap.add_argument("--restrict", action="store_true")
     ap.add_argument("--stratum10", action="store_true")
+    ap.add_argument("--twophase", action="store_true")
     ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
     if args.all:
         args.build = args.stratum = args.engines = args.restrict = True
-        args.stratum10 = True
+        args.stratum10 = args.twophase = True
 
     out = []
     spark = None
-    if args.build or args.engines or args.restrict or args.stratum10:
+    if args.build or args.engines or args.restrict or args.stratum10 or args.twophase:
         spark = get_spark()
     if args.build:
         build_stratum(spark)
@@ -401,6 +468,8 @@ def main() -> None:
         out.append(step_engines(spark))
     if args.restrict:
         out.append(step_restrict(spark))
+    if args.twophase:
+        out.append(step_two_phase_blocks(spark))
     for r in out:
         print(json.dumps(r), flush=True)
     if not all(r["ok"] for r in out):
