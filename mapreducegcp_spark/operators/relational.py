@@ -1350,7 +1350,20 @@ def q_sql_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame
     MONOTONE: never lowered below what an earlier, larger corpus in
     the same session established, so whether a later recursion trips
     RECURSION_ROW_LIMIT_EXCEEDED cannot depend on this query having
-    run on a small corpus in between."""
+    run on a small corpus in between.
+
+    Why NOT per-query scoping (set before, restore after — round-10
+    ADVICE): the cap is read at EXECUTION time, not build time
+    (measured: a recursion built under a generous cap fails with
+    RECURSION_ROW_LIMIT_EXCEEDED when the conf is tightened before its
+    action runs — pinned by
+    test_recursion_cap_binds_at_execution_not_build). Restoring the
+    conf after this builder returns would therefore re-tighten the cap
+    under every not-yet-executed recursive DataFrame, reintroducing
+    exactly the build-order dependence the monotone rule removed. The
+    looser session guard is the accepted cost: it still bounds runaway
+    recursion at ~2x the largest corpus's node count, and the level
+    cap stays the primary guard for fixed-depth walks."""
     for t in ("region", "nation", "supplier", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_rc")
     n_nodes = _hierarchy_node_count(spark, sf_dir)

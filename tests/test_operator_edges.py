@@ -751,3 +751,31 @@ def test_recursive_cte_cap_monotone_and_counts_cached(spark, sf_dir, monkeypatch
 
     monkeypatch.setattr(rel, "load_table", boom)
     assert rel._hierarchy_node_count(spark, sf_dir) > 0
+
+
+def test_recursion_cap_binds_at_execution_not_build(spark):
+    """The adjudication receipt for keeping the recursion cap MONOTONE
+    session-global rather than per-query scoped (round-10 ADVICE on
+    relational.py): spark.sql.cteRecursionRowLimit is read when the
+    recursion EXECUTES, not when the DataFrame is built — so a
+    set-before/restore-after bracket around the builder would
+    re-tighten the cap under every not-yet-executed recursive
+    DataFrame, making failure depend on build order. This pins the
+    engine behavior the design rests on; if a Spark upgrade ever binds
+    the cap at build time, this fails and per-query scoping becomes
+    the better design."""
+    import pytest
+
+    key = "spark.sql.cteRecursionRowLimit"
+    prior = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "1000000")
+        df = spark.sql(
+            "WITH RECURSIVE s(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM s "
+            "WHERE n < 500) SELECT count(*) AS c FROM s"
+        )
+        spark.conf.set(key, "10")  # what restore-after would do
+        with pytest.raises(Exception, match="RECURSION_ROW_LIMIT_EXCEEDED"):
+            df.collect()
+    finally:
+        spark.conf.set(key, prior)
