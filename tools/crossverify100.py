@@ -150,7 +150,10 @@ def build_stratum(
 
 def step_stratum() -> dict:
     """Strict Spark-vs-DuckDB compare of all 20 on the stratum, via
-    the unchanged checker (subprocess: its own session + conf)."""
+    the unchanged checker (subprocess: its own session + conf).
+    ``queries`` in the result maps each query to its per-line outcome
+    (pass/fail/rows_only) so sweep100 --receipts can write per-query
+    receipt rows into the sweep log."""
     t0 = time.time()
     proc = subprocess.run(
         [
@@ -170,8 +173,17 @@ def step_stratum() -> dict:
     ok = summary.startswith(f"{len(EXCLUDED_20)} pass, 0 fail")
     if not ok:
         sys.stderr.write(proc.stderr[-4000:])
+    status_map = {"PASS": "pass", "FAIL": "fail", "SKIP": "rows_only"}
+    queries: dict[str, dict] = {}
+    for line in proc.stdout.splitlines():
+        parts = line.split()
+        if len(parts) >= 2 and parts[0] in status_map:
+            queries[parts[1].rstrip(":")] = {
+                "status": status_map[parts[0]],
+                "detail": line.strip()[:300],
+            }
     return {"step": "stratum_oracle", "ok": ok, "summary": summary,
-            "sec": round(time.time() - t0, 1)}
+            "queries": queries, "sec": round(time.time() - t0, 1)}
 
 
 def step_stratum10(spark: SparkSession) -> dict:
