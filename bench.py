@@ -129,6 +129,56 @@ def _calibrate_mt(n_threads: int = 8) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _interleaved_field(root: Path | None = None) -> dict | None:
+    """Newest round-mode ``BENCH_INTERLEAVE_r{N}.json``, compacted for
+    embedding in the stdout headline object. Single-session captures
+    carry ±10-15% session noise (measured round 10), so the canonical
+    round-over-round ratio is the interleaved same-session prev-vs-head
+    min-of-N — embedding it here puts that number INSIDE the
+    driver-recorded ``BENCH_r{N}.json`` by construction (round-10
+    verdict ask #1). ``at_current_head`` is False when commits landed
+    after the capture — a stale embed is visible, not silent."""
+    root = root or Path(__file__).resolve().parent
+    arts = sorted(
+        (p for p in root.glob("BENCH_INTERLEAVE_r*.json")
+         if re.search(r"r(\d+)\.json$", p.name)),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    for p in reversed(arts):
+        try:
+            doc = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if "ratio" not in doc:  # pre-round-11 ad-hoc capture (e.g. r10)
+            continue
+        try:
+            import subprocess
+
+            head_now = subprocess.run(
+                ["git", "-C", str(root), "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=15,
+            ).stdout.strip()
+        except Exception:  # noqa: BLE001 — non-git installs still embed
+            head_now = None
+        return {
+            "file": p.name,
+            "round": doc.get("round"),
+            "prev_rev": (doc.get("prev_rev") or "")[:12],
+            "head_commit": (doc.get("head_commit") or "")[:12],
+            "at_current_head": (
+                None if head_now is None
+                else head_now == doc.get("head_commit")
+            ),
+            "runs": doc.get("runs"),
+            "ratio": doc.get("ratio"),
+            "prev_total_min": doc.get("prev", {}).get("total_min"),
+            "head_total_min": doc.get("head", {}).get("total_min"),
+            "prev_queries": doc.get("prev", {}).get("queries"),
+            "head_queries": doc.get("head", {}).get("queries"),
+        }
+    return None
+
+
 def _cpu_snap() -> list[int] | None:
     """Aggregate jiffy counters from /proc/stat (user nice system idle
     iowait irq softirq steal ...). Diffed across the whole bench run
@@ -269,6 +319,11 @@ def main() -> None:
                 # whole-interval CPU accounting: steal/iowait expose
                 # disturbances the before/after probes cannot
                 "cpu_profile": _cpu_profile(cpu0, _cpu_snap()),
+                # the canonical round-over-round number: same-session
+                # interleaved prev-round-vs-HEAD min-of-N (see
+                # _interleaved_field); single-session `value` above is
+                # the secondary capture
+                "interleaved": _interleaved_field(),
                 "sf": _sf_of(sf_dir),
             }
         )

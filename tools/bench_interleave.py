@@ -13,9 +13,20 @@ per revision. BENCH_INTERLEAVE_r10.json (r8/r9/r10: 14.21/14.64/14.70 s
 where the committed artifacts said 13.39/15.93) is the worked example.
 
     python tools/bench_interleave.py REV [REV...] [--runs 3] [--out F]
+    python tools/bench_interleave.py --round N   # canonical per-round capture
 
 The working tree itself is always included as revision "worktree".
 Worktrees are created under /tmp and removed afterwards.
+
+``--round N`` is the round-11 canonical mode (verdict ask #1): it
+resolves the LAST ROUND-BOUNDARY COMMIT (the driver's "round N: ..."
+commit) as the comparison base, interleaves it against the working
+tree, and writes ``BENCH_INTERLEAVE_r{N}.json`` with ``prev`` /
+``head`` min-of-N per query and the same-session ``ratio`` — the
+number round-over-round perf judgments should read. ``bench.py``
+embeds this artifact into its stdout line, so the driver-recorded
+``BENCH_r{N}.json`` carries the interleaved headline by construction,
+and ``tools/bench_trend.py`` reads it first.
 """
 
 from __future__ import annotations
@@ -45,12 +56,43 @@ def bench_once(tree: Path) -> dict:
     return json.loads(lines[-1])
 
 
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", str(REPO), *args], capture_output=True, text=True
+    ).stdout.strip()
+
+
+def last_round_boundary() -> str:
+    """Hash of the last driver round-boundary commit."""
+    return _git("log", "-n1", "--format=%H", "-E", "--grep=^round [0-9]+: ")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("revs", nargs="+", help="git revisions to compare")
+    ap.add_argument("revs", nargs="*", help="git revisions to compare")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default=None, help="write the result JSON here")
+    ap.add_argument(
+        "--round",
+        type=int,
+        default=None,
+        help="canonical per-round mode: interleave the last round-boundary "
+        "commit vs the working tree and write BENCH_INTERLEAVE_r{N}.json",
+    )
     args = ap.parse_args()
+
+    prev_rev = None
+    if args.round is not None:
+        if args.revs:
+            raise SystemExit("--round resolves its own base revision; drop REVs")
+        prev_rev = last_round_boundary()
+        if not prev_rev:
+            raise SystemExit("no 'round N:' boundary commit found")
+        args.revs = [prev_rev]
+        if not args.out:
+            args.out = str(REPO / f"BENCH_INTERLEAVE_r{args.round:02d}.json")
+    elif not args.revs:
+        raise SystemExit("pass revisions to compare, or --round N")
 
     trees: dict[str, Path] = {"worktree": REPO}
     made: list[Path] = []
@@ -93,6 +135,30 @@ def main() -> None:
                 "cal": [c for d in docs for c in d["calibration_sec"]],
             }
             print(f"{name}: min-sum {out[name]['total_min']}  totals {out[name]['totals']}")
+        if args.round is not None:
+            # canonical fields: prev (round boundary) vs head (working
+            # tree), same-session ratio, and the HEAD commit at capture
+            # time so bench.py can flag a stale embed
+            prev_key = next(k for k in out if k.startswith(f"{prev_rev}@"))
+            head, prev = out["worktree"], out[prev_key]
+            out.update(
+                {
+                    "round": args.round,
+                    "prev_rev": prev_rev,
+                    "head_commit": _git("rev-parse", "HEAD"),
+                    "runs": args.runs,
+                    "prev": prev,
+                    "head": head,
+                    "ratio": round(head["total_min"] / prev["total_min"], 3)
+                    if prev["total_min"]
+                    else None,
+                }
+            )
+            print(
+                f"round {args.round}: head/prev = {out['ratio']}x "
+                f"({head['total_min']} vs {prev['total_min']} s, "
+                f"min-of-{args.runs} interleaved)"
+            )
         if args.out:
             Path(args.out).write_text(json.dumps(out, indent=1))
     finally:

@@ -143,9 +143,45 @@ def main() -> None:
     old, new = _load_parsed(old_p), _load_parsed(new_p)
     old_commit = _artifact_commit(old_p)
     new_commit = _artifact_commit(new_p)  # None (-> HEAD) if uncommitted
+
+    # READ THE INTERLEAVED FIELD FIRST (round-11): when the NEW artifact
+    # embeds a same-session prev-vs-head interleaved capture, that is
+    # the canonical headline ratio — the single-session totals below
+    # carry ±10-15% session noise and are demoted to secondary. Movers
+    # are judged on the interleaved per-query mins, which cannot be
+    # explained by capture variance between sessions.
+    ilv = new.get("interleaved") or None
+    if ilv and ilv.get("ratio") is not None:
+        print(
+            f"INTERLEAVED (canonical): prev {ilv['prev_total_min']} -> "
+            f"head {ilv['head_total_min']} s = {ilv['ratio']}x "
+            f"(min-of-{ilv.get('runs')}, one session; "
+            f"prev_rev {ilv.get('prev_rev')}, head {ilv.get('head_commit')}"
+            f"{'' if ilv.get('at_current_head') else ', STALE vs current HEAD'})",
+            file=sys.stderr,
+        )
+        if ilv.get("prev_queries") and ilv.get("head_queries"):
+            ilv_movers = _movers(
+                ilv["prev_queries"], ilv["head_queries"], args.threshold
+            )
+            for m in ilv_movers:
+                mod = _module_of(m["query"])
+                commits = _commits_touching(mod, ilv.get("prev_rev"), None)
+                tag = "SUSPECT" if commits else "noise? "
+                print(
+                    f"  interleaved {tag} {m['query']} "
+                    f"{m['old']}->{m['new']}s ({m['ratio']}x) — "
+                    f"{mod or 'unmapped'}"
+                    f"{' changed: ' + '; '.join(commits[:3]) if commits else ' untouched'}",
+                    file=sys.stderr,
+                )
+            if not ilv_movers:
+                print("  interleaved: no movers over threshold", file=sys.stderr)
+
     headline = {
         "old": {"file": old_p.name, "total": old.get("value")},
         "new": {"file": new_p.name, "total": new.get("value")},
+        "interleaved": {k: ilv[k] for k in ("ratio", "prev_total_min", "head_total_min", "at_current_head") if ilv} if ilv else None,
     }
     # Machine-load adjudication from the artifacts themselves: each
     # bench records a fixed-work single-thread probe (bench._calibrate)
@@ -185,8 +221,13 @@ def main() -> None:
         if load_ratio is not None
         else "; no calibration field in one or both artifacts (pre-round-7)"
     )
+    session_tag = (
+        "single-session (SECONDARY — interleaved above is canonical)"
+        if ilv and ilv.get("ratio") is not None
+        else "single-session"
+    )
     print(
-        f"\nsummary: headline {old.get('value')} -> {new.get('value')} s"
+        f"\nsummary [{session_tag}]: headline {old.get('value')} -> {new.get('value')} s"
         f" ({total_ratio}x); {len(movers)} mover(s) over {args.threshold}x:"
         f" {len(suspects)} with code changes (REAL suspects),"
         f" {len(interference)} with untouched modules (interference"
