@@ -1,0 +1,62 @@
+"""Executable skip register (round-11 verdict ask #6, no Spark needed).
+
+Every skip construct in tests/ must map to a registered boundary class
+(gate / corpus / container / artifact / checkout) — a NEW skip with an
+unregistered reason fails here, so a skip can never again be an
+unexplained gap. The committed SKIPS.md must match the scan (the
+CATALOG.md pattern: generated inventory, drift fails loudly).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+import skips_audit as sa  # noqa: E402
+
+
+def test_every_skip_construct_is_registered():
+    sites, unregistered = sa.classify(sa.scan())
+    assert sites, "scan found no skip constructs — the AST walk broke"
+    assert not unregistered, [
+        f"{s['file']}:{s['line']} {s['reason'][:100]}" for s in unregistered
+    ]
+
+
+def test_unregistered_reason_is_flagged():
+    """Negative control: a novel skip reason must NOT match any
+    register entry (patterns are tight, not catch-alls)."""
+    fake = [{"file": "x.py", "line": 1, "kind": "skip",
+             "reason": "flaky on Tuesdays, skipping for now"}]
+    _, unregistered = sa.classify(fake)
+    assert unregistered == fake
+
+
+def test_gate_class_dominates_runtime_skips():
+    """The ~100 runtime skips flow from the gate/corpus markers reused
+    across the scale-probe suite — pin that those classes exist and
+    that the container class names only the two documented boundaries
+    (protobuf, wheel). A third container skip means a new environment
+    boundary that needs a SCALE.md row."""
+    sites, _ = sa.classify(sa.scan())
+    by_class: dict[str, list[dict]] = {}
+    for s in sites:
+        by_class.setdefault(s["class"], []).append(s)
+    assert set(by_class) <= {"gate", "corpus", "container", "artifact", "checkout"}
+    assert len(by_class.get("container", [])) == 2, by_class.get("container")
+
+
+def test_committed_skips_md_matches_scan():
+    sites, _ = sa.classify(sa.scan())
+    md = (Path(sa.REPO) / "SKIPS.md").read_text()
+    for s in sites:
+        assert f"`{s['file']}:{s['line']}`" in md, (
+            f"{s['file']}:{s['line']} missing from SKIPS.md — rerun "
+            "`python tools/skips_audit.py --md > SKIPS.md`"
+        )
+    # and no stale rows: the table has exactly one row per site
+    assert md.count("| skipif |") + md.count("| skip |") + md.count(
+        "| importorskip |"
+    ) == len(sites)
