@@ -66,6 +66,27 @@ def test_bench_embeds_newest_round_format_interleave(tmp_path):
     assert got["at_current_head"] is False
 
 
+def test_interleave_round_mode_resolves_last_boundary():
+    """--round compares against the DRIVER's last round-boundary
+    commit — same primitive the registry's recheck tier uses. Skips on
+    a fresh clone without driver history."""
+    import subprocess
+
+    import pytest
+
+    from bench_interleave import last_round_boundary
+
+    rev = last_round_boundary()
+    if not rev:
+        pytest.skip("no round-boundary commit in this checkout (fresh clone)")
+    repo = Path(__file__).resolve().parent.parent
+    subject = subprocess.run(
+        ["git", "-C", str(repo), "log", "-n1", "--format=%s", rev],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    assert subject.startswith("round ") and ":" in subject
+
+
 def test_trend_reads_interleaved_field_first(tmp_path):
     """With an embedded interleave, bench_trend's canonical headline is
     the same-session ratio; the single-session comparison is marked
