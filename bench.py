@@ -138,7 +138,8 @@ def _interleaved_field(root: Path | None = None) -> dict | None:
     driver-recorded ``BENCH_r{N}.json`` by construction (round-10
     verdict ask #1). ``at_current_head`` is False when commits landed
     after the capture — a stale embed is visible, not silent."""
-    root = root or Path(__file__).resolve().parent
+    repo = Path(__file__).resolve().parent  # git root, regardless of
+    root = root or repo                     # where artifacts are read from
     arts = sorted(
         (p for p in root.glob("BENCH_INTERLEAVE_r*.json")
          if re.search(r"r(\d+)\.json$", p.name)),
@@ -151,24 +152,44 @@ def _interleaved_field(root: Path | None = None) -> dict | None:
             continue
         if "ratio" not in doc:  # pre-round-11 ad-hoc capture (e.g. r10)
             continue
+        head_now = None
+        stale_source: list[str] | None = None
         try:
             import subprocess
 
             head_now = subprocess.run(
-                ["git", "-C", str(root), "rev-parse", "HEAD"],
+                ["git", "-C", str(repo), "rev-parse", "HEAD"],
                 capture_output=True, text=True, timeout=15,
             ).stdout.strip()
+            cap = doc.get("head_commit")
+            if head_now and cap and head_now != cap:
+                # artifact/notes commits land AFTER the capture by
+                # construction (the artifact itself is committed); the
+                # ratio is only invalidated by SOURCE drift — list any
+                # engine/bench paths changed since the capture so an
+                # empty list reads as "artifact-only drift, ratio valid"
+                proc = subprocess.run(
+                    ["git", "-C", str(repo), "diff", "--name-only",
+                     cap, "HEAD"],
+                    capture_output=True, text=True, timeout=15,
+                )
+                if proc.returncode == 0:  # unknown capture commit -> None
+                    stale_source = sorted(
+                        p for p in (x.strip() for x in proc.stdout.splitlines())
+                        if p.startswith("mapreducegcp_spark/") or p == "bench.py"
+                    )
         except Exception:  # noqa: BLE001 — non-git installs still embed
-            head_now = None
+            pass
         return {
             "file": p.name,
             "round": doc.get("round"),
             "prev_rev": (doc.get("prev_rev") or "")[:12],
             "head_commit": (doc.get("head_commit") or "")[:12],
             "at_current_head": (
-                None if head_now is None
+                None if not head_now
                 else head_now == doc.get("head_commit")
             ),
+            "stale_source_paths": stale_source,
             "runs": doc.get("runs"),
             "ratio": doc.get("ratio"),
             "prev_total_min": doc.get("prev", {}).get("total_min"),

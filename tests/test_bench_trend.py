@@ -62,8 +62,11 @@ def test_bench_embeds_newest_round_format_interleave(tmp_path):
     assert got["file"] == "BENCH_INTERLEAVE_r11.json"
     assert got["ratio"] == 1.0 and got["round"] == 11
     assert got["prev_queries"] == {"q1": 1.0, "q2": 2.0}
-    # this tmp artifact's fake head_commit cannot match the repo HEAD
+    # this tmp artifact's fake head_commit cannot match the repo HEAD —
+    # and the fake commit isn't a real object, so the source-drift diff
+    # stays None rather than inventing a path list
     assert got["at_current_head"] is False
+    assert got["stale_source_paths"] is None
 
 
 def test_interleave_round_mode_resolves_last_boundary():
