@@ -49,12 +49,15 @@ def test_gate_class_dominates_runtime_skips():
 
 
 def test_committed_skips_md_matches_scan():
+    """Drift check keyed on (file, kind, reason) — NOT line numbers,
+    which shift with any unrelated edit above a skip site."""
     sites, _ = sa.classify(sa.scan())
     md = (Path(sa.REPO) / "SKIPS.md").read_text()
     for s in sites:
-        assert f"`{s['file']}:{s['line']}`" in md, (
-            f"{s['file']}:{s['line']} missing from SKIPS.md — rerun "
-            "`python tools/skips_audit.py --md > SKIPS.md`"
+        needle = f"`{s['file']}` | {s['kind']} | **{s['class']}** | {s['reason'][:80]}"
+        assert needle in md, (
+            f"{s['file']} ({s['reason'][:60]}...) missing/stale in SKIPS.md "
+            "— rerun `python tools/skips_audit.py --md > SKIPS.md`"
         )
     # and no stale rows: the table has exactly one row per site
     assert md.count("| skipif |") + md.count("| skip |") + md.count(

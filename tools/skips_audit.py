@@ -164,8 +164,10 @@ def render_md(sites: list[dict]) -> str:
         "|---|---|---|---|",
     ]
     for s in sorted(sites, key=lambda s: (s["class"], s["file"], s["line"])):
+        # no line numbers in the committed table: they shift with any
+        # unrelated edit above a site; (file, kind, reason) is the key
         lines.append(
-            f"| `{s['file']}:{s['line']}` | {s['kind']} | **{s['class']}** "
+            f"| `{s['file']}` | {s['kind']} | **{s['class']}** "
             f"| {s['reason'][:140]} |"
         )
     lines += [
