@@ -232,15 +232,105 @@ def _changed_modules_since_round() -> frozenset[str]:
     return _CHANGED_MODULES
 
 
+_IMPORT_CLOSURE: dict[str, frozenset[str]] | None = None
+
+
+def _package_import_closure() -> dict[str, frozenset[str]]:
+    """module -> transitive set of PACKAGE modules it imports (itself
+    included), from a static AST walk of the package sources. This is
+    what lets a HELPER change (functions/checkpoint.py, plans/
+    run_mapred.py) boost the queries defined in the operator modules
+    that import it — defining-module mapping alone would miss every
+    cross-module behavior change. Cached per process; a module whose
+    source can't be read just maps to itself."""
+    global _IMPORT_CLOSURE
+    if _IMPORT_CLOSURE is not None:
+        return _IMPORT_CLOSURE
+    import ast
+
+    pkg_dir = Path(__file__).resolve().parent
+    pkg = pkg_dir.name  # mapreducegcp_spark
+    direct: dict[str, set[str]] = {}
+    for f in pkg_dir.rglob("*.py"):
+        mod = ".".join(
+            (pkg, *f.relative_to(pkg_dir).with_suffix("").parts)
+        ).removesuffix(".__init__")
+        deps: set[str] = set()
+        try:
+            tree = ast.parse(f.read_text())
+        except (OSError, SyntaxError):
+            direct[mod] = deps
+            continue
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                deps.update(a.name for a in node.names if a.name.startswith(pkg))
+            elif isinstance(node, ast.ImportFrom):
+                if node.level:  # relative: resolve against this module
+                    base = mod.split(".")[: -node.level]
+                    target = ".".join(base + ([node.module] if node.module else []))
+                else:
+                    target = node.module or ""
+                if target.startswith(pkg):
+                    deps.add(target)
+                    # `from pkg.mod import name` may bind a SUBMODULE
+                    deps.update(f"{target}.{a.name}" for a in node.names)
+        direct[mod] = deps
+    # keep only real package modules as nodes/edges (the `from X import
+    # name` submodule guesses that aren't modules drop out here)
+    known = set(direct)
+    closure: dict[str, frozenset[str]] = {}
+    for mod in direct:
+        seen = {mod}
+        stack = [d for d in direct[mod] if d in known]
+        while stack:
+            d = stack.pop()
+            if d in seen:
+                continue
+            seen.add(d)
+            stack.extend(x for x in direct.get(d, ()) if x in known)
+        closure[mod] = frozenset(seen)
+    _IMPORT_CLOSURE = closure
+    return closure
+
+
+def _recheck_tiers(reg: dict[str, RegisteredQuery]) -> dict[str, float]:
+    """Recheck priorities for queries whose green rows are stale:
+
+    - 0.4 — defining module changed (the query's own code moved);
+    - 0.5 — curated cross-module hand list;
+    - 0.6 — defining module transitively IMPORTS a changed package
+      module (helpers, plan facades, sources): plausibly affected,
+      checked after the directly-touched ones.
+
+    All three sort after never-checked (0) and before every real
+    evidence round (>= 1), so a budgeted driver window covers the
+    directly-touched queries first and the conservative import-closure
+    superset next."""
+    # The dispatch layer itself is exempt from the closure: every
+    # operator module imports it (for @register), so a registry edit
+    # would blanket-boost the whole catalog and destroy the targeted
+    # windowing this function implements — and registry changes alter
+    # HOW queries are cataloged/ordered, not what any query computes
+    # (a dispatch bug is loud and immediate, not a stale green row).
+    changed = _changed_modules_since_round() - {__name__}
+    tiers = {n: 0.5 for n in _RECHECK_FIRST if n in reg}
+    if not changed:
+        return tiers
+    closure = _package_import_closure()
+    for n, rq in reg.items():
+        mod = getattr(rq.fn, "__module__", None)
+        if mod is None:
+            continue
+        if mod in changed:
+            tiers[n] = min(tiers.get(n, 0.4), 0.4)
+        elif closure.get(mod, frozenset({mod})) & changed:
+            tiers[n] = min(tiers.get(n, 0.6), 0.6)
+    return tiers
+
+
 def _recheck_names(reg: dict[str, RegisteredQuery]) -> frozenset[str]:
-    """The full recheck tier: the curated cross-module list plus every
-    query whose defining module changed since the last round boundary."""
-    changed = _changed_modules_since_round()
-    derived = {
-        n for n, rq in reg.items()
-        if getattr(rq.fn, "__module__", None) in changed
-    }
-    return _RECHECK_FIRST | derived
+    """Every query in any recheck tier (see ``_recheck_tiers``)."""
+    return frozenset(_recheck_tiers(reg))
 
 
 def _evidence_rotation(reg: dict[str, RegisteredQuery]) -> dict[str, RegisteredQuery]:
@@ -256,12 +346,12 @@ def _evidence_rotation(reg: dict[str, RegisteredQuery]) -> dict[str, RegisteredQ
     front of this dict always spends its budget on the queries with the
     stalest correctness evidence."""
     last = _last_checked_round()
-    recheck = _recheck_names(reg)
+    recheck = _recheck_tiers(reg)
     idx = {name: i for i, name in enumerate(reg)}
     ordered = sorted(
         reg,
         key=lambda n: (
-            0 if n not in last else (0.5 if n in recheck else last[n]),
+            0 if n not in last else recheck.get(n, last[n]),
             0 if "reference-parity" in reg[n].tags else 1,
             idx[n],
         ),

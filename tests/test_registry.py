@@ -65,16 +65,55 @@ def test_real_catalog_front_has_no_stale_evidence():
     with still-valid evidence."""
     last = registry._last_checked_round()
     qs = registry.all_queries()
-    recheck = registry._recheck_names(qs)
+    tiers = registry._recheck_tiers(qs)
     names = list(qs)
 
     def age(n: str) -> float:
         if n not in last:
             return 0.0
-        return 0.5 if n in recheck else float(last[n])
+        return tiers.get(n, float(last[n]))
 
     ages = [age(n) for n in names]
     assert ages == sorted(ages)
+
+
+def test_defining_module_changes_outrank_closure_derived(monkeypatch):
+    """Tier ordering: directly-touched queries (0.4) lead the window,
+    the hand list (0.5) follows, import-closure-derived (0.6) after —
+    so a budgeted driver window verifies the query whose own code
+    changed before the conservative superset."""
+
+    def fn_in(mod):
+        def fn(spark, sf_dir):  # pragma: no cover
+            return None
+
+        fn.__module__ = mod
+        return fn
+
+    reg = {
+        "q_direct": registry.RegisteredQuery("q_direct", fn=fn_in("pkg.a")),
+        "q_closure": registry.RegisteredQuery("q_closure", fn=fn_in("pkg.b")),
+        "q_hand": registry.RegisteredQuery("q_hand", fn=fn_in("pkg.c")),
+        "q_cold": registry.RegisteredQuery("q_cold", fn=fn_in("pkg.d")),
+    }
+    monkeypatch.setattr(registry, "_CHANGED_MODULES", frozenset({"pkg.a", "pkg.h"}))
+    monkeypatch.setattr(
+        registry, "_IMPORT_CLOSURE",
+        {"pkg.a": frozenset({"pkg.a"}), "pkg.b": frozenset({"pkg.b", "pkg.h"}),
+         "pkg.c": frozenset({"pkg.c"}), "pkg.d": frozenset({"pkg.d"})},
+    )
+    monkeypatch.setattr(registry, "_RECHECK_FIRST", frozenset({"q_hand"}))
+    tiers = registry._recheck_tiers(reg)
+    assert tiers == {"q_direct": 0.4, "q_hand": 0.5, "q_closure": 0.6}
+    # rotation respects the tiers among evidence-equal queries
+    monkeypatch.setattr(registry, "_LAST_CHECKED", None)
+    monkeypatch.setattr(
+        registry, "_last_checked_round",
+        lambda: {n: 3 for n in reg},
+    )
+    assert list(registry._evidence_rotation(reg)) == [
+        "q_direct", "q_hand", "q_closure", "q_cold"
+    ]
 
 
 def test_recheck_tier_derives_from_git_changed_modules(monkeypatch):
@@ -113,6 +152,32 @@ def test_recheck_tier_derives_from_git_changed_modules(monkeypatch):
     assert boost >= expected, sorted(expected - boost)
 
 
+def test_helper_module_change_boosts_importing_queries(monkeypatch):
+    """A change to a HELPER module (functions/checkpoint.py) must boost
+    queries whose defining module imports it transitively — the
+    defining-module map alone would miss every cross-module behavior
+    change. The dispatch layer itself is exempt (every operator imports
+    registry for @register; boosting the whole catalog would destroy
+    the windowing)."""
+    qs = registry.all_queries()
+    monkeypatch.setattr(
+        registry, "_CHANGED_MODULES",
+        frozenset({"mapreducegcp_spark.functions.checkpoint"}),
+    )
+    boost = registry._recheck_names(qs)
+    # dedup imports safe_checkpoint; its cluster queries must be boosted
+    assert {"dedup_clusters_localuf", "dedup_clusters_twophase",
+            "dedup_minhash_lsh"} <= boost
+    # a module that never touches checkpointing must NOT be boosted
+    assert "wordcount" not in boost
+
+    monkeypatch.setattr(
+        registry, "_CHANGED_MODULES",
+        frozenset({"mapreducegcp_spark.registry"}),
+    )
+    assert registry._recheck_names(qs) == registry._RECHECK_FIRST
+
+
 def test_recheck_names_merges_hand_list_and_derived(monkeypatch):
     """Unit: a query whose defining module is in the changed set joins
     the hand-curated entries; untouched modules do not."""
@@ -126,10 +191,15 @@ def test_recheck_names_merges_hand_list_and_derived(monkeypatch):
 
     reg = {
         "q_touched": registry.RegisteredQuery("q_touched", fn=fake_fn_in("pkg.ops.a")),
+        "q_hand": registry.RegisteredQuery("q_hand", fn=fake_fn_in("pkg.ops.c")),
         "q_cold": registry.RegisteredQuery("q_cold", fn=fake_fn_in("pkg.ops.b")),
     }
     monkeypatch.setattr(registry, "_CHANGED_MODULES", frozenset({"pkg.ops.a"}))
-    monkeypatch.setattr(registry, "_RECHECK_FIRST", frozenset({"q_hand"}))
+    monkeypatch.setattr(registry, "_IMPORT_CLOSURE", {})
+    monkeypatch.setattr(
+        registry, "_RECHECK_FIRST", frozenset({"q_hand", "q_retired_name"})
+    )
+    # merged; a hand entry no longer in the catalog is dropped
     assert registry._recheck_names(reg) == {"q_touched", "q_hand"}
 
 
