@@ -252,6 +252,7 @@ def _package_import_closure() -> dict[str, frozenset[str]]:
     pkg = pkg_dir.name  # mapreducegcp_spark
     direct: dict[str, set[str]] = {}
     for f in pkg_dir.rglob("*.py"):
+        is_init = f.name == "__init__.py"
         mod = ".".join(
             (pkg, *f.relative_to(pkg_dir).with_suffix("").parts)
         ).removesuffix(".__init__")
@@ -265,8 +266,12 @@ def _package_import_closure() -> dict[str, frozenset[str]]:
             if isinstance(node, ast.Import):
                 deps.update(a.name for a in node.names if a.name.startswith(pkg))
             elif isinstance(node, ast.ImportFrom):
-                if node.level:  # relative: resolve against this module
-                    base = mod.split(".")[: -node.level]
+                if node.level:  # relative: resolve against this module.
+                    # For an __init__ (normalized to its package name
+                    # above) level 1 is the package ITSELF, so it
+                    # strips one segment fewer than a regular module.
+                    cut = node.level - (1 if is_init else 0)
+                    base = mod.split(".")[: -cut] if cut else mod.split(".")
                     target = ".".join(base + ([node.module] if node.module else []))
                 else:
                     target = node.module or ""
