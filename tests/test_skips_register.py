@@ -25,6 +25,25 @@ def test_every_skip_construct_is_registered():
     ]
 
 
+def test_bare_and_positional_skip_constructs_are_scanned(tmp_path, monkeypatch):
+    """A bare @pytest.mark.skip decorator has no Call node and a
+    positional-reason skip has no keyword — both must still be scanned
+    (the bare one surfaces as unregistered, reason empty)."""
+    src = (
+        "import pytest\n"
+        "@pytest.mark.skip\n"
+        "def test_a():\n    pass\n"
+        "@pytest.mark.skip('flaky on Tuesdays')\n"
+        "def test_b():\n    pass\n"
+    )
+    (tmp_path / "test_fake.py").write_text(src)
+    monkeypatch.setattr(sa, "TESTS", tmp_path)
+    sites, unregistered = sa.classify(sa.scan())
+    kinds = sorted(s["kind"] for s in sites)
+    assert kinds == ["bare-skip", "skipif"], sites
+    assert len(unregistered) == 2  # neither matches a register entry
+
+
 def test_unregistered_reason_is_flagged():
     """Negative control: a novel skip reason must NOT match any
     register entry (patterns are tight, not catch-alls)."""

@@ -121,7 +121,12 @@ def scan() -> list[dict]:
             elif name.endswith(".skipif") or name == "pytest.mark.skip":
                 kind = "skipif"
                 kw = next((k for k in node.keywords if k.arg == "reason"), None)
-                reason = _literal_text(kw.value) if kw else ""
+                if kw is not None:
+                    reason = _literal_text(kw.value)
+                elif name == "pytest.mark.skip" and node.args:
+                    reason = _literal_text(node.args[0])  # positional reason
+                else:
+                    reason = ""
             if kind is None:
                 continue
             sites.append(
@@ -132,6 +137,20 @@ def scan() -> list[dict]:
                     "reason": re.sub(r"\s+", " ", reason or "").strip(),
                 }
             )
+        # bare decorators (@pytest.mark.skip with no call) carry no
+        # reason at all — they must surface as unregistered sites, not
+        # evade the scan because there is no Call node to find
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                for dec in node.decorator_list:
+                    if (
+                        isinstance(dec, ast.Attribute)
+                        and ast.unparse(dec) == "pytest.mark.skip"
+                    ):
+                        sites.append(
+                            {"file": f.name, "line": dec.lineno,
+                             "kind": "bare-skip", "reason": ""}
+                        )
     return sites
 
 
