@@ -67,6 +67,24 @@ def last_round_boundary() -> str:
     return _git("log", "-n1", "--format=%H", "-E", "--grep=^round [0-9]+: ")
 
 
+def merge_ratio_history(out_path: Path | None, ratio: float | None) -> list[float]:
+    """Prior captures' ratios from an existing artifact at ``out_path``
+    plus this capture's, oldest first. A pre-band artifact contributes
+    its single ``ratio``; an unreadable one contributes nothing."""
+    hist: list[float] = []
+    if out_path is not None and out_path.exists():
+        try:
+            prior = json.loads(out_path.read_text())
+            hist = list(prior.get("ratio_history") or [])
+            if not hist and prior.get("ratio") is not None:
+                hist = [prior["ratio"]]
+        except (OSError, ValueError):
+            pass
+    if ratio is not None:
+        hist.append(ratio)
+    return hist
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("revs", nargs="*", help="git revisions to compare")
@@ -154,10 +172,24 @@ def main() -> None:
                     else None,
                 }
             )
+            # Repeat captures within a round accumulate a ratio history
+            # and its spread (the method's residual — ±3% measured over
+            # three same-tree round-11 captures), so a single ratio is
+            # never over-read as signal. Recapturing OVERWRITES the
+            # per-query fields with the newest session but preserves
+            # every prior ratio in the band.
+            out["ratio_history"] = merge_ratio_history(
+                Path(args.out) if args.out else None, out["ratio"]
+            )
+            if len(out["ratio_history"]) > 1:
+                out["residual_band"] = [
+                    min(out["ratio_history"]), max(out["ratio_history"])
+                ]
             print(
                 f"round {args.round}: head/prev = {out['ratio']}x "
                 f"({head['total_min']} vs {prev['total_min']} s, "
-                f"min-of-{args.runs} interleaved)"
+                f"min-of-{args.runs} interleaved; "
+                f"history {out['ratio_history']})"
             )
         if args.out:
             Path(args.out).write_text(json.dumps(out, indent=1))

@@ -97,6 +97,30 @@ def load_ratio_of(old: dict, new: dict) -> float | None:
     return round(max(ratios), 2) if ratios else None
 
 
+def _ilv_queries(ilv: dict, new_artifact: Path) -> tuple[dict, dict]:
+    """Per-query interleaved mins for mover analysis. Pre-round-12
+    embeds carried them inline; compact embeds name the artifact file,
+    searched next to the NEW bench artifact first, then the repo root.
+    Missing file -> empty dicts (headline ratio still adjudicates)."""
+    if ilv.get("prev_queries") and ilv.get("head_queries"):
+        return ilv["prev_queries"], ilv["head_queries"]
+    fname = ilv.get("file")
+    if not fname:
+        return {}, {}
+    for root in (new_artifact.resolve().parent, REPO):
+        p = root / fname
+        if p.exists():
+            try:
+                doc = json.loads(p.read_text())
+            except (OSError, ValueError):
+                continue
+            return (
+                doc.get("prev", {}).get("queries") or {},
+                doc.get("head", {}).get("queries") or {},
+            )
+    return {}, {}
+
+
 def _movers(old_q: dict, new_q: dict, threshold: float) -> list[dict]:
     out = []
     for name in sorted(set(old_q) & set(new_q)):
@@ -148,22 +172,48 @@ def main() -> None:
     # embeds a same-session prev-vs-head interleaved capture, that is
     # the canonical headline ratio — the single-session totals below
     # carry ±10-15% session noise and are demoted to secondary. Movers
-    # are judged on the interleaved per-query mins, which cannot be
-    # explained by capture variance between sessions.
+    # are judged on the interleaved per-query mins; since round 12 the
+    # embed is compact (ratio/totals/staleness only — the full embed
+    # overflowed the driver's tail capture in round 11), so the
+    # per-query dicts are loaded from the interleave ARTIFACT FILE the
+    # embed names, resolved next to the NEW artifact then in the repo.
     ilv = new.get("interleaved") or None
     if ilv and ilv.get("ratio") is not None:
+        # three staleness states, not two (a non-git capture is
+        # "unknown", not "stale"); an empty stale_source_paths under a
+        # moved HEAD means only artifacts/docs changed — ratio valid
+        if ilv.get("at_current_head") is True:
+            stale_note = ""
+        elif ilv.get("at_current_head") is False:
+            src = ilv.get("stale_source_paths")
+            if src is not None and len(src) == 0:
+                stale_note = ", HEAD moved but engine/bench source untouched (ratio valid)"
+            elif src:
+                n = ilv.get("stale_source_n", len(src))
+                stale_note = (
+                    f", STALE vs current HEAD ({n} source path(s) changed:"
+                    f" {', '.join(src[:3])}{', ...' if n > 3 else ''})"
+                )
+            else:
+                stale_note = ", STALE vs current HEAD"
+        else:
+            stale_note = ", capture head unknown (non-git environment)"
+        band = (
+            f"; residual band {ilv['residual_band']}"
+            if ilv.get("residual_band")
+            else ""
+        )
         print(
             f"INTERLEAVED (canonical): prev {ilv['prev_total_min']} -> "
             f"head {ilv['head_total_min']} s = {ilv['ratio']}x "
             f"(min-of-{ilv.get('runs')}, one session; "
             f"prev_rev {ilv.get('prev_rev')}, head {ilv.get('head_commit')}"
-            f"{'' if ilv.get('at_current_head') else ', STALE vs current HEAD'})",
+            f"{stale_note}){band}",
             file=sys.stderr,
         )
-        if ilv.get("prev_queries") and ilv.get("head_queries"):
-            ilv_movers = _movers(
-                ilv["prev_queries"], ilv["head_queries"], args.threshold
-            )
+        prev_q, head_q = _ilv_queries(ilv, new_p)
+        if prev_q and head_q:
+            ilv_movers = _movers(prev_q, head_q, args.threshold)
             for m in ilv_movers:
                 mod = _module_of(m["query"])
                 commits = _commits_touching(mod, ilv.get("prev_rev"), None)
@@ -181,7 +231,12 @@ def main() -> None:
     headline = {
         "old": {"file": old_p.name, "total": old.get("value")},
         "new": {"file": new_p.name, "total": new.get("value")},
-        "interleaved": {k: ilv[k] for k in ("ratio", "prev_total_min", "head_total_min", "at_current_head") if ilv} if ilv else None,
+        "interleaved": {
+            k: ilv.get(k)
+            for k in ("ratio", "prev_total_min", "head_total_min",
+                      "at_current_head", "residual_band")
+            if k in ilv
+        } if ilv else None,
     }
     # Machine-load adjudication from the artifacts themselves: each
     # bench records a fixed-work single-thread probe (bench._calibrate)
