@@ -199,6 +199,33 @@ _ROUND_BOUNDARY_SUBJECT = r"^round [0-9]+: "
 _CHANGED_MODULES: frozenset[str] | None = None
 
 
+def _module_of_path(path: str, pkg: str) -> str | None:
+    """Repo-relative ``.py`` path -> dotted module name, or None for a
+    path outside the package. ``pkg/sub/__init__.py`` normalizes to
+    ``pkg.sub`` — the same spelling ``_package_import_closure`` and
+    ``fn.__module__`` use; keeping the raw ``pkg.sub.__init__`` here
+    made every __init__ edit silently escape the recheck boost."""
+    if not (path.startswith(f"{pkg}/") and path.endswith(".py")):
+        return None
+    return path[: -len(".py")].replace("/", ".").removesuffix(".__init__")
+
+
+def _last_boundary_commit() -> str | None:
+    """Hash of the driver's last round-boundary commit, or None when
+    git / the boundary is unavailable (non-checkout installs)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", str(_REPO_ROOT), "log", "-n1", "--format=%H",
+             "-E", f"--grep={_ROUND_BOUNDARY_SUBJECT}"],
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        return out or None
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
 def _changed_modules_since_round() -> frozenset[str]:
     """Dotted module names under this package whose source file changed
     (committed or working-tree) since the last round-boundary commit."""
@@ -209,11 +236,7 @@ def _changed_modules_since_round() -> frozenset[str]:
 
     changed: set[str] = set()
     try:
-        boundary = subprocess.run(
-            ["git", "-C", str(_REPO_ROOT), "log", "-n1", "--format=%H",
-             "-E", f"--grep={_ROUND_BOUNDARY_SUBJECT}"],
-            capture_output=True, text=True, timeout=30,
-        ).stdout.strip()
+        boundary = _last_boundary_commit()
         if boundary:
             # diff to the WORKING TREE (not HEAD): uncommitted edits to
             # an operator module must boost its queries too
@@ -223,9 +246,9 @@ def _changed_modules_since_round() -> frozenset[str]:
             ).stdout
             pkg = Path(__file__).resolve().parent.name  # mapreducegcp_spark
             for line in out.splitlines():
-                p = line.strip()
-                if p.startswith(f"{pkg}/") and p.endswith(".py"):
-                    changed.add(p[: -len(".py")].replace("/", "."))
+                mod = _module_of_path(line.strip(), pkg)
+                if mod:
+                    changed.add(mod)
     except (OSError, subprocess.SubprocessError):
         pass
     _CHANGED_MODULES = frozenset(changed)
@@ -298,19 +321,251 @@ def _package_import_closure() -> dict[str, frozenset[str]]:
     return closure
 
 
+# -- symbol-level closure refinement (round-12 verdict ask #4) ---------
+#
+# The import-closure tier above is a SUPERSET guard: any edit to a
+# helper module boosted all 80+ downstream queries, including
+# docstring-only edits. These helpers narrow it to changes that can
+# actually REACH an importer: a helper edit boosts a closure-derived
+# query only when some module in the query's import closure binds a
+# symbol whose semantic AST (docstrings stripped, intra-module uses
+# propagated) changed since the round boundary. Anything unanalyzable
+# (git unavailable, new file, parse failure, module-level statement
+# change) degrades to "all symbols changed" — the old conservative
+# behavior, never silence.
+
+
+def _symbol_table(src: str) -> tuple[dict[str, str], tuple[str, ...], dict[str, set[str]]]:
+    """Top-level symbols of a module source: name -> semantic AST dump
+    (docstrings stripped), the dumps of module-level statements that
+    define no symbol (imports, if/try blocks, expression statements —
+    minus the module docstring), and name -> set of names each symbol
+    references (for intra-module change propagation)."""
+    import ast
+
+    tree = ast.parse(src)
+
+    def strip_doc(node) -> None:
+        body = getattr(node, "body", None)
+        if (
+            body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            node.body = body[1:] or [ast.Pass()]
+
+    strip_doc(tree)
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            strip_doc(node)
+
+    symbols: dict[str, str] = {}
+    nodes: dict[str, ast.AST] = {}
+    module_level: list[str] = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            symbols[node.name] = ast.dump(node)
+            nodes[node.name] = node
+        elif isinstance(node, ast.Assign) and all(
+            isinstance(t, ast.Name) for t in node.targets
+        ):
+            d = ast.dump(node)
+            for t in node.targets:
+                symbols[t.id] = d
+                nodes[t.id] = node
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            symbols[node.target.id] = ast.dump(node)
+            nodes[node.target.id] = node
+        else:
+            module_level.append(ast.dump(node))
+    refs = {
+        name: {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
+        for name, node in nodes.items()
+    }
+    return symbols, tuple(module_level), refs
+
+
+def _symbol_diff(old_src: str, new_src: str) -> frozenset[str] | None:
+    """Names of top-level symbols whose semantics changed between two
+    sources of one module. ``None`` = a module-level statement changed
+    (imports, conditional defs): effects are unattributable, treat as
+    all. ``frozenset()`` = cosmetic only (docstrings/comments/
+    formatting) — no importer can be affected. An edit to a private
+    helper propagates to every symbol that references it, so a public
+    function whose callee changed counts as changed even though its
+    own AST did not."""
+    old_syms, old_mod, old_refs = _symbol_table(old_src)
+    new_syms, new_mod, new_refs = _symbol_table(new_src)
+    if old_mod != new_mod:
+        return None
+    changed = {
+        k
+        for k in old_syms.keys() | new_syms.keys()
+        if old_syms.get(k) != new_syms.get(k)
+    }
+    refs: dict[str, set[str]] = {}
+    for k in old_refs.keys() | new_refs.keys():
+        refs[k] = old_refs.get(k, set()) | new_refs.get(k, set())
+    while True:
+        add = {k for k, rs in refs.items() if k not in changed and rs & changed}
+        if not add:
+            break
+        changed |= add
+    return frozenset(changed)
+
+
+_CHANGED_SYMBOLS: dict[str, frozenset[str] | None] | None = None
+
+
+def _changed_symbols_since_round() -> dict[str, frozenset[str] | None]:
+    """changed module -> its symbol diff vs the round boundary (see
+    ``_symbol_diff``; ``None`` = treat every symbol as changed).
+    Covers exactly ``_changed_modules_since_round()``; computed once
+    per process (one ``git show`` per changed module — the changed set
+    is small in any round)."""
+    global _CHANGED_SYMBOLS
+    if _CHANGED_SYMBOLS is not None:
+        return _CHANGED_SYMBOLS
+    import subprocess
+
+    boundary = _last_boundary_commit()
+    out: dict[str, frozenset[str] | None] = {}
+    for mod in _changed_modules_since_round():
+        out[mod] = None  # conservative until proven analyzable
+        if not boundary:
+            continue
+        rel = mod.replace(".", "/")
+        path = next(
+            (c for c in (f"{rel}.py", f"{rel}/__init__.py")
+             if (_REPO_ROOT / c).is_file()),
+            None,
+        )
+        if path is None:  # deleted module — importers must recheck
+            continue
+        try:
+            shown = subprocess.run(
+                ["git", "-C", str(_REPO_ROOT), "show", f"{boundary}:{path}"],
+                capture_output=True, text=True, timeout=30,
+            )
+            if shown.returncode != 0:  # new since the boundary
+                continue
+            out[mod] = _symbol_diff(shown.stdout, (_REPO_ROOT / path).read_text())
+        except (OSError, subprocess.SubprocessError, SyntaxError, ValueError):
+            continue
+    _CHANGED_SYMBOLS = out
+    return out
+
+
+_IMPORT_BINDINGS: dict[str, dict[str, frozenset[str] | None]] | None = None
+
+
+def _import_bindings() -> dict[str, dict[str, frozenset[str] | None]]:
+    """importer module -> {package module -> names the importer binds
+    from it, or ``None`` for a whole-module binding (``import m``,
+    ``from p import m_sub``, ``from m import *`` — attribute access is
+    unrestricted, so every symbol counts as bound)}. Static AST walk
+    over the package, cached per process."""
+    global _IMPORT_BINDINGS
+    if _IMPORT_BINDINGS is not None:
+        return _IMPORT_BINDINGS
+    import ast
+
+    pkg_dir = Path(__file__).resolve().parent
+    pkg = pkg_dir.name
+    mods = {
+        f: ".".join(
+            (pkg, *f.relative_to(pkg_dir).with_suffix("").parts)
+        ).removesuffix(".__init__")
+        for f in pkg_dir.rglob("*.py")
+    }
+    known = set(mods.values())
+    out: dict[str, dict[str, frozenset[str] | None]] = {}
+    for f, mod in mods.items():
+        is_init = f.name == "__init__.py"
+        binds: dict[str, set[str] | None] = {}
+
+        def bind_all(target: str) -> None:
+            binds[target] = None
+
+        def bind_name(target: str, name: str) -> None:
+            cur = binds.get(target)
+            if target in binds and cur is None:
+                return  # already whole-module
+            binds[target] = (cur or set()) | {name}
+
+        try:
+            tree = ast.parse(f.read_text())
+        except (OSError, SyntaxError):
+            out[mod] = {}
+            continue
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name.startswith(pkg):
+                        bind_all(a.name)
+            elif isinstance(node, ast.ImportFrom):
+                if node.level:  # same resolution as _package_import_closure
+                    cut = node.level - (1 if is_init else 0)
+                    base = mod.split(".")[: -cut] if cut else mod.split(".")
+                    target = ".".join(base + ([node.module] if node.module else []))
+                else:
+                    target = node.module or ""
+                if not target.startswith(pkg):
+                    continue
+                for a in node.names:
+                    if a.name == "*":
+                        bind_all(target)
+                        continue
+                    bind_name(target, a.name)
+                    if f"{target}.{a.name}" in known:
+                        bind_all(f"{target}.{a.name}")
+        out[mod] = {
+            t: (None if v is None else frozenset(v)) for t, v in binds.items()
+        }
+    _IMPORT_BINDINGS = out
+    return out
+
+
+def _closure_change_reaches(qclosure: frozenset[str], helpers: frozenset[str]) -> bool:
+    """True when any changed helper module's changed SYMBOLS are bound
+    by some module inside the query's import closure — i.e. the change
+    has a path to the query. A helper whose diff is cosmetic-only
+    (empty set) reaches nothing; an unanalyzable helper reaches
+    everything (conservative)."""
+    syms = _changed_symbols_since_round()
+    bindings = _import_bindings()
+    for m in helpers:
+        s = syms.get(m)  # a module outside the analyzed set -> None
+        if s is None:
+            return True
+        if not s:
+            continue
+        for imp in qclosure:
+            b = bindings.get(imp, {})
+            if m in b:
+                names = b[m]
+                if names is None or names & s:
+                    return True
+    return False
+
+
 def _recheck_tiers(reg: dict[str, RegisteredQuery]) -> dict[str, float]:
     """Recheck priorities for queries whose green rows are stale:
 
     - 0.4 — defining module changed (the query's own code moved);
     - 0.5 — curated cross-module hand list;
     - 0.6 — defining module transitively IMPORTS a changed package
-      module (helpers, plan facades, sources): plausibly affected,
-      checked after the directly-touched ones.
+      module (helpers, plan facades, sources) AND the change can reach
+      it: some module in the query's import closure binds a symbol
+      whose semantic AST changed (``_closure_change_reaches``).
+      Docstring/comment-only helper edits boost nothing; anything
+      unanalyzable still boosts the full closure superset.
 
     All three sort after never-checked (0) and before every real
     evidence round (>= 1), so a budgeted driver window covers the
-    directly-touched queries first and the conservative import-closure
-    superset next."""
+    directly-touched queries first and the reachable import-closure
+    set next."""
     # The dispatch layer itself is exempt from the closure: every
     # operator module imports it (for @register), so a registry edit
     # would blanket-boost the whole catalog and destroy the targeted
@@ -328,8 +583,11 @@ def _recheck_tiers(reg: dict[str, RegisteredQuery]) -> dict[str, float]:
             continue
         if mod in changed:
             tiers[n] = min(tiers.get(n, 0.4), 0.4)
-        elif closure.get(mod, frozenset({mod})) & changed:
-            tiers[n] = min(tiers.get(n, 0.6), 0.6)
+        else:
+            qclosure = closure.get(mod, frozenset({mod}))
+            helpers = qclosure & changed
+            if helpers and _closure_change_reaches(qclosure, helpers):
+                tiers[n] = min(tiers.get(n, 0.6), 0.6)
     return tiers
 
 

@@ -102,6 +102,10 @@ def test_defining_module_changes_outrank_closure_derived(monkeypatch):
         {"pkg.a": frozenset({"pkg.a"}), "pkg.b": frozenset({"pkg.b", "pkg.h"}),
          "pkg.c": frozenset({"pkg.c"}), "pkg.d": frozenset({"pkg.d"})},
     )
+    # symbol-level: pkg.h's change is unanalyzable -> reaches everything
+    monkeypatch.setattr(
+        registry, "_CHANGED_SYMBOLS", {"pkg.a": None, "pkg.h": None}
+    )
     monkeypatch.setattr(registry, "_RECHECK_FIRST", frozenset({"q_hand"}))
     tiers = registry._recheck_tiers(reg)
     assert tiers == {"q_direct": 0.4, "q_hand": 0.5, "q_closure": 0.6}
@@ -164,6 +168,12 @@ def test_helper_module_change_boosts_importing_queries(monkeypatch):
         registry, "_CHANGED_MODULES",
         frozenset({"mapreducegcp_spark.functions.checkpoint"}),
     )
+    # simulate a SEMANTIC change (the tree is actually clean, so the
+    # real symbol diff would read cosmetic): unanalyzable -> all symbols
+    monkeypatch.setattr(
+        registry, "_CHANGED_SYMBOLS",
+        {"mapreducegcp_spark.functions.checkpoint": None},
+    )
     boost = registry._recheck_names(qs)
     # dedup imports safe_checkpoint; its cluster queries must be boosted
     assert {"dedup_clusters_localuf", "dedup_clusters_twophase",
@@ -212,6 +222,142 @@ def test_recheck_first_tier_sorts_after_never_checked(fake_artifacts, monkeypatc
     monkeypatch.setattr(registry, "_RECHECK_FIRST", frozenset({"c"}))
     # a never checked -> first; c changed -> recheck tier; b normal
     assert list(registry._evidence_rotation(reg)) == ["a", "c", "b"]
+
+
+def test_module_of_path_normalizes_init():
+    """ADVICE r11: ``pkg/sub/__init__.py`` must map to ``pkg.sub`` —
+    the spelling the import closure and fn.__module__ use — or every
+    __init__ edit silently escapes the git-derived recheck boost."""
+    f = registry._module_of_path
+    assert f("pkg/sub/__init__.py", "pkg") == "pkg.sub"
+    assert f("pkg/__init__.py", "pkg") == "pkg"
+    assert f("pkg/sub/mod.py", "pkg") == "pkg.sub.mod"
+    assert f("other/mod.py", "pkg") is None
+    assert f("pkg/data.txt", "pkg") is None
+
+
+def test_init_change_boosts_importers(monkeypatch):
+    """ADVICE r11 'done' criterion: a changed __init__ (normalized to
+    its package dotted name) boosts the queries whose closure imports
+    it — here via a synthetic importer binding a re-exported name."""
+
+    def fn_in(mod):
+        def fn(spark, sf_dir):  # pragma: no cover
+            return None
+
+        fn.__module__ = mod
+        return fn
+
+    reg = {"q_imp": registry.RegisteredQuery("q_imp", fn=fn_in("pkg.ops.a"))}
+    # pkg.sub is a package (__init__) re-exporting `load`; pkg.ops.a
+    # binds it
+    monkeypatch.setattr(registry, "_CHANGED_MODULES", frozenset({"pkg.sub"}))
+    monkeypatch.setattr(
+        registry, "_IMPORT_CLOSURE",
+        {"pkg.ops.a": frozenset({"pkg.ops.a", "pkg.sub"})},
+    )
+    monkeypatch.setattr(
+        registry, "_CHANGED_SYMBOLS", {"pkg.sub": frozenset({"load"})}
+    )
+    monkeypatch.setattr(
+        registry, "_IMPORT_BINDINGS",
+        {"pkg.ops.a": {"pkg.sub": frozenset({"load"})}},
+    )
+    assert registry._recheck_names(reg) == {"q_imp"}
+    # the same change with only OTHER names bound does not reach
+    monkeypatch.setattr(
+        registry, "_IMPORT_BINDINGS",
+        {"pkg.ops.a": {"pkg.sub": frozenset({"unrelated"})}},
+    )
+    assert registry._recheck_names(reg) == frozenset()
+
+
+def test_symbol_diff_classifies_edits():
+    """Unit pins for the symbol-level recheck refinement (verdict r11
+    ask #4): cosmetic edits -> empty set; signature changes -> the
+    symbol; private-helper edits propagate to public users; module-
+    level statement changes -> None (unattributable, treat as all)."""
+    base = (
+        '"""Module doc."""\n'
+        "import os\n"
+        "LIMIT = 5\n"
+        "def _helper(x):\n"
+        '    """helper doc"""\n'
+        "    return x + 1\n"
+        "def public(y):\n"
+        "    return _helper(y) * LIMIT\n"
+        "def other(z):\n"
+        "    # a comment\n"
+        "    return z\n"
+    )
+    # docstring + comment edits are invisible
+    cosmetic = base.replace("Module doc.", "Better doc.").replace(
+        "helper doc", "clearer doc"
+    ).replace("# a comment", "# reworded comment")
+    assert registry._symbol_diff(base, cosmetic) == frozenset()
+    # signature change marks the symbol
+    sig = base.replace("def other(z):", "def other(z, w=0):")
+    assert registry._symbol_diff(base, sig) == frozenset({"other"})
+    # private-helper body change propagates to its callers
+    helper = base.replace("return x + 1", "return x + 2")
+    assert registry._symbol_diff(base, helper) == frozenset({"_helper", "public"})
+    # module-level constant change propagates by reference too
+    const = base.replace("LIMIT = 5", "LIMIT = 6")
+    assert registry._symbol_diff(base, const) == frozenset({"LIMIT", "public"})
+    # a changed module-level statement (import) is unattributable
+    imp = base.replace("import os", "import os, sys")
+    assert registry._symbol_diff(base, imp) is None
+    # added / removed symbols count as changed
+    added = base + "def brand_new(a):\n    return a\n"
+    assert registry._symbol_diff(base, added) == frozenset({"brand_new"})
+
+
+def test_docstring_only_edit_boosts_no_closure_queries(monkeypatch):
+    """Verdict r11 ask #4 'done' criterion, on real sources: a
+    docstring-only edit to an operator module reads as cosmetic, and a
+    cosmetic edit to the checkpoint HELPER (imported by the whole dedup
+    family — 80+ closure queries under the old superset rule) boosts
+    zero closure-derived queries. A real symbol change still boosts,
+    and only where the changed name is actually bound."""
+    from pathlib import Path
+
+    pkg_dir = Path(registry.__file__).resolve().parent
+    src = (pkg_dir / "operators" / "relational.py").read_text()
+    edited = src.replace('"""', '"""EDITED-FOR-TEST. ', 1)
+    assert edited != src
+    assert registry._symbol_diff(src, edited) == frozenset()
+
+    qs = registry.all_queries()
+    ckpt = "mapreducegcp_spark.functions.checkpoint"
+    monkeypatch.setattr(registry, "_CHANGED_MODULES", frozenset({ckpt}))
+    monkeypatch.setattr(registry, "_CHANGED_SYMBOLS", {ckpt: frozenset()})
+    assert registry._recheck_names(qs) == registry._RECHECK_FIRST
+    # a change to a name nobody binds does not reach either
+    monkeypatch.setattr(
+        registry, "_CHANGED_SYMBOLS", {ckpt: frozenset({"_private_nobody_binds"})}
+    )
+    assert registry._recheck_names(qs) == registry._RECHECK_FIRST
+    # the bound symbol changing still boosts the importing family
+    monkeypatch.setattr(
+        registry, "_CHANGED_SYMBOLS", {ckpt: frozenset({"safe_checkpoint"})}
+    )
+    boost = registry._recheck_names(qs)
+    assert {"dedup_clusters_localuf", "dedup_minhash_lsh"} <= boost
+
+
+def test_import_bindings_real_package():
+    """The bindings map must reflect real import styles: dedup binds
+    safe_checkpoint by name; a plain `import pkg.mod` (unrestricted
+    attribute access) binds the whole module."""
+    b = registry._import_bindings()
+    dedup = b["mapreducegcp_spark.operators.dedup"]
+    assert dedup["mapreducegcp_spark.functions.checkpoint"] == frozenset(
+        {"safe_checkpoint"}
+    )
+    # every importer row maps package modules only
+    for imp, targets in b.items():
+        for t in targets:
+            assert t.startswith("mapreducegcp_spark")
 
 
 def test_oracle_and_query_key_sets_match():
