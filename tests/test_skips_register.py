@@ -53,6 +53,24 @@ def test_unregistered_reason_is_flagged():
     assert unregistered == fake
 
 
+def test_render_md_degrades_on_unregistered_sites():
+    """ADVICE r11: render_md sorted on s['class'], which unregistered
+    sites lack — `--md` crashed with KeyError exactly when a new
+    unexplained skip existed. It must render the table with an
+    UNREGISTERED class cell instead (the nonzero exit still flags it)."""
+    sites, _ = sa.classify(
+        [
+            {"file": "x.py", "line": 1, "kind": "skip",
+             "reason": "flaky on Tuesdays, skipping for now"},
+            {"file": "y.py", "line": 2, "kind": "skipif",
+             "reason": "requires google.protobuf in the Python worker"},
+        ]
+    )
+    md = sa.render_md(sites)
+    assert "**UNREGISTERED**" in md
+    assert "flaky on Tuesdays" in md
+
+
 def test_gate_class_dominates_runtime_skips():
     """The ~100 runtime skips flow from the gate/corpus markers reused
     across the scale-probe suite — pin that those classes exist and

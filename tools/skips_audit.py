@@ -182,11 +182,16 @@ def render_md(sites: list[dict]) -> str:
         "| site | kind | class | reason (extracted) |",
         "|---|---|---|---|",
     ]
-    for s in sorted(sites, key=lambda s: (s["class"], s["file"], s["line"])):
+    # unregistered sites carry no 'class' — --md must still render the
+    # table (plus their UNREGISTERED rows) in exactly the situation the
+    # tool exists for; the nonzero exit still flags them
+    for s in sorted(
+        sites, key=lambda s: (s.get("class", "UNREGISTERED"), s["file"], s["line"])
+    ):
         # no line numbers in the committed table: they shift with any
         # unrelated edit above a site; (file, kind, reason) is the key
         lines.append(
-            f"| `{s['file']}` | {s['kind']} | **{s['class']}** "
+            f"| `{s['file']}` | {s['kind']} | **{s.get('class', 'UNREGISTERED')}** "
             f"| {s['reason'][:140]} |"
         )
     lines += [

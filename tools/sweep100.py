@@ -254,7 +254,9 @@ def run_receipts(names: list[str], done: dict[str, dict]) -> None:
                 )
                 + ")"
             )
-        if n == "dedup_minhash_lsh" or n in RESTRICTION_CHECKED:
+        # (dedup_minhash_lsh itself is swept full-corpus, not via this
+        # PRE_EXCLUDED loop — its restriction check feeds these members)
+        if n in RESTRICTION_CHECKED:
             lr = restrict.get("lsh_restriction", {})
             if lr.get("equal"):
                 receipts.append(
