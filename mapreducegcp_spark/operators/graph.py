@@ -197,7 +197,20 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     u<v self-join but only O(sum of its *smaller* neighbors' degrees)
     under orientation — the difference between a dead executor and an
     even spread at 100 TB. The DuckDB oracle counts the same triangles
-    with the independent canonical a<b<c 3-way join."""
+    with the independent canonical a<b<c 3-way join.
+
+    The distinct edge list is localCheckpointed before fan-out
+    (round 12): ``ue`` feeds deg (twice via the orientation join), the
+    two wedge legs, the closing-edge side and the n_edges rollup —
+    eleven lineitem-join re-derivations as one Catalyst tree (132
+    Exchanges at plan time). Materializing the edge set once makes
+    every downstream stage operate on the edge-set-sized table (bounded
+    by |nations|^2 here; at 100 TB, edge-set-sized, exactly what the
+    two-pass design wants: derive heavy once, analyze light many
+    times). Checkpoint, not cache: blocks are released when the query's
+    RDD goes out of scope (the basket_pair_affinity precedent), and the
+    distinct() output is hash-balanced so no repartition guard is
+    needed (the level-0-only safe_checkpoint argument, dedup.py)."""
     directed = trade_edges_directed(spark, sf_dir)
     ue = (
         directed.filter(F.col("src") != F.col("dst"))
@@ -205,6 +218,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         ue.select(F.explode(F.array("u", "v")).alias("node"))
@@ -230,6 +244,10 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s")
         )
         .select("s.a", "s.b")
+        # three consumers (both wedge legs + the closing-edge set):
+        # materialize the oriented edges once instead of re-running the
+        # ue->deg orientation joins per consumer (edge-set-sized)
+        .localCheckpoint(eager=False)
     )
     w1 = e.select(F.col("a").alias("x"), F.col("b").alias("y1"))
     w2 = e.select(F.col("a").alias("x"), F.col("b").alias("y2"))
@@ -327,7 +345,7 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # Materialize the final (vertex-sized) levels so the edge cache can
     # be released now; the loop was already eager (frontier counts).
-    levels = levels.localCheckpoint(eager=True)
+    levels = levels.localCheckpoint(eager=False)
     edges.unpersist()
     return levels.join(
         F.broadcast(nation.select(F.col("n_nationkey").alias("node"), "n_name")),

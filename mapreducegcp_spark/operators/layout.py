@@ -323,29 +323,85 @@ GROUP BY 1
 """
 
 
+def _exact_quantiles_from_histogram(cents: DataFrame, ps: list[float]) -> DataFrame:
+    """1-row table of exact quantiles of integer column ``c`` —
+    ``q1..q{len(ps)}`` — computed from a value histogram + distributed
+    cumulative counts instead of the ``percentile`` aggregate.
+
+    Spark's exact ``percentile`` keeps a (value -> count) map as
+    aggregation state and merges every partition's map in ONE final
+    task that then sorts the whole distinct-value domain — a
+    single-task bottleneck that scales with value cardinality
+    (measured 3.0 s of feature_quantile_bins' 4.7 s at sf0.1). This
+    replacement is the same arithmetic with no single-task stage:
+    groupBy(c) histogram (map-side combined), ``global_cumsum`` over c
+    (range exchange + Arrow cumsum + 16-row offsets — the
+    order_global_rownum machinery), then each quantile's two bracketing
+    order statistics fall out of one conditional-min aggregate over the
+    histogram, and the interpolation is the identical two-product form
+    ``(ceil(pos)-pos)*lo + (pos-floor(pos))*hi`` on exact inputs:
+    ``ps`` must be exact binary fractions (quarters here) so
+    ``pos = p*(n-1)`` and both coefficients are EXACT doubles — the
+    result is bit-identical to the ``percentile`` aggregate and to the
+    DuckDB o_pct oracle (same guarantee, same argument).
+
+    NULLs are excluded like the aggregate excludes them. The histogram
+    is lazily checkpointed: the cumsum branch and the row-count branch
+    share one materialization."""
+    hist = (
+        cents.where(F.col("c").isNotNull())
+        .groupBy("c")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    cum = global_cumsum(hist, [F.col("c")], "cnt", cum_out="cum")
+    n = hist.agg(F.sum("cnt").alias("n"))
+    aggs = []
+    for i, p in enumerate(ps, start=1):
+        pos = F.lit(p) * (F.col("n") - 1).cast("double")
+        aggs += [
+            F.min(F.when(F.col("cum") >= F.floor(pos) + 1, F.col("c"))).alias(f"lo{i}"),
+            F.min(F.when(F.col("cum") >= F.ceil(pos) + 1, F.col("c"))).alias(f"hi{i}"),
+            F.any_value(pos).alias(f"pos{i}"),
+        ]
+    brackets = cum.crossJoin(F.broadcast(n)).agg(*aggs)
+    outs = []
+    for i in range(1, len(ps) + 1):
+        lo = F.col(f"lo{i}").cast("double")
+        hi = F.col(f"hi{i}").cast("double")
+        pos = F.col(f"pos{i}")
+        outs.append(
+            F.when(lo == hi, lo)
+            .otherwise((F.ceil(pos) - pos) * lo + (pos - F.floor(pos)) * hi)
+            .alias(f"q{i}")
+        )
+    return brackets.select(*outs)
+
+
 @register("feature_quantile_bins", oracle=_QBIN_ORACLE, tags=("layout", "llm-pipeline"))
 def q_feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile discretization (feature binning) from GLOBAL cutpoints
     — the ML-preprocessing step QuantileDiscretizer approximates, done
     exactly and without a global sort.
 
-    Pass 1 computes the three exact quartiles of integer cents with one
-    distributed ``percentile`` aggregate (per-partition partials, one
-    merge). Pass 2 broadcasts the 1-row cutpoint plan into a map-side
-    CASE and re-aggregates per bin. Cutpoints interpolate between
-    *integers* at quarter fractions, which doubles represent exactly,
-    so Spark's ``lo + (hi-lo)*f`` and DuckDB's ``lo*(1-f) + hi*f``
-    agree bit-for-bit — the reason the bin edges are hash-stable
-    cross-engine. At scale: two scans (or one + cache), no sort, no
-    driver data path; NTILE over an un-partitioned window — the naive
-    form — would funnel the table through one task."""
+    Pass 1 computes the three exact quartiles of integer cents
+    distributively (``_exact_quantiles_from_histogram``: histogram +
+    two-phase cumulative counts + closed-form interpolation — replaces
+    the ``percentile`` aggregate, whose merge holds every distinct
+    value in ONE task; round 12, guide §2.6/§5). Pass 2 broadcasts the
+    1-row cutpoint plan into a map-side CASE and re-aggregates per
+    bin. Cutpoints interpolate between *integers* at quarter
+    fractions, which doubles represent exactly, so the two-product
+    interpolation agrees bit-for-bit across engines — the reason the
+    bin edges are hash-stable cross-engine. At scale: two scans, no
+    global sort, no single-task stage, no driver data path; NTILE over
+    an un-partitioned window — the naive form — would funnel the table
+    through one task."""
     cents = load_table(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
     )
-    cuts = cents.agg(
-        F.expr("percentile(c, array(0.25D, 0.50D, 0.75D))").alias("qs")
-    ).select(
-        F.col("qs")[0].alias("q1"), F.col("qs")[1].alias("q2"), F.col("qs")[2].alias("q3")
+    cuts = _exact_quantiles_from_histogram(cents, [0.25, 0.50, 0.75]).select(
+        F.col("q1"), F.col("q2"), F.col("q3")
     )
     binned = cents.crossJoin(F.broadcast(cuts)).select(
         "c",

@@ -102,17 +102,52 @@ GROUP BY l.l_partkey
 """
 
 
+# The Spark-side formulation: the correlated scalar aggregate as a
+# partkey-partitioned window (the classic TPC-H Q17 rewrite). The
+# whole-partition window aggregate over l_partkey IS the subquery's
+# per-part average (same decimal-exact expression), computed in ONE
+# pass over lineitem with ONE exchange — and the final GROUP BY
+# l_partkey reuses that exact hash partitioning, so Catalyst plans no
+# second exchange. The decorrelated aggregate-join form the SQL text
+# would plan costs two lineitem scans and two shuffles plus a join.
+# The NULL-partkey guard makes the rewrite provably identical: the
+# subquery's avg over an empty correlated set is NULL (comparison
+# false, row dropped), while a window PARTITION BY groups NULL keys
+# together and would score them — excluding NULL keys up front keeps
+# both shapes row-identical (TPC-H data has no NULL partkeys; the
+# guard is for equivalence, not data).
+_SCALAR_CORR_WINDOW_SQL = f"""
+SELECT l_partkey,
+       count(*) AS n_small_lines,
+       {o_dsum(o_dec2('l_extendedprice'))} AS small_revenue
+FROM (
+  SELECT l_partkey, l_extendedprice, l_quantity,
+         CAST(CAST(SUM({o_dec2('l_quantity')})
+                   OVER (PARTITION BY l_partkey) AS STRING) AS DOUBLE) AS qsum,
+         count(*) OVER (PARTITION BY l_partkey) AS qcnt
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL
+)
+WHERE l_quantity < 0.5 * (qsum / qcnt)
+GROUP BY l_partkey
+"""
+
+
 @register("subquery_scalar_correlated", oracle=_SCALAR_CORR_SQL, tags=("relational",))
 def q_subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar aggregate (TPC-H Q17 shape): lines with
-    quantity under half their part's average. Decorrelates to
-    aggregate-per-partkey joined back to lineitem — two passes over
-    lineitem, one shuffle each, never per-row re-execution. The
-    comparison avg goes through the decimal-exact convention
-    (functions/exact.py), so the filter boundary is order-independent
-    and hash-stable across engines."""
+    quantity under half their part's average. The DuckDB oracle keeps
+    the textbook correlated-subquery SQL; the Spark plan runs the
+    equivalent single-pass window rewrite (_SCALAR_CORR_WINDOW_SQL —
+    one lineitem scan, one l_partkey exchange shared by the window and
+    the final rollup, guide §2.4's exchange-reuse pattern) instead of
+    the decorrelated aggregate-join (two scans, two shuffles, a join).
+    Equivalence argued at the rewrite definition; proven by the
+    unchanged oracle hash. The comparison avg goes through the
+    decimal-exact convention (functions/exact.py), so the filter
+    boundary is order-independent and hash-stable across engines."""
     _views(spark, sf_dir, "lineitem")
-    return spark.sql(_SCALAR_CORR_SQL)
+    return spark.sql(_SCALAR_CORR_WINDOW_SQL)
 
 
 _SCALAR_UNCORR_SQL = f"""

@@ -340,10 +340,21 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast scalar. Scale: df for stop-word-ish terms is large but
     the (word, df) table is tiny — the broadcast join avoids
     re-shuffling tf.
-    """
+
+    tf is localCheckpointed (round 12): it feeds both the broadcast
+    dfreq branch and the scored join's left side, and Catalyst shares
+    no subtrees — uncheckpointed, the corpus was tokenized and
+    (doc, word)-aggregated twice. Lazy is race-free here: the dfreq
+    broadcast job is a dependency of the main stage, so it materializes
+    tf first and the join side reuses the pinned blocks. groupBy output
+    is hash-balanced — no repartition guard needed."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
-    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    tf = (
+        tok.groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("word").agg(F.count("*").alias("dfq"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
@@ -802,12 +813,21 @@ def q_text_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast at 100 TB — so the probability join back to doc-bigrams
     is a plain shuffle join on (w1, w2), already the aggregation key,
     and AQE coalesces the post-agg side. Only the single-row vocab
-    size broadcasts. A 100 TB run persists the doc-bigram matrix once
-    before deriving the count branches (same Catalyst subtree-sharing
-    note as text_unigram_xent)."""
+    size broadcasts.
+
+    The doc-bigram matrix and the corpus bigram counts ARE persisted
+    once (round 12): Catalyst shares no subtrees, so without the two
+    localCheckpoints the corpus was tokenized and bigram-aggregated
+    three times (db -> probability join left side, db -> bc, bc -> ctx)
+    — 3 scans and 3 wide shuffles for one logical pass. Both
+    intermediates exit hash-balanced groupBys, so no repartition guard
+    is needed; blocks release with the query's RDD (the
+    basket_pair_affinity precedent)."""
     docs = load_table(spark, sf_dir, "documents")
-    db = _doc_bigram_counts(docs)
-    bc = db.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
+    db = _doc_bigram_counts(docs).localCheckpoint(eager=False)
+    bc = db.groupBy("w1", "w2").agg(F.sum("c").alias("cb")).localCheckpoint(
+        eager=False
+    )
     ctx = bc.groupBy("w1").agg(F.sum("cb").alias("cw"))
     vocab = docs.select(F.explode(tokens("text")).alias("tok")).agg(
         F.count_distinct("tok").alias("vs")
@@ -1878,10 +1898,18 @@ def q_text_bigram_xent_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape is text_bigram_xent's: bigram-vocabulary-sized count
     tables, probability join back on (w1, w2) — already the
-    aggregation key; only the 1-row bigram-type total broadcasts."""
+    aggregation key; only the 1-row bigram-type total broadcasts.
+
+    Both LM intermediates are localCheckpointed (round 12): bc has
+    FOUR consumers here (ctx, prec, btot, the lnq join side) and db
+    two, so the uncheckpointed tree re-tokenized the corpus five times
+    (30 Exchanges at plan time). Same groupBy-balanced/no-repartition
+    argument as text_bigram_xent."""
     docs = load_table(spark, sf_dir, "documents")
-    db = _doc_bigram_counts(docs)
-    bc = db.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
+    db = _doc_bigram_counts(docs).localCheckpoint(eager=False)
+    bc = db.groupBy("w1", "w2").agg(F.sum("c").alias("cb")).localCheckpoint(
+        eager=False
+    )
     ctx = bc.groupBy("w1").agg(
         F.sum("cb").alias("cw"), F.count("*").alias("nf")
     )

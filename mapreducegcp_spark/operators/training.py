@@ -1321,17 +1321,24 @@ def q_sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface is wordcount (Worker/Worker.py:9-24); this is the
     importance-weighted generalization a training pipeline needs."""
     docs = load_table(spark, sf_dir, "documents")
+    # dc feeds the model branch (bucket -> tot/llr) AND the final
+    # per-doc rollup; bucket feeds tot and llr. localCheckpoint both
+    # (round 12) or the corpus is tokenized three times — lazy is
+    # race-free because the tot/llr broadcast jobs are dependencies of
+    # the main stage and materialize the blocks first. groupBy outputs
+    # are hash-balanced: no repartition guard needed.
     dc = (
         docs.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", "lang", md5_bucket(F.col("tok"), _DSIR_DIM).alias("f"))
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     bucket = dc.groupBy("f").agg(
         F.sum("tf").alias("cr"),
         F.sum(
             F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("tf")).otherwise(F.lit(0))
         ).alias("ct"),
-    )
+    ).localCheckpoint(eager=False)
     tot = bucket.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
 
     def _lnq(cnt: F.Column, total: F.Column) -> F.Column:

@@ -117,7 +117,13 @@ SHAPE = [
     # partial is materialized before the plan under test)
     ("ivm_incremental_agg", 2, 0, False),
     ("layout_zorder_cluster", 1, 0, False),
-    ("feature_quantile_bins", 1, 0, False),
+    # round 12: cutpoints moved off the percentile aggregate (whose
+    # merge is one task holding every distinct value) onto the
+    # histogram + two-phase global-cumsum machinery — the extra
+    # exchanges are histogram/offset-table-sized (distinct values and
+    # 16 rows), and the offsets come back as a broadcast join; the
+    # data-sized stages remain the scan and one bin rollup
+    ("feature_quantile_bins", 8, 1, False),
     ("interval_bucket_join", 1, 1, False),
     # round-3: two-window decomposition (user+type flag, user runsum);
     # drift check is percentile-cutpoint broadcast + one bin rollup

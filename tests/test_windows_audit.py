@@ -101,10 +101,11 @@ def test_allowlisted_window_inputs_within_bounds_small(spark):
     re-planned and counted) and sits within its stated bound."""
     rows = wa.measure(spark, SF_DIR)
     assert rows and all(r["ok"] for r in rows), [r for r in rows if not r["ok"]]
-    # the six cumsum offset tables measure EXACTLY layout._N_RANGE —
-    # pin that the measurement reads the real intermediate, not a stub
+    # the seven cumsum offset tables (feature_quantile_bins joined the
+    # family in round 12) measure EXACTLY layout._N_RANGE — pin that
+    # the measurement reads the real intermediate, not a stub
     cumsum = [r for r in rows if r["bound_desc"] == "layout._N_RANGE"]
-    assert len(cumsum) == 6 and all(r["measured_rows"] == wa._n_range() for r in cumsum)
+    assert len(cumsum) == 7 and all(r["measured_rows"] == wa._n_range() for r in cumsum)
 
 
 @pytest.mark.skipif(

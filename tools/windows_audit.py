@@ -45,6 +45,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("customer_gini_coefficient", r"windowspecdefinition\(pid# ASC"): _TWO_PHASE_CUMSUM,
     ("customer_pareto_deciles", r"windowspecdefinition\(pid# ASC"): _TWO_PHASE_CUMSUM,
     ("customer_rfm_segments", r"windowspecdefinition\(pid# ASC"): _TWO_PHASE_CUMSUM,
+    ("feature_quantile_bins", r"windowspecdefinition\(pid# ASC"): _TWO_PHASE_CUMSUM,
     ("layout_compaction_plan", r"windowspecdefinition\(pid# ASC"): _TWO_PHASE_CUMSUM,
     ("order_global_rownum", r"windowspecdefinition\(pid# ASC"): _TWO_PHASE_CUMSUM,
     ("vocab_coverage_cutoff", r"windowspecdefinition\(pid# ASC"): _TWO_PHASE_CUMSUM,
@@ -85,6 +86,7 @@ BOUNDS_100X: dict[tuple[str, str], tuple[str, object]] = {
     ("customer_gini_coefficient", r"windowspecdefinition\(pid# ASC"): ("layout._N_RANGE", _n_range),
     ("customer_pareto_deciles", r"windowspecdefinition\(pid# ASC"): ("layout._N_RANGE", _n_range),
     ("customer_rfm_segments", r"windowspecdefinition\(pid# ASC"): ("layout._N_RANGE", _n_range),
+    ("feature_quantile_bins", r"windowspecdefinition\(pid# ASC"): ("layout._N_RANGE", _n_range),
     ("layout_compaction_plan", r"windowspecdefinition\(pid# ASC"): ("layout._N_RANGE", _n_range),
     ("order_global_rownum", r"windowspecdefinition\(pid# ASC"): ("layout._N_RANGE", _n_range),
     ("vocab_coverage_cutoff", r"windowspecdefinition\(pid# ASC"): ("layout._N_RANGE", _n_range),
