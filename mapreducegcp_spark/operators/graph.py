@@ -143,6 +143,15 @@ def q_graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST(({100 - DAMP_NUM} * {RANK_SCALE}) div ({DAMP_DEN} * n)"
                 f" + ({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN} AS BIGINT) AS r",
             )
+            # truncate the lineage each round: without this, iteration
+            # k's plan embeds every earlier round's join tree (the plan
+            # grows linearly, optimizer time quadratically — the guide
+            # §3.3/§7.3 huge-plan failure mode; 76 Exchanges at plan
+            # time for 3 rounds). The vertex-sized rank table
+            # materializes once per round at its first use and each
+            # round's plan stays constant-size — the standard iterative
+            # -algorithm checkpoint cadence.
+            .localCheckpoint(eager=False)
         )
     return ranks.join(
         F.broadcast(nation.select(F.col("n_nationkey").alias("node"), "n_name")),

@@ -532,21 +532,30 @@ def _register_codec_probe():
             return (r["n"], r["h"])
 
         src_sig = sig(li)
-        out = []
         tmp = tempfile.mkdtemp(prefix="codec_probe_")
+
+        def probe(codec):
+            # guide §2.6: the two codec probes are independent
+            # write->read->agg job chains; submitted from two driver
+            # threads they back-fill each other's stage tails instead
+            # of running strictly one after the other (actions are only
+            # sequential because driver code calls them sequentially).
+            path = os.path.join(tmp, codec)
+            li.write.mode("overwrite").option("compression", codec).parquet(path)
+            back_sig = sig(spark.read.parquet(path))
+            nbytes = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            return (codec, back_sig[0], nbytes > 0, back_sig == src_sig)
+
+        from concurrent.futures import ThreadPoolExecutor
+
         try:
-            for codec in ("snappy", "zstd"):
-                path = os.path.join(tmp, codec)
-                li.write.mode("overwrite").option("compression", codec).parquet(path)
-                back = spark.read.parquet(path)
-                back_sig = sig(back)
-                nbytes = sum(
-                    os.path.getsize(os.path.join(dp, f))
-                    for dp, _, fs in os.walk(path)
-                    for f in fs
-                    if f.endswith(".parquet")
-                )
-                out.append((codec, back_sig[0], nbytes > 0, back_sig == src_sig))
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                out = list(pool.map(probe, ("snappy", "zstd")))
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         return spark.createDataFrame(

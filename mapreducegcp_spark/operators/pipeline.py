@@ -852,9 +852,15 @@ def q_pipeline_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cleaned = _cleaned_docs(docs).select("doc_id", "n_tokens")
     manifest = q_dedup_keep_manifest(spark, sf_dir)
+    # kept feeds BOTH the quartile aggregate and the phase assignment;
+    # without the checkpoint each consumer re-derives the whole
+    # clean+manifest-join subtree (documents tokenized 4x —
+    # plans/r12/pipeline_training_dataset_before.txt). Lazy
+    # localCheckpoint materializes the narrow (doc_id, n_tokens)
+    # survivors once.
     kept = cleaned.join(
         manifest.where(F.col("decision") == "keep").select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     cuts = kept.agg(
         F.expr("percentile(n_tokens, array(0.25D, 0.50D, 0.75D))").alias("qs")
     ).select(

@@ -618,23 +618,24 @@ def q_search_trigram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(total characters)."""
     docs = load_table(spark, sf_dir, "documents")
     n_pat = len(_SEARCH_TRIGRAMS)
-    # substring with a COLUMN start index needs the SQL form (the
-    # Python helper wants plain ints), hence F.expr for the gram slide
-    postings = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.filter(
-                        F.expr(
-                            "transform(sequence(1, greatest(length(text) - 2, 0)),"
-                            " i -> substring(text, i, 3))"
-                        ),
-                        lambda g: g.isin(*_SEARCH_TRIGRAMS),
-                    )
-                )
-            ).alias("gram"),
-        )
+    # Postings restricted to the pattern's own trigrams: probe each of
+    # the |pattern|-2 grams with native `contains` instead of sliding a
+    # per-character substring array and filtering it — the same
+    # (doc_id, gram) rows (gram present <=> contains finds it), but the
+    # map side does n_pat linear scans of the text with zero array
+    # allocation instead of materializing O(n_chars) 3-char strings per
+    # doc (guide §1.2 step 2: per-task work). The full-index build a
+    # real ingest runs once stays as documented in the plan above; a
+    # QUERY only ever needs its own grams' postings, which is what this
+    # computes.
+    postings = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(g) for g in _SEARCH_TRIGRAMS]),
+                lambda g: F.contains(F.col("text"), g),
+            )
+        ).alias("gram"),
     )
     cand = (
         postings.groupBy("doc_id")

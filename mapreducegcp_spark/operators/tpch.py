@@ -423,10 +423,22 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics are pinned line-for-line."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = load_table(spark, sf_dir, "lineitem")
-    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_orderkey",
-        "l_suppkey",
-        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
+    # lo feeds BOTH the per-order aggregate and the late-lines probe;
+    # without the checkpoint each consumer re-derives the scan + the
+    # orderkey shuffle join (2 lineitem scans, 2 orders scans, 2 wide
+    # joins — plans/r12/tpch_q21_suppliers_kept_waiting_before.txt).
+    # Lazy localCheckpoint materializes the joined, projected (3-col)
+    # table once; the checkpointed RDD keeps its orderkey hash
+    # partitioning, so the groupBy and the join-back both reuse it
+    # without a new exchange.
+    lo = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
+        )
+        .localCheckpoint(eager=False)
     )
     per_order = lo.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),

@@ -52,9 +52,25 @@ def make_synthetic_rows_source():
             return [InputPartition(i) for i in range(self.parts)]
 
         def read(self, partition: InputPartition):
-            for i in range(partition.value, self.n, self.parts):
-                v = (i * _LCG_A + _LCG_C) % _LCG_M
-                yield (i, v, i % 7)
+            # Yield ONE Arrow RecordBatch per partition instead of
+            # per-row tuples: the DataSource API pickles every yielded
+            # tuple through the Python worker, while RecordBatch
+            # yields cross the boundary as columnar Arrow buffers —
+            # same rows, vectorized generation (the LCG is pure int64
+            # arithmetic, exact in numpy: i*A <= 1e5 * 1.1e9 << 2^63).
+            import numpy as np
+            import pyarrow as pa
+
+            ids = np.arange(partition.value, self.n, self.parts, dtype=np.int64)
+            vals = (ids * _LCG_A + _LCG_C) % _LCG_M
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(vals, pa.int64()),
+                    pa.array((ids % 7).astype(np.int32), pa.int32()),
+                ],
+                names=["id", "value", "bucket"],
+            )
 
     class SyntheticRowsDataSource(DataSource):
         """``spark.read.format("synthetic_rows").option("n", ...)`` —
