@@ -68,6 +68,29 @@ def _table_stream(spark: SparkSession, sf_dir: str, leaf: str, schema) -> DataFr
     )
 
 
+# Schema-probe memo: every streaming query pays a BATCH parquet read
+# just to learn the file schema the stream reader requires (~0.3-0.4s
+# of driver footer I/O + inference per call, twice for the two-source
+# stream-stream join). Schemas are file METADATA, not query results, so
+# memoizing them is the same discipline as the batch reader's own
+# per-session relation cache; the key carries applicationId + byte size
+# + mtime_ns (the pair-graph cache contract, operators/dedup.py:393) so
+# a rewritten file misses and an unstattable path bypasses the memo.
+_SCHEMA_MEMO: dict = {}
+
+
+def _probed_schema(spark: SparkSession, path: str):
+    try:
+        st = os.stat(path)
+    except OSError:
+        return spark.read.parquet(path).schema  # unstattable: no memo
+    key = (spark.sparkContext.applicationId, os.path.normpath(path),
+           st.st_size, st.st_mtime_ns)
+    if key not in _SCHEMA_MEMO:
+        _SCHEMA_MEMO[key] = spark.read.parquet(path).schema
+    return _SCHEMA_MEMO[key]
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a streaming DataFrame (file-source replay).
 
@@ -83,7 +106,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set here too because the schema probe below bypasses load_table
     # and the caller's session (the driver's) may not have it set.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    raw_schema = spark.read.parquet(path).schema
+    raw_schema = _probed_schema(spark, path)
     sdf = _table_stream(spark, sf_dir, "events.parquet", raw_schema)
     if dict(sdf.dtypes).get("ts") == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -861,7 +884,7 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay) — the corpus arriving as a feed, the shape of continuous
     ingest dedup."""
     path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _probed_schema(spark, path)
     return _table_stream(spark, sf_dir, "documents.parquet", schema)
 
 

@@ -598,3 +598,27 @@ def test_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert got == want, (
         f"recovery diverged: {len(got)} sink rows vs {len(want)} source rows"
     )
+
+
+def test_schema_probe_memo_hits_and_invalidates(spark, tmp_path):
+    """The per-session schema memo serves repeated probes of the same
+    file without re-reading it, and a rewritten file (new mtime/size)
+    misses — a stale schema must never survive a corpus swap."""
+    import mapreducegcp_spark.streaming.events as ev
+
+    p = tmp_path / "t.parquet"
+    spark.range(3).selectExpr("id AS a").write.mode("overwrite").parquet(str(p))
+    ev._SCHEMA_MEMO.clear()
+    s1 = ev._probed_schema(spark, str(p))
+    assert [f.name for f in s1.fields] == ["a"]
+    assert len(ev._SCHEMA_MEMO) == 1
+    # hit: same object back, no new entry
+    assert ev._probed_schema(spark, str(p)) is s1
+    assert len(ev._SCHEMA_MEMO) == 1
+    # rewrite with a different schema -> new key, fresh probe
+    spark.range(3).selectExpr("id AS a", "id AS b").write.mode(
+        "overwrite"
+    ).parquet(str(p))
+    s2 = ev._probed_schema(spark, str(p))
+    assert [f.name for f in s2.fields] == ["a", "b"]
+    assert len(ev._SCHEMA_MEMO) == 2
