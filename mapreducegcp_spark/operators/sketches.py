@@ -550,30 +550,52 @@ def q_sketch_kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (map-side partial TakeOrdered, constant state); the
     exact counts ride alongside for comparison."""
     orders = load_table(spark, sf_dir, "orders")
-    a = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_custkey").alias("k")
-    ).distinct()
-    b = orders.where(F.col("o_totalprice") > 200000).select(
-        F.col("o_custkey").alias("k")
-    ).distinct()
-    a_h = a.select(_kmv_hash_spark(F.col("k")).alias("h")).distinct()
-    b_h = b.select(_kmv_hash_spark(F.col("k")).alias("h")).distinct()
-    union_h = a_h.unionByName(b_h).distinct()
+    # BOTH key sets in ONE orders pass: the old plan derived set A and
+    # set B independently and every consumer (hash sketch, exact count,
+    # exact intersection) re-derived its set — 10 orders scans at plan
+    # time. One scan emits per-key membership flags; one groupBy folds
+    # them to the distinct-key membership table; every downstream
+    # number (both sketches, all three exact counts, the intersection
+    # sample) reads hash-level rollups of that table. Key-level and
+    # hash-level set algebra commute with the flag rollup (a hash/key
+    # is "in A" iff ANY contributing row is), so every emitted value is
+    # bit-identical to the two-set formulation the oracle replays.
+    keys = (
+        orders.where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            | (F.col("o_totalprice") > 200000)
+        )
+        .select(
+            F.col("o_custkey").alias("k"),
+            (F.col("o_orderpriority") == "1-URGENT").alias("in_a"),
+            (F.col("o_totalprice") > 200000).alias("in_b"),
+        )
+        .groupBy("k")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .localCheckpoint(eager=False)
+    )
+    hs = keys.select(
+        _kmv_hash_spark(F.col("k")).alias("h"), "in_a", "in_b"
+    ).groupBy("h").agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     u_kth = (
-        union_h.orderBy("h")
+        hs.orderBy("h")
         .limit(_KMV_K)
         .agg(F.max("h").alias("kth"), F.count("*").alias("n"))
     )
     inter = (
-        a_h.join(b_h, "h")
+        hs.where(F.col("in_a") & F.col("in_b"))
         .crossJoin(F.broadcast(u_kth))
         .where(F.col("h") <= F.col("kth"))
         .agg(F.count("*").alias("inter_sample_hits"))
     )
-    exact = (
-        a.agg(F.count("*").alias("exact_a"))
-        .crossJoin(b.agg(F.count("*").alias("exact_b")))
-        .crossJoin(a.join(b, "k").agg(F.count("*").alias("exact_inter")))
+    # coalesce: sums over an empty key table must read 0 like the old
+    # count(*) formulation, not NULL
+    exact = keys.agg(
+        F.coalesce(F.sum(F.col("in_a").cast("long")), F.lit(0)).alias("exact_a"),
+        F.coalesce(F.sum(F.col("in_b").cast("long")), F.lit(0)).alias("exact_b"),
+        F.coalesce(
+            F.sum((F.col("in_a") & F.col("in_b")).cast("long")), F.lit(0)
+        ).alias("exact_inter"),
     )
     est_union = F.when(F.col("n") < _KMV_K, F.col("n")).otherwise(
         ((F.lit(_KMV_K - 1) * F.lit(_KMV_SPACE)) / F.col("kth")).cast("long")
@@ -669,8 +691,18 @@ def q_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     flake once |union|/|intersection| outgrows k/9 at larger scale
     factors or more disjoint priority sets."""
     orders = load_table(spark, sf_dir, "orders")
-    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
-    high = orders.where(F.col("o_orderpriority") == "2-HIGH")
+    # ONE orders pass for both priority slices: every consumer (sketch
+    # build, exact union/intersect/diff) needs only (o_custkey,
+    # priority) of the two slices — the old plan re-scanned orders per
+    # consumer (8 scans at plan time). The checkpointed two-column
+    # slice feeds them all.
+    slice2 = (
+        orders.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_custkey", "o_orderpriority")
+        .localCheckpoint(eager=False)
+    )
+    urgent = slice2.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = slice2.where(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
     a = urgent.agg(F.expr("theta_sketch_agg(o_custkey)").alias("s")).alias("a")
     b = high.agg(F.expr("theta_sketch_agg(o_custkey)").alias("s")).alias("b")
     est = a.crossJoin(b).select(

@@ -550,15 +550,15 @@ def q_text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     + log table scales with vocabulary, not corpus, and joins back as
     a broadcast. One doc_id rollup ends the plan. Catalyst does NOT
     share the doc-term subtree between the vocab branch and the join
-    branch (6 exchanges in the audited plan, two of them the repeated
-    dc aggregation) — a 100 TB run persists the doc-term matrix once
-    (df.persist or a checkpoint table) before deriving both branches,
-    halving the scan+shuffle volume."""
+    branch — the lazy checkpoint materializes the doc-term matrix
+    once and both branches read it, halving the scan+shuffle volume
+    (the round-12 bigram-LM fix, same idiom)."""
     docs = load_table(spark, sf_dir, "documents")
     dc = (
         docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # feeds vocab AND the final join
     )
     vocab = dc.groupBy("tok").agg(F.sum("c").alias("ct"))
     tot = vocab.agg(F.sum("ct").alias("t"))
@@ -1455,9 +1455,13 @@ def q_search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUBSTRING queries; this answers TOKEN-PHRASE queries — real
     search stacks ship both."""
     docs = load_table(spark, sf_dir, "documents")
+    # three consumers (one per phrase word) — checkpoint the filtered
+    # posting slice so the corpus is tokenized once, not three times;
+    # the materialized table is only the 3 words' postings
     pos = (
         docs.select("doc_id", F.posexplode(tokens("text")).alias("i", "w"))
         .where(F.col("w").isin(*_PHRASE))
+        .localCheckpoint(eager=False)
     )
     a = pos.where(F.col("w") == _PHRASE[0]).select("doc_id", F.col("i").alias("ia"))
     b = pos.where(F.col("w") == _PHRASE[1]).select(

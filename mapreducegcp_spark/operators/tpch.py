@@ -372,6 +372,9 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum(dec2("l_extendedprice") * (1 - dec2("l_discount"))).alias("total_revenue"))
+        # rev feeds the max AND the filter join; the checkpoint makes
+        # "lineitem is scanned once" physically true
+        .localCheckpoint(eager=False)
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
@@ -683,7 +686,13 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     )
-    eu = ps.join(F.broadcast(s), ps.l_suppkey == F.col("s_suppkey"))
+    # eu feeds BOTH the per-part min aggregate and the join-back;
+    # checkpointing it materializes the lineitem rollup + supplier
+    # chain once (was: 2 lineitem scans, the dim chain derived twice —
+    # 24 Exchanges in the audited plan)
+    eu = ps.join(
+        F.broadcast(s), ps.l_suppkey == F.col("s_suppkey")
+    ).localCheckpoint(eager=False)
     mn = eu.groupBy(F.col("l_partkey").alias("mn_partkey")).agg(
         F.min("supply_cost").alias("min_cost")
     )
@@ -803,6 +812,10 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(dec2("l_extendedprice")).alias("value_dec"))
+        # v feeds the grand total AND the threshold filter; the
+        # checkpoint makes "no second lineitem scan" true in the
+        # physical plan, not just the docstring
+        .localCheckpoint(eager=False)
     )
     total = v.agg(F.sum("value_dec").cast("double").alias("total"))
     return (
@@ -897,8 +910,17 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_brand") == "Brand#23")
         .select("p_partkey")
     )
-    li = load_table(spark, sf_dir, "lineitem").join(
-        pf, F.col("l_partkey") == F.col("p_partkey"), "leftsemi"
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        # project BEFORE the checkpoint: only these three columns are
+        # consumed downstream, so the materialized survivor table is
+        # narrow (guide §2.3 project-early)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(pf, F.col("l_partkey") == F.col("p_partkey"), "leftsemi")
+        # li feeds the per-part average AND the join-back; checkpoint
+        # the brand-pruned slice once instead of scanning + semi-joining
+        # lineitem twice
+        .localCheckpoint(eager=False)
     )
     a = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         (F.sum(dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
