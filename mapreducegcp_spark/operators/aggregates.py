@@ -540,6 +540,10 @@ def q_agg_approx_quantiles_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate for skewed columns)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     acc = int(1 / _APPROX_Q_EPS)
+    # NOT checkpointed: a localCheckpoint on this group-cardinality
+    # table measured 1.33x slower (round-12 interleaved min-of-6) —
+    # the serialization barrier costs more than the duplicated GK pass,
+    # whose two derivations overlap in the un-checkpointed plan
     approx = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, acc).alias("p50_est"),
         F.percentile_approx("l_extendedprice", 0.95, acc).alias("p95_est"),

@@ -289,11 +289,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducegcp_spark.operators.dedup import shingles
 
     docs = load_table(spark, sf_dir, "documents")
+    # sh feeds the eval-shingle broadcast build AND the training-side
+    # probe — checkpoint so tokenize+shingle runs once (the broadcast
+    # build precedes the join anyway, so no concurrency is lost)
     sh = docs.select(
         "doc_id", "source", tokens("text").alias("toks")
     ).select(
         "doc_id", "source", F.explode(shingles("toks")).alias("shingle_str")
-    ).select("doc_id", "source", F.xxhash64("shingle_str").alias("shingle"))
+    ).select(
+        "doc_id", "source", F.xxhash64("shingle_str").alias("shingle")
+    ).localCheckpoint(eager=False)
     bench = (
         sh.filter(F.col("source") == _BENCH_SOURCE).select("shingle").distinct()
     )
@@ -748,6 +753,10 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     def naive_split(col: str):
         return split_of(F.col(col).cast("string"))
 
+    # NOT checkpointed: a localCheckpoint on the 2-column assignment
+    # measured 1.07x slower (round-12 interleaved min-of-6) — the two
+    # pair-side derivations overlap and the resolution subtree is
+    # vertex-sized, so duplicating it is cheaper than serializing it
     safe = q_split_leakage_safe(spark, sf_dir, pairs=pairs).select(
         F.col("doc_id"), F.col("split").alias("safe_split")
     )

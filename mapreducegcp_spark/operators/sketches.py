@@ -227,11 +227,15 @@ def q_agg_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     word = docs.select(words_of("text").alias("word"))
     exact = word.groupBy("word").agg(F.count("*").alias("exact_cnt"))
-    # NOT cached: the plan reads `exact` twice (candidates + sketch
-    # build), but a cache pinned here would outlive the query in a
-    # long-lived session (no unpersist hook once the DataFrame is
-    # returned). Recomputing the word count costs one extra scan;
-    # vocabulary-sized storage leaks cost more at the 100 TB posture.
+    # localCheckpoint, NOT cache(): the plan reads `exact` three times
+    # (candidates + sketch build + probe), and a cache pinned here
+    # would outlive the query in a long-lived session (no unpersist
+    # hook once the DataFrame is returned) — checkpoint blocks are
+    # released by the ContextCleaner when the query's RDD goes out of
+    # scope (the basket_pair_affinity decision), so the
+    # vocabulary-sized word-count table materializes once per run and
+    # the corpus tokenizes once instead of three times.
+    exact = exact.localCheckpoint(eager=False)
     cand = exact.orderBy(F.desc("exact_cnt"), F.asc("word")).limit(_CMS_TOPK)
 
     seeds = [str(s) for s in range(_CMS_DEPTH)]

@@ -1519,9 +1519,13 @@ def q_search_proximity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-document cost is |postings_a| x |postings_b| for that doc —
     bounded by word frequency within one document, not corpus size."""
     docs = load_table(spark, sf_dir, "documents")
+    # two consumers (one per query word) — checkpoint the filtered
+    # posting slice so the corpus is tokenized once (the
+    # search_phrase_positional fix)
     pos = (
         docs.select("doc_id", F.posexplode(tokens("text")).alias("i", "w"))
         .where(F.col("w").isin(*_PROX_WORDS))
+        .localCheckpoint(eager=False)
     )
     a = pos.where(F.col("w") == _PROX_WORDS[0]).select("doc_id", F.col("i").alias("ia"))
     b = pos.where(F.col("w") == _PROX_WORDS[1]).select(

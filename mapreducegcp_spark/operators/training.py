@@ -234,6 +234,10 @@ def q_text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     only vocabulary-sized data that must fit a broadcast anyway. One
     doc_id shuffle."""
     docs = load_table(spark, sf_dir, "documents")
+    # NOT checkpointed: round 12 measured the localCheckpoint of the
+    # exploded token stream at 1.31x SLOWER (interleaved min-of-6) —
+    # materializing per-token-instance rows costs more than re-running
+    # the cheap scan+explode; the duplicated branch is pure map work
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
     vocab = tok.groupBy("word").agg(F.count("*").alias("corpus_freq"))
     everything = Window.partitionBy()
@@ -475,6 +479,9 @@ def q_curriculum_length_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     between integers at quarter fractions (exact in doubles), so both
     engines' interpolation formulas agree bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
+    # NOT checkpointed: measured 1.19x slower with a localCheckpoint on
+    # tk (round-12 interleaved min-of-6) — the doc-cardinality
+    # materialization costs more than re-running the map-only count
     tk = docs.select("doc_id", "lang", F.size(tokens("text")).alias("n_tokens"))
     cuts = tk.groupBy("lang").agg(
         F.expr("percentile(n_tokens, array(0.25D, 0.50D, 0.75D))").alias("qs")
@@ -542,9 +549,14 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected array is one row per SOURCE — bounded model-size state,
     not data — so the fold is driver-scale-free at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
+    # src (source-cardinality, tiny) feeds the normalizer fold AND the
+    # final projection — checkpoint so the corpus token-count pass runs
+    # once, not once per consumer
     src = docs.select("source", F.size(tokens("text")).alias("nt")).groupBy(
         "source"
-    ).agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    ).agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens")).localCheckpoint(
+        eager=False
+    )
     totals = src.agg(
         F.sum("n_tokens").alias("tok_total"),
         F.aggregate(
@@ -737,6 +749,9 @@ def q_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch (agg_hll_partitioned_union pattern) if exactness is not
     required."""
     docs = load_table(spark, sf_dir, "documents")
+    # NOT checkpointed: measured 1.21x slower with a localCheckpoint on
+    # d (round-12 interleaved min-of-6) — the two rollup branches'
+    # duplicated md5+count is cheaper than materializing the rows
     d = docs.select(
         "source",
         "lang",
@@ -1430,6 +1445,9 @@ def q_pipeline_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.size(tokens("text")).alias("nt"))
         .groupBy("source")
         .agg(F.sum("nt").alias("n_tokens"))
+        # feeds the normalizer AND the allocation projection — one
+        # corpus token-count pass, not two (sample_temperature's fix)
+        .localCheckpoint(eager=False)
     )
     denom = src.agg(
         F.sum("n_tokens").alias("tok_total"),
