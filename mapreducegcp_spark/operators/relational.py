@@ -115,18 +115,30 @@ GROUP BY o.o_orderpriority
 @register("join_priority_revenue", oracle=_PRIORITY_ORACLE, tags=("relational",))
 def q_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large⋈large shuffle join (orders⋈lineitem on orderkey) + low-
-    cardinality re-aggregation. AQE picks shuffle-hash vs sort-merge at
-    runtime; at 100 TB bucketing both tables on orderkey removes the
-    exchange entirely."""
+    cardinality re-aggregation. Lineitem is rolled up to one decimal
+    revenue row PER ORDER before the join, so the orderkey exchange
+    carries order-count rollups instead of every line, and the final
+    priority aggregate is a plain count(*) — the countDistinct expand
+    the naive join-then-distinct shape pays is gone. Decimal sums are
+    exact and associative, so the two-stage rollup is bit-identical to
+    the oracle's flat SUM/COUNT DISTINCT (inner join ⇒ both count
+    exactly the orders that have lines). At 100 TB bucketing both
+    tables on orderkey removes the remaining exchange entirely."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    per_order = (
+        li.select("l_orderkey", revenue.alias("rev"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev").alias("rev_o"))
+    )
     return (
-        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        orders.select("o_orderkey", "o_orderpriority")
+        .join(per_order, per_order.l_orderkey == F.col("o_orderkey"))
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            dsum(revenue).alias("revenue"),
+            F.count("*").alias("n_orders"),
+            F.sum("rev_o").cast("double").alias("revenue"),
         )
     )
 
