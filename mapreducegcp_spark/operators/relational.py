@@ -118,8 +118,10 @@ def q_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality re-aggregation. Lineitem is rolled up to one decimal
     revenue row PER ORDER before the join, so the orderkey exchange
     carries order-count rollups instead of every line, and the final
-    priority aggregate is a plain count(*) — the countDistinct expand
-    the naive join-then-distinct shape pays is gone. Decimal sums are
+    priority aggregate is a plain count(*) — the two-phase distinct
+    aggregation (an extra fact-sized HashAggregate pair over
+    (priority, orderkey)) the naive join-then-countDistinct shape pays
+    is gone. Decimal sums are
     exact and associative, so the two-stage rollup is bit-identical to
     the oracle's flat SUM/COUNT DISTINCT (inner join ⇒ both count
     exactly the orders that have lines). At 100 TB bucketing both

@@ -26,6 +26,26 @@ from mapreducegcp_spark.sources.catalog import load_table
 
 _REVENUE = f"{o_dec2('l_extendedprice')} * (1 - {o_dec2('l_discount')})"
 
+# Executable pin of the raw-localCheckpoint block bound. A
+# lineage-truncated block has no recompute path, so every pinned block
+# must be individually storable (functions/checkpoint.py documents the
+# death mode). The JOIN-OUTPUT checkpoints below (Q21's lo, Q2's eu)
+# skip safe_checkpoint's rebalance on the argument that they exit
+# hash-balanced exchanges over near-uniform TPC-H keys — no pinned
+# block can hold an unbounded share of the rows. Like
+# two_phase_components' block_probe, that claim is measured, not
+# trusted: tests set this hook to a callable ``(tag, df) -> None`` and
+# check every pinned block against the bound
+# (tests/test_checkpoint.py::test_tpch_join_output_checkpoint_blocks_bounded).
+_checkpoint_block_probe = None
+
+
+def _probed_lazy_checkpoint(tag: str, df: DataFrame) -> DataFrame:
+    out = df.localCheckpoint(eager=False)
+    if _checkpoint_block_probe is not None:
+        _checkpoint_block_probe(tag, out)
+    return out
+
 
 # ------------------------------------------------------------------ Q4
 
@@ -434,14 +454,13 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table once; the checkpointed RDD keeps its orderkey hash
     # partitioning, so the groupBy and the join-back both reuse it
     # without a new exchange.
-    lo = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
+    lo = _probed_lazy_checkpoint(
+        "q21_lo",
+        li.join(o, li.l_orderkey == o.o_orderkey).select(
             "l_orderkey",
             "l_suppkey",
             (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
-        )
-        .localCheckpoint(eager=False)
+        ),
     )
     per_order = lo.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
@@ -690,9 +709,9 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointing it materializes the lineitem rollup + supplier
     # chain once (was: 2 lineitem scans, the dim chain derived twice —
     # 24 Exchanges in the audited plan)
-    eu = ps.join(
-        F.broadcast(s), ps.l_suppkey == F.col("s_suppkey")
-    ).localCheckpoint(eager=False)
+    eu = _probed_lazy_checkpoint(
+        "q2_eu", ps.join(F.broadcast(s), ps.l_suppkey == F.col("s_suppkey"))
+    )
     mn = eu.groupBy(F.col("l_partkey").alias("mn_partkey")).agg(
         F.min("supply_cost").alias("min_cost")
     )

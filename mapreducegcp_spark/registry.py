@@ -180,6 +180,35 @@ _RECHECK_FIRST: frozenset[str] = frozenset(
     {
         # round 10 entries cleared: all nine landed green rows in
         # CORRECTNESS_r10 (driver re-verified the new shapes).
+        #
+        # Round-12 restructures that never got a driver oracle row: the
+        # round-12 boundary regex matched the session's own snapshot
+        # commit, so the git boost no-opped at driver time (verdict r12
+        # ask #2), and these commits sit BEFORE the round-12 verdict
+        # boundary, so the fixed git tier can't see them either — the
+        # hand list is the only mechanism left. Clear once
+        # CORRECTNESS_r13 lands green rows for them.
+        "tpch_q2_min_cost_supplier",
+        "tpch_q11_important_stock",
+        "tpch_q15_top_supplier",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q21_suppliers_kept_waiting",
+        "subquery_scalar_correlated",
+        "join_priority_revenue",
+        "tfidf_top_terms",
+        "text_unigram_xent",
+        "text_bigram_xent",
+        "text_bigram_xent_kneser_ney",
+        "search_trigram_index",
+        "search_phrase_positional",
+        "search_proximity_window",
+        "graph_triangle_count",
+        "graph_pagerank_nations",
+        "pipeline_training_dataset",
+        "sample_dsir_importance",
+        "sample_temperature",
+        "decontaminate_ngram_overlap",
+        "pipeline_token_budget_plan",
     }
 )
 
@@ -195,7 +224,14 @@ _RECHECK_FIRST: frozenset[str] = frozenset(
 # driver-visible overhead) and defensively: a non-checkout install, a
 # missing git binary, or no boundary commit all degrade to the empty
 # set — the hand list above still applies.
-_ROUND_BOUNDARY_SUBJECT = r"^round [0-9]+: "
+#
+# Anchored to the driver's VERDICT commit specifically: the harness also
+# writes "round N: end-of-round snapshot" commits at session end, AFTER
+# the round's work. A pattern matching those makes the boundary HEAD
+# itself at driver-verification time, the diff empty, and the boost a
+# silent no-op (round 12 shipped 17 restructured queries with no driver
+# oracle row exactly this way).
+_ROUND_BOUNDARY_SUBJECT = r"^round [0-9]+: verdict"
 _CHANGED_MODULES: frozenset[str] | None = None
 
 

@@ -9,6 +9,7 @@ plain unit test (no Spark needed)."""
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 
@@ -132,7 +133,7 @@ def test_recheck_tier_derives_from_git_changed_modules(monkeypatch):
     repo = Path(registry.__file__).resolve().parent.parent
     boundary = subprocess.run(
         ["git", "-C", str(repo), "log", "-n1", "--format=%H",
-         "-E", "--grep=^round [0-9]+: "],
+         "-E", "--grep=^round [0-9]+: verdict"],
         capture_output=True, text=True,
     ).stdout.strip()
     if not boundary:
@@ -154,6 +155,42 @@ def test_recheck_tier_derives_from_git_changed_modules(monkeypatch):
     monkeypatch.setattr(registry, "_CHANGED_MODULES", None)  # defeat the cache
     boost = registry._recheck_names(qs)
     assert boost >= expected, sorted(expected - boost)
+
+
+def test_snapshot_commit_is_not_a_round_boundary(monkeypatch, tmp_path):
+    """Verdict r12 ask #1: the harness commits 'round N: end-of-round
+    snapshot' AFTER the round's work. If that subject matched the
+    boundary pattern, the boundary would be HEAD at driver-verification
+    time, the diff empty, and the recheck boost a silent no-op (round 12
+    shipped 17 restructures the driver never re-verified this way). The
+    boundary must resolve to the driver's VERDICT commit even when a
+    snapshot commit sits on top of it."""
+    import subprocess
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(tmp_path), *args], check=True,
+            capture_output=True,
+            env={"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+                 "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+                 "PATH": os.environ["PATH"]},
+        )
+
+    git("init", "-q")
+    (tmp_path / "f").write_text("1")
+    git("add", "f")
+    git("commit", "-q", "-m", "round 12: verdict/advice/correctness/bench")
+    verdict = subprocess.run(
+        ["git", "-C", str(tmp_path), "rev-parse", "HEAD"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    (tmp_path / "f").write_text("2")
+    git("commit", "-q", "-am", "optimize something")
+    (tmp_path / "f").write_text("3")
+    git("commit", "-q", "-am", "round 13: end-of-round snapshot (9 turns, 1s)")
+
+    monkeypatch.setattr(registry, "_REPO_ROOT", tmp_path)
+    assert registry._last_boundary_commit() == verdict
 
 
 def test_helper_module_change_boosts_importing_queries(monkeypatch):
