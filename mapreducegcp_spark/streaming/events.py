@@ -150,6 +150,35 @@ class stream_partitions:
 LAST_PROGRESS: dict = {}
 
 
+def _ephemeral_checkpoint(name: str) -> str:
+    """Checkpoint dir for one finite-replay query, on tmpfs when the
+    host has one.
+
+    These queries start fresh on every call and sink to memory/scratch,
+    so their checkpoint (offset WAL + commit log + state files) is
+    ephemeral BY DESIGN — Spark's default temp checkpoint under
+    /tmp pays disk fsyncs per micro-batch for durability nothing ever
+    reads back. Placing it on tmpfs removed ~0.7 s from the two-source
+    stream-stream join (min 3.67 -> 2.97 over 3 alternating passes,
+    every pass lower; offset/commit WAL x2 sources) and measured flat
+    on single-source queries (measured round 13; RocksDB provider was
+    also measured and REJECTED: 1.11 vs 0.94 s tumbling, 1.48 vs 1.29
+    stateful — native-store overhead without enough state to amortize
+    it). A production deployment with a restartable sink sets
+    SPARK_GRAFT_STREAM_CKPT_ROOT to durable storage; that decision is
+    an env conf, not a code shape.
+
+    The caller must remove the directory after stopping the query
+    (explicit checkpointLocation opts out of Spark's temp-dir cleanup).
+    """
+    root = os.environ.get("SPARK_GRAFT_STREAM_CKPT_ROOT")
+    if not root:
+        import tempfile
+
+        root = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    return os.path.join(root, f"mapreducegcp_ckpt_{name}")
+
+
 def run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink.
 
@@ -160,11 +189,15 @@ def run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     ``lastProgress`` dict (state-operator metrics included) is kept in
     ``LAST_PROGRESS`` for receipt tests.
     """
+    import shutil
+
     name = f"mem_{uuid4().hex[:12]}"
+    ckpt = _ephemeral_checkpoint(name)
     with stream_partitions(df.sparkSession):
         q = (
             df.writeStream.format("memory")
             .queryName(name)
+            .option("checkpointLocation", ckpt)
             .outputMode(mode)
             .start()
         )
@@ -175,6 +208,7 @@ def run_to_memory(df: DataFrame, mode: str) -> DataFrame:
             if q.lastProgress:
                 LAST_PROGRESS.update(q.lastProgress)
             q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
     return df.sparkSession.table(name)
 
 
@@ -516,12 +550,22 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(bdf: DataFrame, epoch_id: int) -> None:
         bdf.write.mode("overwrite").parquet(out)
 
+    import shutil
+    from uuid import uuid4 as _uuid4
+
+    ckpt = _ephemeral_checkpoint(f"feb_{_uuid4().hex[:12]}")
     with stream_partitions(spark):
-        q = agg.writeStream.foreachBatch(write_batch).outputMode("complete").start()
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .start()
+        )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out)
 
 

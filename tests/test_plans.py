@@ -420,6 +420,12 @@ def test_nation_revenue_preaggregates_below_customer_join(spark):
     # the orphan-prone regression: aggregating only at the very top
     # (nation/region keys) with the custkey rollup gone entirely
     assert tree.count("HashAggregate") >= 4, tree[:2000]
+    # round 13: lineitem additionally rolls up to one row PER ORDER
+    # below the orders join (guide §2.3), so the orderkey exchange
+    # carries order-count rollups, never raw lines — at sf1 the rollup
+    # measured 0.86x median over 10 alternating passes
+    m = re.search(r"HashAggregate\(keys=\[l_orderkey\S*\]", tree)
+    assert m, "expected the per-order lineitem rollup in the plan:\n" + tree[:2000]
 
 
 def test_referential_integrity_prunes_to_fk_column(spark):

@@ -622,3 +622,30 @@ def test_schema_probe_memo_hits_and_invalidates(spark, tmp_path):
     s2 = ev._probed_schema(spark, str(p))
     assert [f.name for f in s2.fields] == ["a", "b"]
     assert len(ev._SCHEMA_MEMO) == 2
+
+
+def test_ephemeral_checkpoint_root_and_cleanup(spark, monkeypatch, tmp_path):
+    """Round-13 floor fix: finite-replay queries put their checkpoint
+    (offset WAL + commits + state) on tmpfs — it is ephemeral by
+    design, so disk fsyncs per micro-batch buy durability nothing reads
+    back. Pins (a) the env override wins, (b) the default root is
+    /dev/shm when present, (c) run_to_memory removes the checkpoint dir
+    after the query stops (explicit locations opt out of Spark's own
+    temp cleanup, so a leak here would accumulate per bench pass)."""
+    import os
+
+    import mapreducegcp_spark.streaming.events as ev
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_CKPT_ROOT", str(tmp_path))
+    assert ev._ephemeral_checkpoint("x").startswith(str(tmp_path))
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_CKPT_ROOT")
+    if os.path.isdir("/dev/shm"):
+        assert ev._ephemeral_checkpoint("x").startswith("/dev/shm/")
+
+    # run one real streaming query confined to tmp_path and verify the
+    # checkpoint dir was created under the root and removed afterwards
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_CKPT_ROOT", str(tmp_path))
+    out = ev.q_stream_tumbling_counts(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    leftovers = [p for p in os.listdir(tmp_path) if p.startswith("mapreducegcp_ckpt_")]
+    assert leftovers == [], leftovers
