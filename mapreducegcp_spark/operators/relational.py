@@ -371,21 +371,35 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by returned-line revenue.
 
     The returnflag filter pushes into the lineitem scan (cuts ~3/4 of
-    the fact table before the join); nation broadcasts; the orders join
-    shuffles on orderkey — at 100 TB that exchange is the dominant cost
-    and is exactly what bucketing both fact tables on orderkey removes
-    (sources/formats.py::write_bucketed)."""
+    the fact table before the join); the surviving lines then roll up
+    to ONE decimal revenue row per order BEFORE the orders join (guide
+    §2.3 aggregate-before-shuffle, the join_nation_revenue rewrite),
+    so the orderkey exchange carries per-order rollups. Exact: decimal
+    sums are associative, count(*) per line = sum of per-order counts.
+    nation broadcasts; at 100 TB the orderkey exchange is the dominant
+    cost and is exactly what bucketing both fact tables on orderkey
+    removes (sources/formats.py::write_bucketed). Measured at sf1
+    (10x, alternating same-session A/B, noop sink): old min 2.101 /
+    med 2.401 vs new min 1.857 / med 2.235 over 5 passes."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
     revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    per_order = (
+        li.select("l_orderkey", revenue.alias("rev"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev").alias("rev_o"), F.count("*").alias("n_o"))
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n_lines"))
+        .agg(
+            F.sum("rev_o").cast("double").alias("revenue"),
+            F.sum("n_o").alias("n_lines"),
+        )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
         .select(
