@@ -493,6 +493,35 @@ def _changed_symbols_since_round() -> dict[str, frozenset[str] | None]:
     return out
 
 
+_MODULE_SYMBOLS: dict[str, frozenset[str]] = {}
+
+
+def _module_symbols(mod: str) -> frozenset[str]:
+    """Top-level symbol names of a package module's CURRENT source —
+    lets the direct recheck tier tell 'this query fn is a top-level
+    def whose AST did not change' from 'this query fn is
+    closure-generated and unattributable'. Unreadable/unparsable
+    sources return the empty set, which the caller treats as
+    unattributable (conservative boost). Cached per process."""
+    if mod in _MODULE_SYMBOLS:
+        return _MODULE_SYMBOLS[mod]
+    rel = mod.replace(".", "/")
+    path = next(
+        (c for c in (f"{rel}.py", f"{rel}/__init__.py")
+         if (_REPO_ROOT / c).is_file()),
+        None,
+    )
+    out: frozenset[str] = frozenset()
+    if path is not None:
+        try:
+            symbols, _, _ = _symbol_table((_REPO_ROOT / path).read_text())
+            out = frozenset(symbols)
+        except (OSError, SyntaxError, ValueError):
+            pass
+    _MODULE_SYMBOLS[mod] = out
+    return out
+
+
 _IMPORT_BINDINGS: dict[str, dict[str, frozenset[str] | None]] | None = None
 
 
@@ -589,14 +618,23 @@ def _closure_change_reaches(qclosure: frozenset[str], helpers: frozenset[str]) -
 def _recheck_tiers(reg: dict[str, RegisteredQuery]) -> dict[str, float]:
     """Recheck priorities for queries whose green rows are stale:
 
-    - 0.4 — defining module changed (the query's own code moved);
+    - 0.4 — defining module changed AND the change can reach this
+      query: its defining function's semantic AST changed (intra-module
+      uses propagated — a query whose helper/constant changed counts),
+      or the module diff is unanalyzable, or the query fn is not a
+      top-level symbol of its module (closure-generated — symbol
+      attribution impossible, stay conservative). Without the symbol
+      filter, one two-query edit to a 20-query module floods the
+      driver's bounded window with 20 boosts and pushes the queries
+      that actually changed out of it (observed round 13: 62-query
+      0.4 tier from three touched modules vs ~20 real changes).
     - 0.5 — curated cross-module hand list;
     - 0.6 — defining module transitively IMPORTS a changed package
       module (helpers, plan facades, sources) AND the change can reach
       it: some module in the query's import closure binds a symbol
       whose semantic AST changed (``_closure_change_reaches``).
-      Docstring/comment-only helper edits boost nothing; anything
-      unanalyzable still boosts the full closure superset.
+      Docstring/comment-only edits boost nothing; anything
+      unanalyzable still boosts the full superset.
 
     All three sort after never-checked (0) and before every real
     evidence round (>= 1), so a budgeted driver window covers the
@@ -613,12 +651,23 @@ def _recheck_tiers(reg: dict[str, RegisteredQuery]) -> dict[str, float]:
     if not changed:
         return tiers
     closure = _package_import_closure()
+    syms = _changed_symbols_since_round()
     for n, rq in reg.items():
         mod = getattr(rq.fn, "__module__", None)
         if mod is None:
             continue
         if mod in changed:
-            tiers[n] = min(tiers.get(n, 0.4), 0.4)
+            s = syms.get(mod)
+            fn_name = getattr(rq.fn, "__name__", None)
+            if (
+                s is None  # unanalyzable module diff -> all changed
+                or fn_name in s  # this query's own symbol changed
+                or fn_name not in _module_symbols(mod)  # not attributable
+            ):
+                tiers[n] = min(tiers.get(n, 0.4), 0.4)
+            # else: the module changed but this query's symbol (with
+            # intra-module propagation) did not — its green row is not
+            # stale; no boost.
         else:
             qclosure = closure.get(mod, frozenset({mod}))
             helpers = qclosure & changed

@@ -122,11 +122,14 @@ def test_defining_module_changes_outrank_closure_derived(monkeypatch):
 
 
 def test_recheck_tier_derives_from_git_changed_modules(monkeypatch):
-    """Verdict r10 ask #3 'done' criterion: the boost set must be a
-    SUPERSET of the queries whose defining module changed since the
-    last round-boundary commit — computed here independently with the
-    same git primitive the registry uses, so a regression in the
-    path->module mapping (not just in the git call) fails loudly."""
+    """Verdict r10 ask #3 'done' criterion, refined round 13: the boost
+    set must cover every query in a changed defining module whose OWN
+    symbol changed (or is unattributable) — computed here independently
+    with the same git primitive the registry uses, so a regression in
+    the path->module mapping (not just in the git call) fails loudly.
+    Queries in a changed module whose top-level symbol did NOT change
+    are deliberately excluded (round 13: a two-query edit to a
+    20-query module must not flood the driver's bounded window)."""
     import subprocess
     from pathlib import Path
 
@@ -148,13 +151,56 @@ def test_recheck_tier_derives_from_git_changed_modules(monkeypatch):
         if p.strip().startswith("mapreducegcp_spark/") and p.strip().endswith(".py")
     }
     qs = registry.all_queries()
-    expected = {
-        n for n, rq in qs.items()
-        if getattr(rq.fn, "__module__", None) in changed_mods
-    }
-    monkeypatch.setattr(registry, "_CHANGED_MODULES", None)  # defeat the cache
+    monkeypatch.setattr(registry, "_CHANGED_MODULES", None)  # defeat the caches
+    monkeypatch.setattr(registry, "_CHANGED_SYMBOLS", None)
+    syms = registry._changed_symbols_since_round()
+    expected = set()
+    for n, rq in qs.items():
+        mod = getattr(rq.fn, "__module__", None)
+        if mod not in changed_mods:
+            continue
+        s = syms.get(mod)
+        fn_name = getattr(rq.fn, "__name__", None)
+        if (
+            s is None
+            or fn_name in s
+            or fn_name not in registry._module_symbols(mod)
+        ):
+            expected.add(n)
     boost = registry._recheck_names(qs)
     assert boost >= expected, sorted(expected - boost)
+
+
+def test_direct_tier_is_symbol_refined(monkeypatch):
+    """A changed module boosts ONLY the queries whose own top-level
+    symbol changed (intra-module propagation included), plus any
+    unattributable (closure-generated) query fns — not every query the
+    module defines. Without this, one edit to a 20-query module floods
+    the driver's 50-row window and pushes the actually-changed queries
+    out of it."""
+    qs = registry.all_queries()
+    # real module with many queries: pretend only q_tpch_q4's symbol
+    # changed in tpch.py
+    monkeypatch.setattr(
+        registry, "_CHANGED_MODULES",
+        frozenset({"mapreducegcp_spark.operators.tpch"}),
+    )
+    monkeypatch.setattr(
+        registry, "_CHANGED_SYMBOLS",
+        {"mapreducegcp_spark.operators.tpch": frozenset({"q_tpch_q4"})},
+    )
+    tiers = registry._recheck_tiers(qs)
+    direct = {n for n, t in tiers.items() if t == 0.4}
+    assert "tpch_q4_order_priority" in direct
+    assert "tpch_q6_forecast_revenue" not in direct
+    # unanalyzable diff degrades to the whole module (old behavior)
+    monkeypatch.setattr(
+        registry, "_CHANGED_SYMBOLS",
+        {"mapreducegcp_spark.operators.tpch": None},
+    )
+    tiers = registry._recheck_tiers(qs)
+    direct = {n for n, t in tiers.items() if t == 0.4}
+    assert {"tpch_q4_order_priority", "tpch_q6_forecast_revenue"} <= direct
 
 
 def test_snapshot_commit_is_not_a_round_boundary(monkeypatch, tmp_path):
