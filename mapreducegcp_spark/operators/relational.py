@@ -65,43 +65,45 @@ GROUP BY n.n_name, r.r_name
 
 @register("join_nation_revenue", oracle=_NATION_REVENUE_ORACLE, tags=("relational",))
 def q_join_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Four-way join, TPC-H Q5 shape. Scale plan: lineitem is rolled up
-    to ONE decimal revenue row per order BEFORE the orders join (guide
-    §2.3 aggregate-before-shuffle — the same rewrite as
-    join_priority_revenue), so the orderkey exchange carries order-count
-    rollups instead of every line; revenue then partially aggregates by
-    o_custkey below the customer join, so the second shuffle carries one
-    row per customer. Exact: decimal sums are associative, so the
-    per-order/per-customer two-stage rollup is bit-identical to the
-    flat sum, and count(*) per line = sum of per-order line counts
-    (inner joins on FK-complete keys pass the same rows both ways).
-    nation (25 rows) and region (5) are explicit broadcasts so the
-    customer-sized stream is never repartitioned for them. At 100 TB
-    the orderkey exchange drops ~4x (lines -> orders) and the custkey
-    exchange stays dim-sized. Measured both ways at two scales
-    (alternating same-session A/B, noop sink): at sf0.1 the extra
-    hash aggregate is a wash (1.333 -> 1.447 min-of-4, round 12, kept
-    old); at sf1 (10x, data-bound) the rollup wins — old med 2.97 /
-    min 2.59 vs new med 2.55 / min 2.17 over 10 alternating passes —
-    and the advantage grows with the per-order line count at scale."""
+    """Four-way join, TPC-H Q5 shape. Scale plan: lineitem⋈orders is the
+    one lineitem-sized shuffle (both huge, co-partitioned on orderkey);
+    revenue then PARTIALLY AGGREGATES by o_custkey BELOW the customer
+    join — a push-down Catalyst does not do on its own — so the second
+    shuffle carries one row per customer, never per line item (exact:
+    decimal sums are associative, so sum-of-per-customer-sums is
+    bit-identical to the flat sum). nation (25 rows) and region (5)
+    are explicit broadcasts so the customer-sized stream is never
+    repartitioned for them. At 100 TB the custkey exchange drops from
+    ~6e9 lineitem rows to ~1.5e8 customer rows — the difference
+    between a second fact-sized shuffle and a dim-sized one.
+
+    NOT pre-aggregated per order (the tpch_q10/join_priority_revenue
+    rewrite), measured at THREE scales in round 13 and rejected on the
+    largest: alternating same-session A/B mins, old vs per-order-rollup
+    — sf0.1 wash (1.49 vs 1.46), sf1 rollup wins (2.59 vs 2.17), sf10
+    (60M lines) rollup LOSES consistently (7.15 vs 9.39 and 10.81 vs
+    13.24 across two sessions). The unfiltered per-order aggregate
+    builds ~500k-key hash tables per map task before the exchange,
+    and on a local box where shuffle bytes ride the page cache that
+    CPU/memory cost buys nothing back; q10's version survives because
+    its returnflag filter quarters the aggregate's input first. A
+    network cluster (where the 4x row cut pays per byte) should
+    re-measure — the decision flips on shuffle transport cost, so it
+    belongs to the deployment, not the code shape."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))
     revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
-    per_order = (
-        li.select("l_orderkey", revenue.alias("rev"))
-        .groupBy("l_orderkey")
-        .agg(F.sum("rev").alias("rev_o"), F.count("*").alias("n_o"))
-    )
     per_cust = (
-        per_order.join(
+        li.select("l_orderkey", revenue.alias("rev"))
+        .join(
             orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_custkey")
-        .agg(F.sum("rev_o").alias("rev_c"), F.sum("n_o").alias("n_c"))
+        .agg(F.sum("rev").alias("rev_c"), F.count("*").alias("n_c"))
     )
     return (
         per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
