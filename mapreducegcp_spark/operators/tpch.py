@@ -708,9 +708,17 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eu feeds BOTH the per-part min aggregate and the join-back;
     # checkpointing it materializes the lineitem rollup + supplier
     # chain once (was: 2 lineitem scans, the dim chain derived twice —
-    # 24 Exchanges in the audited plan)
+    # 24 Exchanges in the audited plan). Project to the 5 columns the
+    # consumers need BEFORE the checkpoint (guide §2.3): Catalyst
+    # cannot prune columns across a checkpoint boundary, so without
+    # the select the pinned blocks carry the full 12-column supplier⋈
+    # nation⋈region row (measured round 13: flat at sf10, ~4% faster
+    # at sf0.1, and strictly fewer pinned bytes at any scale).
     eu = _probed_lazy_checkpoint(
-        "q2_eu", ps.join(F.broadcast(s), ps.l_suppkey == F.col("s_suppkey"))
+        "q2_eu",
+        ps.join(F.broadcast(s), ps.l_suppkey == F.col("s_suppkey")).select(
+            "l_partkey", "supply_cost", "s_acctbal", "s_name", "n_name"
+        ),
     )
     mn = eu.groupBy(F.col("l_partkey").alias("mn_partkey")).agg(
         F.min("supply_cost").alias("min_cost")
